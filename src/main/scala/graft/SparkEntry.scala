@@ -25,7 +25,10 @@ object SparkEntry {
 
   private val modules: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
     Seq(
-      (graft.queries.RefPipeline.queries, graft.queries.RefPipeline.oracles)
+      (graft.queries.RefPipeline.queries, graft.queries.RefPipeline.oracles),
+      (graft.queries.Relational.queries, graft.queries.Relational.oracles),
+      (graft.queries.Windows.queries, graft.queries.Windows.oracles),
+      (graft.queries.EventsQueries.queries, graft.queries.EventsQueries.oracles)
     )
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -1,0 +1,147 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables._
+
+/** Event-stream semantics in batch form (SURVEY.md §2.2 Streaming row):
+  * tumbling/sliding/session windows, gap sessionization, and an as-of
+  * join. The same `window()`/`session_window()` expressions run
+  * unchanged under Structured Streaming with a watermark — see
+  * graft.streaming.StreamingJobs and its specs; these batch forms are
+  * the oracle-checkable variants.
+  */
+object EventsQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // As-of join: each error event picks the latest purchase of the same
+    // user at-or-before its timestamp. Implemented as ONE shuffle: union
+    // both sides keyed by user, order by (ts, kind, event_id), and carry
+    // the last non-null purchase id/value forward — no range-explosion
+    // join, no per-key skew beyond the window sort. This is the 100 TB
+    // formulation of as-of (a broadcast/range join would blow up).
+    "q33_asof_join" -> ((s, d) => {
+      val e = events(s, d)
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), lit(0).as("kind"), col("event_id"),
+          col("event_id").as("p_id"), col("value").as("p_value"))
+      val errors = e.filter(col("event_type") === "error")
+        .select(col("user_id"), col("ts"), lit(1).as("kind"), col("event_id"),
+          lit(null).cast("long").as("p_id"), lit(null).cast("double").as("p_value"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("kind"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      purchases.unionByName(errors)
+        .withColumn("asof_purchase_id", last(col("p_id"), ignoreNulls = true).over(w))
+        .withColumn("asof_value", last(col("p_value"), ignoreNulls = true).over(w))
+        .filter(col("kind") === 1)
+        .select(col("event_id"), col("user_id"), col("asof_purchase_id"),
+          round(col("asof_value"), 2).as("asof_value"))
+    }),
+
+    // Gap sessionization (30-min inactivity): lag + cumulative new-session
+    // flags. Gap math in integer microseconds on both engines.
+    "q34_sessionize" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val flagged = events(s, d)
+        .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+        .withColumn("new_session",
+          when(col("prev_us").isNull ||
+            unix_micros(col("ts")) - col("prev_us") > 1800L * 1000000L, 1L)
+            .otherwise(0L))
+        .withColumn("session_idx",
+          sum(col("new_session")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      flagged.groupBy(col("user_id"), col("session_idx"))
+        .agg(min(col("ts")).as("session_start"),
+          count(lit(1)).as("n_events"),
+          round(sum(col("value")), 2).as("value_sum"))
+    }),
+
+    // Tumbling 1h window (batch form of the streaming agg).
+    "q35_tumbling_window" -> ((s, d) => {
+      events(s, d)
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("value_sum"))
+        .select(col("window.start").as("window_start"), col("event_type"),
+          col("n"), col("value_sum"))
+    }),
+
+    // Sliding 1h window every 30min: each event lands in two windows.
+    "q36_sliding_window" -> ((s, d) => {
+      events(s, d)
+        .groupBy(window(col("ts"), "1 hour", "30 minutes"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("value_sum"))
+        .select(col("window.start").as("window_start"), col("n"), col("value_sum"))
+    }),
+
+    // Native session_window operator (same semantics as q34; start only —
+    // the session end extends 30min past the last event by definition).
+    "q37_session_window" -> ((s, d) => {
+      events(s, d)
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"), col("session_window.start").as("session_start"),
+          col("n_events"))
+    })
+  )
+
+  /** Shared CTE: gap-based sessions, microsecond-exact. */
+  private val sessionsCte =
+    """WITH flagged AS (
+      |  SELECT user_id, ts, value,
+      |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+      |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+      |         THEN 1 ELSE 0 END AS new_session
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |), sessions AS (
+      |  SELECT user_id, ts, value,
+      |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+      |  FROM flagged
+      |)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q33_asof_join" ->
+      """SELECT e.event_id, e.user_id,
+        |  (SELECT p.event_id FROM events p
+        |   WHERE p.event_type = 'purchase' AND p.user_id = e.user_id
+        |     AND p.ts <= e.ts
+        |   ORDER BY p.ts DESC, p.event_id DESC LIMIT 1) AS asof_purchase_id,
+        |  round((SELECT p.value FROM events p
+        |   WHERE p.event_type = 'purchase' AND p.user_id = e.user_id
+        |     AND p.ts <= e.ts
+        |   ORDER BY p.ts DESC, p.event_id DESC LIMIT 1), 2) AS asof_value
+        |FROM events e WHERE e.event_type = 'error'""".stripMargin,
+
+    "q34_sessionize" ->
+      s"""$sessionsCte
+         |SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+         |  min(ts) AS session_start, count(*) AS n_events,
+         |  round(sum(value), 2) AS value_sum
+         |FROM sessions GROUP BY user_id, session_idx""".stripMargin,
+
+    "q35_tumbling_window" ->
+      """SELECT date_trunc('hour', ts) AS window_start, event_type,
+        |  count(*) AS n, round(sum(value), 2) AS value_sum
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q36_sliding_window" ->
+      """WITH buckets AS (
+        |  SELECT time_bucket(INTERVAL '30 minutes', ts) AS window_start, value FROM events
+        |  UNION ALL
+        |  SELECT time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes', value FROM events
+        |)
+        |SELECT window_start, count(*) AS n, round(sum(value), 2) AS value_sum
+        |FROM buckets GROUP BY 1""".stripMargin,
+
+    "q37_session_window" ->
+      s"""$sessionsCte
+         |SELECT user_id, min(ts) AS session_start, count(*) AS n_events
+         |FROM sessions GROUP BY user_id, session_idx""".stripMargin
+  )
+}

@@ -1,0 +1,452 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables._
+
+/** Relational operator catalog (SURVEY.md §2.2): scans, filters,
+  * projections, every join shape, aggregation variants, set ops, and
+  * scalar function families — each as a declarative DataFrame plan that
+  * Catalyst can push down / reorder / broadcast, each with a DuckDB
+  * oracle.
+  *
+  * Conventions for oracle parity:
+  *  - every computed column is aliased identically in Spark and SQL
+  *  - double aggregates are round()ed to a fixed scale on BOTH sides
+  *    (sums of 2-decimal inputs → round 2; of 4-decimal products →
+  *    round 4; averages → round 6), so engine-order float noise
+  *    (~1e-11 rel) cannot flip the driver's hash compare
+  *  - counts are BIGINT on both sides
+  */
+object Relational {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // --- aggregation ----------------------------------------------------
+    // TPC-H Q1 shape: scan-side filter + 6-way aggregate. The filter and
+    // the 8-column projection are pushed into the parquet scan.
+    "q01_pricing_summary" -> ((s, d) => {
+      lineitem(s, d)
+        .filter(col("l_shipdate") <= lit("1999-06-30").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("sum_disc_price"),
+          round(avg(col("l_quantity")), 6).as("avg_qty"),
+          round(avg(col("l_discount")), 6).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+    }),
+
+    "q02_filter_project" -> ((s, d) => {
+      lineitem(s, d)
+        .filter(col("l_quantity") >= 30 && col("l_quantity") <= 40 &&
+          col("l_returnflag") === "R")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("net_price"))
+    }),
+
+    // --- joins ----------------------------------------------------------
+    "q03_segment_revenue" -> ((s, d) => {
+      val c = customer(s, d); val o = orders(s, d); val l = lineitem(s, d)
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"),
+          countDistinct(col("o_orderkey")).as("n_orders"))
+    }),
+
+    "q04_left_join_counts" -> ((s, d) => {
+      val c = customer(s, d); val o = orders(s, d)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("n_orders"),
+          round(coalesce(sum(col("o_totalprice")), lit(0.0)), 2).as("spend"))
+    }),
+
+    "q05_semi_join" -> ((s, d) => {
+      customer(s, d).join(
+        orders(s, d).filter(col("o_orderstatus") === "F"),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_mktsegment"))
+    }),
+
+    "q06_anti_join" -> ((s, d) => {
+      customer(s, d).join(
+        orders(s, d).filter(col("o_orderstatus") === "P"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_nationkey"))
+    }),
+
+    // Explicit broadcast of the small dimension: at 100 TB the fact side
+    // never shuffles for this join.
+    "q07_broadcast_join" -> ((s, d) => {
+      val l = lineitem(s, d); val p = part(s, d)
+      l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+        .filter(col("p_type") === "PROMO")
+        .groupBy(col("p_brand"))
+        .agg(round(sum(col("l_quantity")), 2).as("promo_qty"),
+          count(lit(1)).as("n_lines"))
+    }),
+
+    // Equi join + range residual (band join): the equi key keeps it a
+    // hash join; the band condition is evaluated as a post-join filter.
+    "q08_range_join" -> ((s, d) => {
+      val l = lineitem(s, d); val p = part(s, d)
+      l.join(broadcast(p),
+        l("l_partkey") === p("p_partkey") &&
+          l("l_quantity") >= p("p_size") - 2 && l("l_quantity") <= p("p_size") + 2)
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n_near_size"),
+          round(sum(col("l_extendedprice")), 2).as("price_sum"))
+    }),
+
+    // 5-way star join (TPC-H Q5 shape): dims broadcast, one shuffle for
+    // the fact-fact join, aggregation partials map-side.
+    "q09_star_join" -> ((s, d) => {
+      val r = region(s, d).filter(col("r_name") === "ASIA")
+      val n = nation(s, d); val c = customer(s, d)
+      val o = orders(s, d); val l = lineitem(s, d)
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"))
+    }),
+
+    // --- distinct aggregation -------------------------------------------
+    "q10_agg_distinct" -> ((s, d) => {
+      orders(s, d).groupBy(col("o_orderstatus"))
+        .agg(countDistinct(col("o_custkey")).as("n_custs"),
+          count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice")), 2).as("total"))
+    }),
+
+    // HLL sketch — approximate by design, no exact oracle (driver records
+    // rows-only). rsd 5% default.
+    "q11_approx_distinct" -> ((s, d) => {
+      lineitem(s, d).agg(
+        approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        approx_count_distinct(col("l_orderkey")).as("approx_orders"))
+    }),
+
+    // --- multi-dimensional aggregation ----------------------------------
+    "q12_rollup" -> ((s, d) => {
+      orders(s, d).rollup(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("o_totalprice")), 2).as("total"))
+    }),
+
+    "q13_cube" -> ((s, d) => {
+      lineitem(s, d).cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("l_quantity")), 2).as("qty"))
+    }),
+
+    "q14_grouping_sets" -> ((s, d) => {
+      lineitem(s, d).createOrReplaceTempView("graft_li")
+      s.sql("""SELECT l_returnflag, l_linestatus, count(*) AS n
+              |FROM graft_li
+              |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+              |""".stripMargin)
+    }),
+
+    // --- set operations ---------------------------------------------------
+    "q21_union_all" -> ((s, d) => {
+      val o = orders(s, d)
+      o.filter(col("o_orderstatus") === "O").select(col("o_custkey"))
+        .union(o.filter(col("o_orderstatus") === "F").select(col("o_custkey")))
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("n"))
+    }),
+
+    "q22_intersect" -> ((s, d) => {
+      val o = orders(s, d)
+      o.filter(col("o_orderstatus") === "O").select(col("o_custkey"))
+        .intersect(o.filter(col("o_orderstatus") === "F").select(col("o_custkey")))
+    }),
+
+    "q23_except" -> ((s, d) => {
+      val o = orders(s, d)
+      o.filter(col("o_orderstatus") === "O").select(col("o_custkey"))
+        .except(o.filter(col("o_orderstatus") === "F").select(col("o_custkey")))
+    }),
+
+    // --- scalar function families ----------------------------------------
+    "q24_string_funcs" -> ((s, d) => {
+      part(s, d).select(
+        col("p_partkey"),
+        lower(col("p_name")).as("name_lower"),
+        upper(col("p_brand")).as("brand_upper"),
+        substring(col("p_type"), 1, 3).as("type_pfx"),
+        length(col("p_name")).cast("long").as("name_len"),
+        concat_ws("-", col("p_brand"), col("p_type")).as("brand_type"),
+        regexp_extract(col("p_brand"), "#(\\d+)", 1).as("brand_num"),
+        element_at(split(col("p_name"), " "), 1).as("first_word"),
+        trim(lit("  pad  ")).as("trimmed"))
+    }),
+
+    "q25_date_funcs" -> ((s, d) => {
+      orders(s, d).select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).cast("long").as("yr"),
+        month(col("o_orderdate")).cast("long").as("mo"),
+        quarter(col("o_orderdate")).cast("long").as("qtr"),
+        dayofmonth(col("o_orderdate")).cast("long").as("dom"),
+        date_trunc("month", col("o_orderdate")).cast("date").as("month_start"),
+        datediff(col("o_orderdate"), lit("1995-01-01").cast("date")).cast("long").as("days_since"))
+    }),
+
+    "q26_math_funcs" -> ((s, d) => {
+      lineitem(s, d)
+        .filter(col("l_orderkey") < 100)
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          round(col("l_extendedprice"), 0).as("price_round"),
+          floor(col("l_extendedprice")).cast("long").as("price_floor"),
+          ceil(col("l_extendedprice")).cast("long").as("price_ceil"),
+          round(abs(col("l_discount") - 0.05), 4).as("disc_dev"),
+          round(sqrt(col("l_quantity")), 6).as("qty_sqrt"),
+          round(log(col("l_extendedprice")), 6).as("price_ln"),
+          pmod(col("l_orderkey"), lit(7)).as("key_mod"))
+    }),
+
+    // Higher-order array functions over the embedding vectors.
+    "q27_array_funcs" -> ((s, d) => {
+      embeddings(s, d)
+        .filter(col("vec_id") < 100)
+        .select(
+          col("vec_id"),
+          size(col("embedding")).cast("long").as("dim"),
+          round(aggregate(slice(col("embedding"), 1, 8),
+            lit(0.0), (acc, x) => acc + x.cast("double")), 6).as("head_sum"),
+          round(array_max(col("embedding")).cast("double"), 6).as("vmax"),
+          round(array_min(col("embedding")).cast("double"), 6).as("vmin"),
+          round(aggregate(col("embedding"), lit(0.0),
+            (acc, x) => acc + x.cast("double") * x.cast("double")), 6).as("sq_norm"))
+    }),
+
+    "q28_json_funcs" -> ((s, d) => {
+      events(s, d)
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy(col("event_type"))
+        .agg(sum(col("k")).as("k_sum"), count(lit(1)).as("n"),
+          max(col("k")).as("k_max"))
+    }),
+
+    // Generator/explode: corpus word frequencies, deterministic top 20.
+    "q29_word_freq" -> ((s, d) => {
+      documents(s, d)
+        .select(explode(split(col("text"), " ")).as("word"))
+        .filter(length(col("word")) > 0)
+        .groupBy(col("word")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("word"))
+        .limit(20)
+    }),
+
+    "q30_distinct_pairs" -> ((s, d) => {
+      customer(s, d).select(col("c_mktsegment"), col("c_nationkey")).distinct()
+    }),
+
+    // Scalar subquery through the SQL front end.
+    "q31_scalar_subquery" -> ((s, d) => {
+      orders(s, d).createOrReplaceTempView("graft_orders")
+      s.sql("""SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice
+              |FROM graft_orders
+              |WHERE o_totalprice > 1.5 * (SELECT avg(o_totalprice) FROM graft_orders)
+              |""".stripMargin)
+    }),
+
+    // Pivot (conditional aggregation over a known value set).
+    "q32_pivot" -> ((s, d) => {
+      events(s, d)
+        .withColumn("cohort", pmod(col("user_id"), lit(10)))
+        .groupBy(col("cohort"))
+        .pivot("event_type", Seq("view", "click", "signup", "purchase", "error"))
+        .count()
+        .na.fill(0)
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_base_price,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+        |  round(avg(l_quantity), 6) AS avg_qty,
+        |  round(avg(l_discount), 6) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1999-06-30'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q02_filter_project" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  round(l_extendedprice * (1 - l_discount), 4) AS net_price
+        |FROM lineitem
+        |WHERE l_quantity BETWEEN 30 AND 40 AND l_returnflag = 'R'""".stripMargin,
+
+    "q03_segment_revenue" ->
+      """SELECT c_mktsegment,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+        |  count(DISTINCT o_orderkey) AS n_orders
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment""".stripMargin,
+
+    "q04_left_join_counts" ->
+      """SELECT c_custkey, count(o_orderkey) AS n_orders,
+        |  round(coalesce(sum(o_totalprice), 0), 2) AS spend
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey""".stripMargin,
+
+    "q05_semi_join" ->
+      """SELECT c_custkey, c_mktsegment FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_orderstatus = 'F')""".stripMargin,
+
+    "q06_anti_join" ->
+      """SELECT c_custkey, c_nationkey FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_orderstatus = 'P')""".stripMargin,
+
+    "q07_broadcast_join" ->
+      """SELECT p_brand, round(sum(l_quantity), 2) AS promo_qty, count(*) AS n_lines
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_type = 'PROMO'
+        |GROUP BY p_brand""".stripMargin,
+
+    "q08_range_join" ->
+      """SELECT p_brand, count(*) AS n_near_size,
+        |  round(sum(l_extendedprice), 2) AS price_sum
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  AND l_quantity >= p_size - 2 AND l_quantity <= p_size + 2
+        |GROUP BY p_brand""".stripMargin,
+
+    "q09_star_join" ->
+      """SELECT n_name,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY n_name""".stripMargin,
+
+    "q10_agg_distinct" ->
+      """SELECT o_orderstatus, count(DISTINCT o_custkey) AS n_custs,
+        |  count(*) AS n_orders, round(sum(o_totalprice), 2) AS total
+        |FROM orders GROUP BY o_orderstatus""".stripMargin,
+
+    "q12_rollup" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS total
+        |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""".stripMargin,
+
+    "q13_cube" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  round(sum(l_quantity), 2) AS qty
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
+
+    "q14_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin,
+
+    "q21_union_all" ->
+      """SELECT o_custkey, count(*) AS n FROM (
+        |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        |  UNION ALL
+        |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |) GROUP BY o_custkey""".stripMargin,
+
+    "q22_intersect" ->
+      """SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        |INTERSECT
+        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'""".stripMargin,
+
+    "q23_except" ->
+      """SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        |EXCEPT
+        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'""".stripMargin,
+
+    "q24_string_funcs" ->
+      """SELECT p_partkey,
+        |  lower(p_name) AS name_lower,
+        |  upper(p_brand) AS brand_upper,
+        |  substring(p_type, 1, 3) AS type_pfx,
+        |  CAST(length(p_name) AS BIGINT) AS name_len,
+        |  concat_ws('-', p_brand, p_type) AS brand_type,
+        |  regexp_extract(p_brand, '#(\d+)', 1) AS brand_num,
+        |  string_split(p_name, ' ')[1] AS first_word,
+        |  trim('  pad  ') AS trimmed
+        |FROM part""".stripMargin,
+
+    "q25_date_funcs" ->
+      """SELECT o_orderkey,
+        |  CAST(year(o_orderdate) AS BIGINT) AS yr,
+        |  CAST(month(o_orderdate) AS BIGINT) AS mo,
+        |  CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
+        |  CAST(day(o_orderdate) AS BIGINT) AS dom,
+        |  CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+        |  CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS days_since
+        |FROM orders""".stripMargin,
+
+    "q26_math_funcs" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  round(l_extendedprice, 0) AS price_round,
+        |  CAST(floor(l_extendedprice) AS BIGINT) AS price_floor,
+        |  CAST(ceil(l_extendedprice) AS BIGINT) AS price_ceil,
+        |  round(abs(l_discount - 0.05), 4) AS disc_dev,
+        |  round(sqrt(l_quantity), 6) AS qty_sqrt,
+        |  round(ln(l_extendedprice), 6) AS price_ln,
+        |  l_orderkey % 7 AS key_mod
+        |FROM lineitem WHERE l_orderkey < 100""".stripMargin,
+
+    "q27_array_funcs" ->
+      """SELECT vec_id,
+        |  CAST(len(embedding) AS BIGINT) AS dim,
+        |  round(list_sum(list_transform(embedding[1:8], x -> CAST(x AS DOUBLE))), 6) AS head_sum,
+        |  round(CAST(list_max(embedding) AS DOUBLE), 6) AS vmax,
+        |  round(CAST(list_min(embedding) AS DOUBLE), 6) AS vmin,
+        |  round(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 6) AS sq_norm
+        |FROM embeddings WHERE vec_id < 100""".stripMargin,
+
+    "q28_json_funcs" ->
+      """SELECT event_type,
+        |  sum(k) AS k_sum, count(*) AS n, max(k) AS k_max
+        |FROM (SELECT event_type,
+        |        CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS k
+        |      FROM events)
+        |GROUP BY event_type""".stripMargin,
+
+    "q29_word_freq" ->
+      """SELECT word, count(*) AS n FROM (
+        |  SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        |WHERE length(word) > 0
+        |GROUP BY word ORDER BY n DESC, word LIMIT 20""".stripMargin,
+
+    "q30_distinct_pairs" ->
+      "SELECT DISTINCT c_mktsegment, c_nationkey FROM customer",
+
+    "q31_scalar_subquery" ->
+      """SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice
+        |FROM orders
+        |WHERE o_totalprice > 1.5 * (SELECT avg(o_totalprice) FROM orders)""".stripMargin,
+
+    "q32_pivot" ->
+      """SELECT user_id % 10 AS cohort,
+        |  count(*) FILTER (WHERE event_type = 'view') AS view,
+        |  count(*) FILTER (WHERE event_type = 'click') AS click,
+        |  count(*) FILTER (WHERE event_type = 'signup') AS signup,
+        |  count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+        |  count(*) FILTER (WHERE event_type = 'error') AS error
+        |FROM events GROUP BY cohort""".stripMargin
+  )
+}

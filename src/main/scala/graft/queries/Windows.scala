@@ -1,0 +1,120 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables._
+
+/** Window-function catalog (SURVEY.md §2.2): ranking, running
+  * aggregates, lag/lead, sliding frames, global rank, sort/limit/top-k.
+  *
+  * Every orderBy inside a window carries a unique tie-break column
+  * (orderkey / linenumber) so results are deterministic in both engines.
+  * All windows partition by a key — no global single-partition windows
+  * on fact tables (the one global ranking runs on the 200-row `part`
+  * dim, which is broadcast-sized at any scale factor).
+  */
+object Windows {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "q15_topk_per_group" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      orders(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("o_custkey"), col("o_orderkey"), col("rn"),
+          round(col("o_totalprice"), 2).as("o_totalprice"))
+    }),
+
+    "q16_running_sum" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"),
+          round(sum(col("o_totalprice")).over(w), 2).as("running_spend"))
+    }),
+
+    "q17_lag_lead" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"),
+          round(lag(col("o_totalprice"), 1).over(w), 2).as("prev_price"),
+          round(lead(col("o_totalprice"), 1).over(w), 2).as("next_price"))
+    }),
+
+    "q18_moving_avg" -> ((s, d) => {
+      val w = Window.partitionBy(col("l_suppkey"))
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+        .rowsBetween(-2, 0)
+      lineitem(s, d)
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          round(avg(col("l_extendedprice")).over(w), 6).as("mavg_price"))
+    }),
+
+    // rank vs dense_rank on a broadcast-sized dim (global window is fine
+    // on 200 rows; never do this on a fact table).
+    "q19_rank_dense" -> ((s, d) => {
+      val w = Window.orderBy(col("p_retailprice").desc, col("p_partkey"))
+      part(s, d)
+        .select(col("p_partkey"),
+          rank().over(w).as("price_rank"),
+          dense_rank().over(w).as("price_dense_rank"),
+          round(col("p_retailprice"), 2).as("p_retailprice"))
+    }),
+
+    "q20_sort_limit" -> ((s, d) => {
+      orders(s, d)
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(10)
+        .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("o_totalprice"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q15_topk_per_group" ->
+      """SELECT o_custkey, o_orderkey, rn, round(o_totalprice, 2) AS o_totalprice
+        |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+        |        CAST(row_number() OVER (PARTITION BY o_custkey
+        |          ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rn
+        |      FROM orders)
+        |WHERE rn <= 3""".stripMargin,
+
+    "q16_running_sum" ->
+      """SELECT o_custkey, o_orderkey,
+        |  round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_spend
+        |FROM orders""".stripMargin,
+
+    "q17_lag_lead" ->
+      """SELECT o_custkey, o_orderkey,
+        |  round(lag(o_totalprice, 1) OVER w, 2) AS prev_price,
+        |  round(lead(o_totalprice, 1) OVER w, 2) AS next_price
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin,
+
+    "q18_moving_avg" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+        |  round(avg(l_extendedprice) OVER (PARTITION BY l_suppkey
+        |    ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS mavg_price
+        |FROM lineitem""".stripMargin,
+
+    "q19_rank_dense" ->
+      """SELECT p_partkey,
+        |  CAST(rank() OVER w AS INT) AS price_rank,
+        |  CAST(dense_rank() OVER w AS INT) AS price_dense_rank,
+        |  round(p_retailprice, 2) AS p_retailprice
+        |FROM part
+        |WINDOW w AS (ORDER BY p_retailprice DESC, p_partkey)""".stripMargin,
+
+    "q20_sort_limit" ->
+      """SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice
+        |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin
+  )
+}
