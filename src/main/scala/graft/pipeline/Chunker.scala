@@ -51,15 +51,17 @@ object Chunker {
     val parts =
       if (numPartitions > 0) numPartitions
       else spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    // The upstream lineage (scan → tokenize → range shuffle) feeds BOTH
+    // the per-partition-totals action below and the final window+join —
+    // persist it so the most expensive stage of the pipeline runs once,
+    // not twice (MEMORY_AND_DISK: spills instead of OOMing at scale).
     val parted = df.repartitionByRange(parts, col(idCol))
       .withColumn("_graft_pid", spark_partition_id())
-    // Phase 1: local cumsum within each range partition.
-    val w = Window.partitionBy(col("_graft_pid")).orderBy(col(idCol))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val local = parted.withColumn("_graft_local", sum(col(weightCol)).over(w))
-    // Phase 2: per-partition totals -> exclusive prefix offsets. One row
-    // per partition; tiny at any data scale.
-    val totals = local.groupBy(col("_graft_pid"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Phase 2 first (it is the materializing action): per-partition
+    // totals -> exclusive prefix offsets. One row per partition; tiny at
+    // any data scale. A plain groupBy — no window needed for totals.
+    val totals = parted.groupBy(col("_graft_pid"))
       .agg(sum(col(weightCol)).as("_graft_total"))
       .collect()
       .map(r => (r.getInt(0), r.getLong(1)))
@@ -70,7 +72,11 @@ object Chunker {
     }
     val offsetsDf = spark.createDataFrame(offsets.toSeq)
       .toDF("_graft_pid", "_graft_offset")
-    local
+    // Phase 1: local cumsum within each (now cached) range partition.
+    val w = Window.partitionBy(col("_graft_pid")).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    parted
+      .withColumn("_graft_local", sum(col(weightCol)).over(w))
       .join(broadcast(offsetsDf), Seq("_graft_pid"))
       .withColumn(outCol, col("_graft_local") + col("_graft_offset"))
       .drop("_graft_pid", "_graft_local", "_graft_offset")
@@ -110,6 +116,25 @@ object Chunker {
         sum(col("n_tokens")).as("n_tokens"),
         count(lit(1)).as("n_records"))
   }
+
+  /** [[chunkTable]] memoized per (session, path, budget) and persisted:
+    * the three ref_* catalog queries (chunk stats / pipeline / combined)
+    * all consume the same chunk table — rebuilding the
+    * tokenize+shuffle+window lineage three times per run tripled the cost
+    * of the flagship pipeline. The cache holds a persisted DataFrame;
+    * entries die with their session.
+    */
+  private val chunkTableCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Int), DataFrame]()
+
+  /** Chunk table over `documents` at `dir`, built once per (session, dir,
+    * budget) and served persisted thereafter.
+    */
+  def documentChunks(spark: SparkSession, dir: String,
+                     budget: Int = DefaultBudget): DataFrame =
+    chunkTableCache.computeIfAbsent((spark, dir, budget), _ =>
+      chunkTable(graft.Tables.documents(spark, dir), "doc_id", "text", budget)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
   // ---------------------------------------------------------------------
   // Reference-exact greedy packing (driver-side; parity tests only).

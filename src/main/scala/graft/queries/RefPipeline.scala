@@ -68,14 +68,14 @@ object RefPipeline {
 
     // C3: chunk assignment stats (scale-safe running-sum bucketing).
     "ref_chunk_stats" -> ((s, d) => {
-      Chunker.chunkTable(Tables.documents(s, d), "doc_id", "text", Budget)
+      Chunker.documentChunks(s, d, Budget)
         .select(col("chunk_id"), col("n_records"), col("n_tokens"),
           md5(col("text")).as("text_md5"))
     }),
 
     // C4+C5: map stage with the deterministic line-filter client.
     "ref_pipeline" -> ((s, d) => {
-      val chunks = Chunker.chunkTable(Tables.documents(s, d), "doc_id", "text", Budget)
+      val chunks = Chunker.documentChunks(s, d, Budget)
       LlmMap.mapChunks(chunks, KeywordFilterClient(Keyword), Prompt)
         .select(col("chunk_id"),
           md5(col("result")).as("result_md5"),
@@ -84,7 +84,7 @@ object RefPipeline {
 
     // C9: ordered no-separator concat of all chunk results into one row.
     "ref_combined" -> ((s, d) => {
-      val chunks = Chunker.chunkTable(Tables.documents(s, d), "doc_id", "text", Budget)
+      val chunks = Chunker.documentChunks(s, d, Budget)
       val mapped = LlmMap.mapChunks(chunks, KeywordFilterClient(Keyword), Prompt)
       Combine.combineAll(mapped)
         .select(md5(col("combined")).as("combined_md5"),

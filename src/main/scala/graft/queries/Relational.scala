@@ -103,16 +103,26 @@ object Relational {
           round(sum(col("l_extendedprice")), 2).as("price_sum"))
     }),
 
-    // 5-way star join (TPC-H Q5 shape): dims broadcast, one shuffle for
-    // the fact-fact join, aggregation partials map-side.
+    // 5-way star join (TPC-H Q5 shape). Join ORDER matters at 100 TB:
+    // the region predicate is applied to customer FIRST (through the
+    // broadcast nation⋈region dim), so both big shuffles — orders⋈customer
+    // and lineitem⋈orders — carry only the ~1/5 of rows that survive the
+    // ASIA restriction, instead of joining the full facts and filtering
+    // at the end. The narrow (c_custkey, n_name) projection keeps the
+    // shuffled payload minimal.
     "q09_star_join" -> ((s, d) => {
-      val r = region(s, d).filter(col("r_name") === "ASIA")
-      val n = nation(s, d); val c = customer(s, d)
-      val o = orders(s, d); val l = lineitem(s, d)
-      l.join(o, l("l_orderkey") === o("o_orderkey"))
-        .join(c, o("o_custkey") === c("c_custkey"))
-        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
-        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      val asiaNations = nation(s, d).join(
+        broadcast(region(s, d).filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"), col("n_name"))
+      val asiaCust = customer(s, d)
+        .join(broadcast(asiaNations), col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("n_name"))
+      val asiaOrders = orders(s, d)
+        .join(asiaCust, col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey"), col("n_name"))
+      lineitem(s, d)
+        .join(asiaOrders, col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("n_name"))
         .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"))
     }),
@@ -420,7 +430,7 @@ object Relational {
 
     "q28_json_funcs" ->
       """SELECT event_type,
-        |  sum(k) AS k_sum, count(*) AS n, max(k) AS k_max
+        |  CAST(sum(k) AS BIGINT) AS k_sum, count(*) AS n, max(k) AS k_max
         |FROM (SELECT event_type,
         |        CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS k
         |      FROM events)

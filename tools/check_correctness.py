@@ -51,7 +51,9 @@ def values_equal(a, b):
             return True
         return math.isclose(fa, fb, rel_tol=1e-9, abs_tol=1e-12)
     if type(a) is not type(b):
-        return str(a) == str(b)
+        # Type-strict: the driver hashes typed values, so a DuckDB HUGEINT
+        # vs Spark BIGINT mismatch must FAIL here even when str-equal.
+        return False
     return a == b
 
 
@@ -86,6 +88,15 @@ def main():
             continue
         if s_cols != o_cols:
             failures.append((name, f"columns differ: spark={s_cols} oracle={o_cols}"))
+            continue
+        # Type-strict schema compare (sorted by column name, like canon):
+        # fetchall() converts HUGEINT→int so value compare can't see it.
+        s_types = [str(t) for _, t in sorted(zip(spark_rel.columns,
+                                                 spark_rel.types))]
+        o_types = [str(t) for _, t in sorted(zip(o_rel.columns, o_rel.types))]
+        if s_types != o_types:
+            failures.append(
+                (name, f"column types differ: spark={s_types} oracle={o_types}"))
             continue
         if len(s_rows) != len(o_rows):
             failures.append((name, f"row count: spark={len(s_rows)} oracle={len(o_rows)}"))
