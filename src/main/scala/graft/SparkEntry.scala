@@ -28,7 +28,8 @@ object SparkEntry {
       (graft.queries.RefPipeline.queries, graft.queries.RefPipeline.oracles),
       (graft.queries.Relational.queries, graft.queries.Relational.oracles),
       (graft.queries.Windows.queries, graft.queries.Windows.oracles),
-      (graft.queries.EventsQueries.queries, graft.queries.EventsQueries.oracles)
+      (graft.queries.EventsQueries.queries, graft.queries.EventsQueries.oracles),
+      (graft.queries.Similarity.queries, graft.queries.Similarity.oracles)
     )
 
   /** One entry per implemented operator from SURVEY.md §2. */
