@@ -29,7 +29,8 @@ object SparkEntry {
       (graft.queries.Relational.queries, graft.queries.Relational.oracles),
       (graft.queries.Windows.queries, graft.queries.Windows.oracles),
       (graft.queries.EventsQueries.queries, graft.queries.EventsQueries.oracles),
-      (graft.queries.Similarity.queries, graft.queries.Similarity.oracles)
+      (graft.queries.Similarity.queries, graft.queries.Similarity.oracles),
+      (graft.queries.Dedup.queries, graft.queries.Dedup.oracles)
     )
 
   /** One entry per implemented operator from SURVEY.md §2. */

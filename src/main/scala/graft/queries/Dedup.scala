@@ -1,0 +1,202 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables._
+
+/** Document deduplication (north star; SURVEY.md §2.2): exact
+  * content-hash dedup, MinHash+LSH near-dup candidate generation,
+  * SimHash fingerprints, and embedding-cosine near-dup pairs.
+  *
+  * Every variant is bucketed — content-key groupBy, band-bucket join, or
+  * signature-bucket join. There is NO all-pairs comparison anywhere: at
+  * 100 TB candidate generation must be an equi-join on a derived key,
+  * with the quadratic work confined to within-bucket re-ranks.
+  *
+  * Hash portability: all hashes are sha256 of UTF-8 strings (hex), the
+  * one hash family Spark (`sha2(_, 256)`) and the DuckDB oracle
+  * (`sha256`) compute identically. MinHash uses the MIN of sha256 over
+  * salted shingles — a permutation-free formulation whose min is taken
+  * on the hex STRING (lexicographic), identical in both engines.
+  */
+object Dedup {
+
+  /** Lower-cased whitespace-split words with empties removed. */
+  private def wordsOf(textCol: Column): Column =
+    filter(split(lower(textCol), "\\s+"), w => length(w) > 0)
+
+  /** Exact dedup on normalized content: groups by
+    * sha256(lower(trim(text))) with a DETERMINISTIC survivor — the
+    * minimum id — never dropDuplicates' arbitrary first-seen pick
+    * (which is partition-order-dependent and non-reproducible across
+    * cluster runs).
+    */
+  def exactDedup(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.groupBy(sha2(lower(trim(col(textCol))), 256).as("content_key"))
+      .agg(min(col(idCol)).as("survivor_id"),
+        count(lit(1)).as("n_copies"))
+
+  val MinhashFuncs = 9
+  val MinhashBands = 3 // 3 rows/band: band collision ~= jaccard^3 per band
+
+  /** MinHash+LSH near-duplicate candidate pairs.
+    *
+    * shingle(3-gram of words) → 9 permutation-free minhashes
+    * (min of sha256("k:" || shingle)) → 3 bands of 3 → band-bucket
+    * equi-join → (id_a < id_b) pairs with the number of agreeing bands.
+    *
+    * Docs with fewer than 3 words have no 3-shingle and are excluded
+    * (documented contract; the caller pads or exact-dedups short docs).
+    * The band join shuffles on (band_idx, band_hash) — bucket sizes are
+    * collision counts, so the join output is candidates only, never N².
+    */
+  def minhashCandidates(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val ws = wordsOf(col(textCol))
+    val shingled = docs
+      .select(col(idCol).as("doc"), ws.as("ws"))
+      .filter(size(col("ws")) >= 3)
+      .select(col("doc"), explode(array_distinct(
+        transform(sequence(lit(0), size(col("ws")) - 3), i =>
+          concat_ws(" ", element_at(col("ws"), i + 1),
+            element_at(col("ws"), i + 2),
+            element_at(col("ws"), i + 3))))).as("shingle"))
+    val mhExprs = (0 until MinhashFuncs).map(k =>
+      min(sha2(concat_ws(":", lit(k.toString), col("shingle")), 256)).as(s"mh$k"))
+    val minhashes = shingled.groupBy(col("doc"))
+      .agg(mhExprs.head, mhExprs.tail: _*)
+    val rowsPerBand = MinhashFuncs / MinhashBands
+    val bands = minhashes.select(col("doc"),
+      explode(array((0 until MinhashBands).map { b =>
+        struct(lit(b).as("band_idx"),
+          sha2(concat((0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}")): _*), 256)
+            .as("band_hash"))
+      }: _*)).as("band"))
+      .select(col("doc"), col("band.band_idx"), col("band.band_hash"))
+    bands.as("a").join(bands.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_hash") === col("b.band_hash") &&
+          col("a.doc") < col("b.doc"))
+      .groupBy(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared_bands"))
+  }
+
+  val SimhashBits = 16
+
+  /** SimHash fingerprint per document: bit j is the sign of the
+    * count-weighted sum of word-hash bits, where word bit j = high bit
+    * of the j-th hex nibble of sha256(word). One groupBy — fully
+    * map-reducible; near-dup docs differ in O(1) bits (compare by
+    * hamming distance downstream).
+    */
+  def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val hexHigh = Seq("8", "9", "a", "b", "c", "d", "e", "f")
+    val counts = docs
+      .select(col(idCol).as("doc"), explode(wordsOf(col(textCol))).as("word"))
+      .groupBy(col("doc"), col("word")).agg(count(lit(1)).as("cnt"))
+      .withColumn("wh", sha2(col("word"), 256))
+    counts.groupBy(col("doc"))
+      .agg(concat((0 until SimhashBits).map { j =>
+        when(sum(when(substring(col("wh"), j + 1, 1).isin(hexHigh: _*), col("cnt"))
+          .otherwise(-col("cnt"))) > 0, lit("1")).otherwise(lit("0"))
+      }: _*).as("simhash"))
+  }
+
+  /** Embedding-cosine near-dup pairs via the ANN signature buckets
+    * (never all-pairs): same-bucket pairs with cosine >= threshold.
+    */
+  def embeddingNearDups(emb: DataFrame, threshold: Double): DataFrame = {
+    val sigs = emb.select(col("vec_id"), col("embedding"),
+      Similarity.bandSignature(col("embedding"), 4, 16).as("sig"))
+    sigs.as("a").join(sigs.as("b"),
+        col("a.sig") === col("b.sig") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        Similarity.cosine(col("a.embedding"), col("b.embedding")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
+  private val NearDupThreshold = 0.35
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q40_dedup_exact" -> ((s, d) =>
+      exactDedup(documents(s, d), "doc_id", "text")),
+    "q41_dedup_near" -> ((s, d) =>
+      minhashCandidates(documents(s, d), "doc_id", "text")),
+    "q46_simhash" -> ((s, d) =>
+      simhash(documents(s, d), "doc_id", "text")),
+    "q47_embed_neardup" -> ((s, d) =>
+      embeddingNearDups(embeddings(s, d), NearDupThreshold))
+  )
+
+  private val wordsSql =
+    "list_filter(regexp_split_to_array(lower(text), '\\s+'), w -> length(w) > 0)"
+
+  val oracles: Map[String, String] = Map(
+    "q40_dedup_exact" ->
+      """SELECT sha256(lower(trim(text))) AS content_key,
+        |  min(doc_id) AS survivor_id, count(*) AS n_copies
+        |FROM documents GROUP BY 1""".stripMargin,
+
+    "q41_dedup_near" -> {
+      val mhCols = (0 until MinhashFuncs)
+        .map(k => s"min(sha256('$k' || ':' || shingle)) AS mh$k").mkString(",\n    ")
+      val bandSelects = (0 until MinhashBands).map { b =>
+        val parts = (0 until MinhashFuncs / MinhashBands)
+          .map(r => s"mh${b * (MinhashFuncs / MinhashBands) + r}").mkString(" || ")
+        s"SELECT doc, $b AS band_idx, sha256($parts) AS band_hash FROM mh"
+      }.mkString("\n  UNION ALL\n  ")
+      s"""WITH w AS (
+         |  SELECT doc_id AS doc, $wordsSql AS ws FROM documents),
+         |shingles AS (
+         |  SELECT DISTINCT doc,
+         |    unnest(list_transform(range(1, len(ws) - 1),
+         |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS shingle
+         |  FROM w WHERE len(ws) >= 3),
+         |mh AS (
+         |  SELECT doc,
+         |    $mhCols
+         |  FROM shingles GROUP BY doc),
+         |bands AS (
+         |  $bandSelects)
+         |SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS n_shared_bands
+         |FROM bands a JOIN bands b
+         |  ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+         |  AND a.doc < b.doc
+         |GROUP BY 1, 2""".stripMargin
+    },
+
+    "q46_simhash" -> {
+      val bitCols = (0 until SimhashBits).map { j =>
+        s"CASE WHEN sum(CASE WHEN substring(wh, ${j + 1}, 1) IN " +
+          "('8','9','a','b','c','d','e','f') THEN cnt ELSE -cnt END) > 0 " +
+          "THEN '1' ELSE '0' END"
+      }.mkString(" ||\n    ")
+      s"""WITH counts AS (
+         |  SELECT doc_id AS doc, word, count(*) AS cnt, sha256(word) AS wh
+         |  FROM (SELECT doc_id, unnest($wordsSql) AS word FROM documents)
+         |  GROUP BY doc_id, word)
+         |SELECT doc,
+         |    $bitCols AS simhash
+         |FROM counts GROUP BY doc""".stripMargin
+    },
+
+    "q47_embed_neardup" -> {
+      val sigSql =
+        s"""list_aggregate(list_transform(range(0, 4), j ->
+           |    CASE WHEN list_sum(list_transform(embedding[1 + j * 16 : 16 + j * 16],
+           |           x -> CAST(x AS DOUBLE))) > 0
+           |         THEN '1' ELSE '0' END), 'string_agg', '')""".stripMargin
+      s"""WITH sigs AS (
+         |  SELECT vec_id, embedding, $sigSql AS sig FROM embeddings)
+         |SELECT * FROM (
+         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |    round(
+         |      list_sum(list_transform(list_zip(a.embedding, b.embedding),
+         |               p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+         |      / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+         |       * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS cosine
+         |  FROM sigs a JOIN sigs b ON a.sig = b.sig AND a.vec_id < b.vec_id)
+         |WHERE cosine >= $NearDupThreshold""".stripMargin
+    }
+  )
+}

@@ -1,0 +1,75 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.queries.Dedup
+
+/** Plants known duplicates/near-duplicates and asserts each dedup
+  * operator surfaces them — the fixture corpus has no dups by
+  * construction, so these are the functional proofs.
+  */
+class DedupSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  private val base = "the quick brown fox jumps over the lazy dog " * 4
+
+  test("exact dedup groups normalized copies under the min-id survivor") {
+    val docs = Seq(
+      (10L, base), (11L, "  " + base.toUpperCase + "  "), // same after lower+trim
+      (12L, "something else entirely different here"))
+      .toDF("doc_id", "text")
+    val out = Dedup.exactDedup(docs, "doc_id", "text")
+      .orderBy("survivor_id").collect()
+    assert(out.length == 2)
+    assert(out(0).getAs[Long]("survivor_id") == 10L)
+    assert(out(0).getAs[Long]("n_copies") == 2L)
+    assert(out(1).getAs[Long]("n_copies") == 1L)
+  }
+
+  test("minhash surfaces near-duplicates, not unrelated docs") {
+    // 36-word doc vs a copy with ONE word changed: shingle sets overlap
+    // ~92%, so all 9 minhashes almost surely agree => all 3 bands match.
+    val nearA = base.trim
+    val nearB = base.trim.replaceFirst("lazy", "sleepy")
+    val other = ((1 to 40).map(i => s"uniqueword$i").mkString(" "))
+    val docs = Seq((1L, nearA), (2L, nearB), (3L, other)).toDF("doc_id", "text")
+    val pairs = Dedup.minhashCandidates(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), s"expected (1,2) in $pairs")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L),
+      s"unrelated doc must not pair: $pairs")
+  }
+
+  test("identical docs share all bands; simhash fingerprints match") {
+    val docs = Seq((1L, base), (2L, base)).toDF("doc_id", "text")
+    val pair = Dedup.minhashCandidates(docs, "doc_id", "text").collect()
+    assert(pair.length == 1 && pair(0).getAs[Long]("n_shared_bands") == 3L)
+    val fps = Dedup.simhash(docs, "doc_id", "text")
+      .collect().map(_.getAs[String]("simhash")).toSeq
+    assert(fps.length == 2 && fps(0) == fps(1))
+    assert(fps(0).length == Dedup.SimhashBits && fps(0).forall(c => c == '0' || c == '1'))
+  }
+
+  test("simhash of near-dups differs in few bits; unrelated in many") {
+    def ham(a: String, b: String) = a.zip(b).count { case (x, y) => x != y }
+    val docs = Seq(
+      (1L, base), (2L, base.replaceFirst("lazy", "sleepy")),
+      (3L, (1 to 40).map(i => s"zz$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val fp = Dedup.simhash(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(ham(fp(1L), fp(2L)) <= 4, s"near-dup hamming: ${ham(fp(1L), fp(2L))}")
+    assert(ham(fp(1L), fp(3L)) > ham(fp(1L), fp(2L)))
+  }
+
+  test("embedding near-dups: identical vectors pair at cosine 1.0") {
+    val v = Array.tabulate(64)(i => (math.sin(i + 1) * 0.5).toFloat)
+    val w = Array.tabulate(64)(i => (math.cos(i * 2 + 1) * 0.5).toFloat)
+    val emb = Seq((1L, v.toSeq), (2L, v.toSeq), (3L, w.toSeq))
+      .toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingNearDups(emb, 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq == Seq((1L, 2L)))
+  }
+}
