@@ -30,7 +30,8 @@ object SparkEntry {
       (graft.queries.Windows.queries, graft.queries.Windows.oracles),
       (graft.queries.EventsQueries.queries, graft.queries.EventsQueries.oracles),
       (graft.queries.Similarity.queries, graft.queries.Similarity.oracles),
-      (graft.queries.Dedup.queries, graft.queries.Dedup.oracles)
+      (graft.queries.Dedup.queries, graft.queries.Dedup.oracles),
+      (graft.queries.TextAnalytics.queries, graft.queries.TextAnalytics.oracles)
     )
 
   /** One entry per implemented operator from SURVEY.md §2. */

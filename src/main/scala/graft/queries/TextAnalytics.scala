@@ -1,0 +1,141 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables._
+
+/** Text analytics over the `documents` corpus (north star; SURVEY.md
+  * §2.2): per-language corpus statistics, tf-idf top terms per source,
+  * and per-document quality scoring — the signals a training-data
+  * pipeline filters on before anything reaches a model.
+  *
+  * (A language-ID n-gram heuristic is deliberately NOT a catalog query:
+  * the fixture's `text` is drawn from one shared vocabulary for every
+  * `lang` value, so any classifier would be fitting noise. The `lang`
+  * column itself drives the per-language stats.)
+  *
+  * All plans are single-groupBy map-reducible or join+window — no
+  * collect, no cross joins except the 1-row n_sources scalar broadcast.
+  */
+object TextAnalytics {
+
+  private def wordsOf(textCol: Column): Column =
+    filter(split(lower(textCol), "\\s+"), w => length(w) > 0)
+
+  /** Stopword list for quality scoring (fixture vocabulary includes
+    * 'the' and 'a'; the rest are standard English function words).
+    */
+  val Stopwords = Seq("the", "a", "of", "and", "in", "to")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Per-language corpus stats: wakes up the `lang`/`source`/`n_chars`
+    // fixture columns. One shuffle (groupBy lang); token counts via the
+    // native codegen'd TokenCount expression.
+    "q42_lang_stats" -> ((s, d) => {
+      documents(s, d)
+        .withColumn("n_tok", graft.functions.token_count(col("text")).cast("long"))
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          countDistinct(col("source")).as("n_sources"),
+          sum(col("n_chars")).as("sum_chars"),
+          sum(col("n_tok")).as("total_tokens"),
+          round(avg(col("n_tok")), 6).as("avg_tokens"))
+    }),
+
+    // tf-idf top-5 terms per source. tf/df/n_sources are three
+    // aggregations over the exploded words; idf = ln(N/df) on doubles
+    // with identical op order in both engines; ranking on the ROUNDED
+    // score with a word tie-break.
+    "q43_tfidf_topterms" -> ((s, d) => {
+      val words = documents(s, d)
+        .select(col("source"), explode(wordsOf(col("text"))).as("word"))
+      val tf = words.groupBy(col("source"), col("word"))
+        .agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
+      val ns = documents(s, d).agg(countDistinct(col("source")).as("n_sources"))
+      val scored = tf.join(dfreq, Seq("word"))
+        .crossJoin(broadcast(ns))
+        .withColumn("tfidf",
+          round(col("tf") * log(col("n_sources").cast("double") / col("df")), 6))
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("tfidf").desc, col("word"))
+      scored.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .select(col("source"), col("word"), col("tf"), col("df"),
+          col("tfidf"), col("rn"))
+    }),
+
+    // Per-document quality signals: length, word shape, stopword ratio,
+    // token density — pure projections, no shuffle at all.
+    "q45_quality_score" -> ((s, d) => {
+      val ws = wordsOf(col("text"))
+      documents(s, d)
+        .withColumn("ws", ws)
+        .withColumn("n_words", size(col("ws")).cast("long"))
+        .withColumn("sum_wlen",
+          aggregate(col("ws"), lit(0L), (acc, w) => acc + length(w).cast("long")))
+        .withColumn("stop_n",
+          size(filter(col("ws"), w =>
+            array_contains(array(Stopwords.map(lit): _*), w))).cast("long"))
+        .select(
+          col("doc_id"), col("n_words"),
+          round(col("sum_wlen").cast("double") / col("n_words"), 6).as("avg_word_len"),
+          round(col("stop_n").cast("double") / col("n_words"), 6).as("stop_ratio"),
+          round(graft.functions.token_count(col("text")).cast("double") * 100.0
+            / col("n_chars"), 6).as("tokens_per_100c"))
+    })
+  )
+
+  private val wordsSql =
+    "list_filter(regexp_split_to_array(lower(text), '\\s+'), w -> length(w) > 0)"
+
+  val oracles: Map[String, String] = Map(
+    "q42_lang_stats" ->
+      s"""WITH t AS (SELECT lang, source, n_chars,
+         |             ${RefPipeline.tokenCountSql("text")} AS n_tok
+         |           FROM documents)
+         |SELECT lang, count(*) AS n_docs,
+         |  count(DISTINCT source) AS n_sources,
+         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+         |  CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+         |  round(avg(n_tok), 6) AS avg_tokens
+         |FROM t GROUP BY lang""".stripMargin,
+
+    "q43_tfidf_topterms" ->
+      s"""WITH words AS (
+         |  SELECT source, unnest($wordsSql) AS word FROM documents),
+         |tf AS (SELECT source, word, count(*) AS tf FROM words GROUP BY 1, 2),
+         |df AS (SELECT word, count(*) AS df FROM tf GROUP BY 1),
+         |ns AS (SELECT count(DISTINCT source) AS n_sources FROM documents),
+         |scored AS (
+         |  SELECT source, word, tf, df,
+         |    round(tf * ln(CAST(n_sources AS DOUBLE) / df), 6) AS tfidf
+         |  FROM tf JOIN df USING (word) CROSS JOIN ns)
+         |SELECT source, word, tf, df, tfidf, rn FROM (
+         |  SELECT source, word, tf, df, tfidf,
+         |    CAST(row_number() OVER (PARTITION BY source
+         |      ORDER BY tfidf DESC, word) AS INT) AS rn
+         |  FROM scored)
+         |WHERE rn <= 5""".stripMargin,
+
+    "q45_quality_score" -> {
+      val stops = Stopwords.map(s => s"'$s'").mkString(", ")
+      s"""WITH t AS (
+         |  SELECT doc_id, n_chars, $wordsSql AS ws,
+         |    ${RefPipeline.tokenCountSql("text")} AS n_tok
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(ws) AS BIGINT) AS n_words,
+         |  round(CAST(list_sum(list_transform(ws, w -> length(w))) AS DOUBLE)
+         |        / len(ws), 6) AS avg_word_len,
+         |  round(CAST(len(list_filter(ws, w -> list_contains([$stops], w))) AS DOUBLE)
+         |        / len(ws), 6) AS stop_ratio,
+         |  round(CAST(n_tok AS DOUBLE) * 100.0 / n_chars, 6) AS tokens_per_100c
+         |FROM t""".stripMargin
+    }
+  )
+}
