@@ -31,7 +31,8 @@ object SparkEntry {
       (graft.queries.EventsQueries.queries, graft.queries.EventsQueries.oracles),
       (graft.queries.Similarity.queries, graft.queries.Similarity.oracles),
       (graft.queries.Dedup.queries, graft.queries.Dedup.oracles),
-      (graft.queries.TextAnalytics.queries, graft.queries.TextAnalytics.oracles)
+      (graft.queries.TextAnalytics.queries, graft.queries.TextAnalytics.oracles),
+      (graft.queries.Multimodal.queries, graft.queries.Multimodal.oracles)
     )
 
   /** One entry per implemented operator from SURVEY.md §2. */
