@@ -1,0 +1,84 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Structured Streaming forms of the event-window queries (SURVEY.md
+  * §2.2 Streaming): the SAME `window()` / `session_window()` expressions
+  * as the batch catalog (graft.queries.EventsQueries q35/q37), run over
+  * a parquet FILE SOURCE with an event-time watermark. StreamingSpec
+  * asserts stream-batch parity on sf0.001 — the guarantee that matters:
+  * one query definition, two execution modes.
+  *
+  * Scale notes: the file source lists and checkpoints file progress on
+  * the driver but reads on executors; the windowed aggregation is
+  * keyed state (window x key) in the state store, bounded by the
+  * watermark, and shuffles exactly like its batch twin.
+  */
+object StreamingJobs {
+
+  /** Streaming read of the events table. Schema comes from a batch
+    * probe (file sources require an explicit schema); the nanos->micros
+    * timestamp normalization matches graft.Tables.events.
+    */
+  def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    if (spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true")
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val path = s"$dir/events.parquet"
+    val schema = spark.read.parquet(path).schema // ts is LongType (nanos)
+    // The file source demands a DIRECTORY (in production the events
+    // table is one); the fixture is a single file, so stage a symlink
+    // dir next to it in tmp. No data is copied.
+    val src = java.nio.file.Paths.get(path)
+    val stage =
+      if (java.nio.file.Files.isDirectory(src)) src
+      else {
+        val d = java.nio.file.Files.createTempDirectory("graft-stream-src")
+        java.nio.file.Files.createSymbolicLink(d.resolve(src.getFileName), src)
+        d
+      }
+    spark.readStream.schema(schema).parquet(stage.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Tumbling 1h counts by event type — streaming twin of
+    * q35_tumbling_window. Watermark bounds state: windows older than
+    * (max event time - 2h) are finalized and dropped from the store.
+    */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("value_sum"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("value_sum"))
+
+  /** 30-minute-gap session counts per user — streaming twin of
+    * q37_session_window, via the native session_window state merge.
+    */
+  def sessionCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("session_window.start").as("session_start"),
+        col("n_events"))
+
+  /** Run a streaming aggregation to completion over the (static) file
+    * source and return the final result from the memory sink.
+    * Trigger.AvailableNow processes everything then stops — the batch-
+    * parity harness. `complete` output keeps the full result table so
+    * parity needs no watermark-cutoff filtering.
+    */
+  def runToCompletion(spark: SparkSession, agg: DataFrame,
+                      queryName: String): DataFrame = {
+    val q = agg.writeStream
+      .format("memory")
+      .queryName(queryName)
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+  }
+}
