@@ -27,8 +27,8 @@ object Smoke {
     println("EMPTY chunks=" +
       pipeline.Chunker.chunkTable(empty, "doc_id", "text").count())
 
-    // probe: one record far over budget (no word-split in canonical
-    // formulation: the record lands alone in one oversized chunk)
+    // probe: one record far over budget — C3b word-split runs in the
+    // canonical path, so it lands as multiple <= budget chunks.
     val big = Seq((0L, ("w " * 9000).trim)).toDF("doc_id", "text")
     pipeline.Chunker.chunkTable(big, "doc_id", "text", 2000)
       .select("chunk_id", "n_tokens", "n_records").show()

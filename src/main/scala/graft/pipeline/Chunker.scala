@@ -82,26 +82,69 @@ object Chunker {
       .drop("_graft_pid", "_graft_local", "_graft_offset")
   }
 
+  /** Word-pack one oversized record into pieces of <= budget tokens
+    * (whitespace collapsed), mirroring the reference's fallback
+    * (mapreduce.go:228-254). Pure per-record function — no cross-record
+    * state, so it distributes as a plain projection.
+    */
+  def wordPack(line: String, budget: Int): Seq[String] = {
+    val pieces = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    var wt = 0
+    for (w <- line.trim.split("\\s+") if w.nonEmpty) {
+      val c = TokenCount.count(w)
+      if (wt + c > budget && cur.nonEmpty) {
+        pieces += cur.toString.trim
+        cur.clear(); wt = 0
+      }
+      cur.append(w).append(" ")
+      wt += c
+    }
+    if (cur.nonEmpty) pieces += cur.toString.trim
+    pieces.result()
+  }
+
   /** Canonical chunk assignment: adds `n_tokens` (via the native
-    * [[TokenCount]] expression) and `chunk_id` to a corpus of records.
+    * [[TokenCount]] expression), `_graft_pos` (piece index within the
+    * record — 0 except for word-split pieces) and `chunk_id`.
+    *
+    * C3b runs IN the canonical distributed path: any record whose own
+    * token count exceeds the budget is word-split into <= budget pieces
+    * BEFORE the global running sum, so the reference's "every chunk
+    * <= 2x budget" invariant (mapreduce_test.go:413-417) holds at any
+    * parallelism. The running sum orders by (id, piece_pos) — a struct
+    * sort key, range-partitionable like any other.
     *
     * chunk_id = max(0, floor((running_token_sum - 1) / budget))
     */
   def assignChunks(records: DataFrame, idCol: String, textCol: String,
                    budget: Int = DefaultBudget): DataFrame = {
-    val withTokens = records.withColumn(
-      "n_tokens", graft.functions.token_count(col(textCol)).cast("long"))
-    runningSum(withTokens, idCol, "n_tokens", "_graft_cum")
+    val packUdf = udf((line: String) => wordPack(line, budget))
+    val exploded = records
+      .withColumn("n_tokens", graft.functions.token_count(col(textCol)).cast("long"))
+      .select(col("*"),
+        posexplode(
+          when(col("n_tokens") <= budget, array(col(textCol)))
+            .otherwise(packUdf(col(textCol))))
+          .as(Seq("_graft_pos", "_graft_piece")))
+      .withColumn(textCol, col("_graft_piece"))
+      .withColumn("n_tokens",
+        when(col("_graft_pos") === 0 && col("n_tokens") <= budget, col("n_tokens"))
+          .otherwise(graft.functions.token_count(col("_graft_piece")).cast("long")))
+      .drop("_graft_piece")
+      .withColumn("_graft_oid", struct(col(idCol), col("_graft_pos")))
+    runningSum(exploded, "_graft_oid", "n_tokens", "_graft_cum")
       .withColumn("chunk_id",
         greatest(lit(0L),
           floor((col("_graft_cum") - 1) / budget)).cast("long"))
-      .drop("_graft_cum")
+      .drop("_graft_cum", "_graft_oid")
   }
 
   /** Chunk table: one row per chunk with its packed text (records joined
-    * by '\n' in id order), token and record counts. The collect_list is
-    * made order-stable by sorting an array of (id, text) structs — never
-    * rely on partition order after a shuffle.
+    * by '\n' in (id, piece) order), token and record counts. The
+    * collect_list is made order-stable by sorting an array of
+    * (id, pos, text) structs — never rely on partition order after a
+    * shuffle.
     */
   def chunkTable(records: DataFrame, idCol: String, textCol: String,
                  budget: Int = DefaultBudget): DataFrame = {
@@ -110,7 +153,8 @@ object Chunker {
       .agg(
         array_join(
           transform(
-            array_sort(collect_list(struct(col(idCol).as("id"), col(textCol).as("t")))),
+            array_sort(collect_list(struct(col(idCol).as("id"),
+              col("_graft_pos").as("pos"), col(textCol).as("t")))),
             s => s.getField("t")),
           "\n").as("text"),
         sum(col("n_tokens")).as("n_tokens"),
@@ -164,21 +208,10 @@ object Chunker {
     for (line <- text.split("\n", -1)) {
       val t = TokenCount.count(line)
       if (t > budget) {
-        // Oversized line: split into words, pack words greedily.
+        // Oversized line: flush, then word-split (same packer as the
+        // distributed C3b path in assignChunks).
         flush()
-        val words = line.trim.split("\\s+").filter(_.nonEmpty)
-        val wordChunk = new StringBuilder
-        var wt = 0
-        for (w <- words) {
-          val c = TokenCount.count(w)
-          if (wt + c > budget && wordChunk.nonEmpty) {
-            chunks += wordChunk.toString.trim
-            wordChunk.clear(); wt = 0
-          }
-          wordChunk.append(w).append(" ")
-          wt += c
-        }
-        if (wordChunk.nonEmpty) chunks += wordChunk.toString.trim
+        chunks ++= wordPack(line, budget)
       } else {
         add(line, t)
       }

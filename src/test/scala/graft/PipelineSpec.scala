@@ -97,6 +97,26 @@ class ChunkerSpec extends AnyFunSuite {
     chunks.unpersist()
   }
 
+  test("distributed C3b: oversized record word-splits, <=2x-budget bound holds") {
+    // mapreduce_test.go:413-417: every chunk <= 2x budget — including
+    // when a single record exceeds the budget, at partition count > 1.
+    val docs = ((0L until 20L).map(i => (i, s"doc $i small content")) :+
+      (20L, ("big " * 500).trim) :+ (21L, "tail doc after the giant"))
+      .toDF("doc_id", "text").repartition(5)
+    val budget = 100
+    val chunks = Chunker.chunkTable(docs, "doc_id", "text", budget).cache()
+    val rows = chunks.collect()
+    rows.foreach(r => assert(r.getAs[Long]("n_tokens") <= 2L * budget,
+      s"chunk ${r.getAs[Long]("chunk_id")} over 2x budget: ${r.getAs[Long]("n_tokens")}"))
+    // word preservation across the split
+    val inWords = docs.collect().map(_.getString(1)).mkString(" ").split("\\s+").count(_.nonEmpty)
+    val outWords = rows.map(_.getAs[String]("text")).mkString(" ").split("\\s+").count(_.nonEmpty)
+    assert(inWords == outWords)
+    // the giant record really was split across multiple chunks
+    assert(rows.count(_.getAs[String]("text").contains("big")) > 1)
+    chunks.unpersist()
+  }
+
   test("distributed chunking is partition-count invariant") {
     val docs = (0L until 200L).map(i => (i, ("tok " * (1 + (i % 17)).toInt).trim)).toDF("doc_id", "text")
     val a = Chunker.assignChunks(docs.repartition(1), "doc_id", "text", 30)
