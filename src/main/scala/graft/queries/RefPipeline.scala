@@ -13,6 +13,15 @@ import graft.pipeline.{Chunker, Combine, KeywordFilterClient, LlmMap}
   * (`/root/reference/internal/cli/mapreduce.go:91`), modeled here as
   * keep-lines-containing-"merge".
   */
+/** ModelClient that fails the job on ANY call — proves a resumed run
+  * never touches the model (the distributed analog of counting calls).
+  */
+final case class FailOnCallClient() extends graft.pipeline.ModelClient {
+  override def complete(systemPrompt: String, userText: String): String =
+    throw new IllegalStateException(
+      "memo resume must not invoke the model, but complete() was called")
+}
+
 object RefPipeline {
 
   private val Budget = Chunker.DefaultBudget
@@ -82,6 +91,25 @@ object RefPipeline {
           length(col("result")).cast("long").as("result_len"))
     }),
 
+    // C6: memo resume — populate the content-keyed memo, then rerun the
+    // map stage with a client that THROWS on any model call. The query
+    // only produces rows (and matches the ref_pipeline oracle) if every
+    // chunk resolves from the memo: a cached second run makes zero model
+    // calls (mapreduce_test.go:210-218), enforced inside the plan.
+    "ref_memo_resume" -> ((s, d) => {
+      val memoPath = s"${System.getProperty("java.io.tmpdir")}/graft_memo_resume_${math.abs(d.hashCode)}"
+      graft.pipeline.MemoCache.clearMemo(s, memoPath)
+      val chunks = Chunker.documentChunks(s, d, Budget)
+      // run 1: the append inside mapChunksWithMemo materializes eagerly
+      graft.pipeline.MemoCache.mapChunksWithMemo(
+        chunks, KeywordFilterClient(Keyword), Prompt, "local", memoPath)
+      val resumed = graft.pipeline.MemoCache.mapChunksWithMemo(
+        chunks, FailOnCallClient(), Prompt, "local", memoPath)
+      resumed.select(col("chunk_id"),
+        md5(col("result")).as("result_md5"),
+        length(col("result")).cast("long").as("result_len"))
+    }),
+
     // C9: ordered no-separator concat of all chunk results into one row.
     "ref_combined" -> ((s, d) => {
       val chunks = Chunker.documentChunks(s, d, Budget)
@@ -112,6 +140,17 @@ object RefPipeline {
          |       count(*) AS n_records,
          |       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
          |       md5(string_agg(text, chr(10) ORDER BY doc_id)) AS text_md5
+         |FROM chunks GROUP BY chunk_id""".stripMargin,
+
+    // Identical output contract to ref_pipeline — resume must be
+    // invisible to the consumer.
+    "ref_memo_resume" ->
+      s"""$chunksCte
+         |SELECT chunk_id,
+         |       md5(coalesce(string_agg(text, chr(10) ORDER BY doc_id)
+         |                      FILTER (WHERE position('$Keyword' IN text) > 0), '')) AS result_md5,
+         |       CAST(length(coalesce(string_agg(text, chr(10) ORDER BY doc_id)
+         |                      FILTER (WHERE position('$Keyword' IN text) > 0), '')) AS BIGINT) AS result_len
          |FROM chunks GROUP BY chunk_id""".stripMargin,
 
     "ref_pipeline" ->

@@ -191,4 +191,36 @@ class MemoCacheSpec extends AnyFunSuite {
     MemoCache.mapChunksWithMemo(chunks, CountingClient("keep"), "p2", "m", dir).collect()
     assert(CountingClient.calls.get() == 2, "different prompt must be a cache miss")
   }
+
+  test("clearMemo (C11): cleaned cache forces recompute; idempotent") { // mapreduce_test.go:303-355
+    val dir = java.nio.file.Files.createTempDirectory("graft-memo3").toString + "/memo"
+    val chunks = Seq((0L, "alpha keep"), (1L, "beta")).toDF("chunk_id", "text")
+    CountingClient.reset()
+    MemoCache.mapChunksWithMemo(chunks, CountingClient("keep"), "p", "m", dir).collect()
+    assert(CountingClient.calls.get() == 2)
+    MemoCache.clearMemo(spark, dir)
+    MemoCache.clearMemo(spark, dir) // idempotent on a missing path
+    CountingClient.reset()
+    MemoCache.mapChunksWithMemo(chunks, CountingClient("keep"), "p", "m", dir).collect()
+    assert(CountingClient.calls.get() == 2, "cleared cache must recompute")
+  }
+}
+
+class ProgressTrackerSpec extends AnyFunSuite {
+  import TestSpark.spark
+
+  test("C8: listener counts completed tasks across a job") {
+    val reports = new java.util.concurrent.atomic.AtomicLong(0)
+    val t = new ProgressTracker("spec", reportEvery = 2,
+      report = _ => { reports.incrementAndGet(); () })
+    spark.sparkContext.addSparkListener(t)
+    try {
+      spark.range(10000).repartition(8).count()
+      // the listener bus delivers asynchronously; poll briefly
+      val deadline = System.nanoTime() + 5e9.toLong
+      while (t.completed < 8 && System.nanoTime() < deadline) Thread.sleep(50)
+      assert(t.completed >= 8, s"got ${t.completed} task completions")
+      assert(reports.get() >= 1)
+    } finally ProgressTracker.detach(spark, t)
+  }
 }
