@@ -41,6 +41,31 @@ object Chunker {
 
   val DefaultBudget = 2000 // tokens; mirrors mapreduce.go:46
 
+  /** Registry of DataFrames persisted inside lazy plan builders
+    * ([[runningSum]], graft.plans.Ranks): a lazy API cannot know when
+    * its caller is done consuming the plan, so the persisted
+    * range-partitioned inputs would otherwise live for the session.
+    * [[clearCaches]] is the explicit release valve — Bench calls it
+    * between passes; long-lived sessions call it between pipelines.
+    */
+  private val persistedRegistry =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[DataFrame]()
+
+  def registerForCleanup(df: DataFrame): Unit = {
+    persistedRegistry.add(df)
+    ()
+  }
+
+  /** Unpersist + forget every cached chunk table and registered
+    * intermediate. Safe any time; subsequent calls rebuild lazily.
+    */
+  def clearCaches(): Unit = {
+    chunkTableCache.forEach((_, df) => df.unpersist(false))
+    chunkTableCache.clear()
+    persistedRegistry.forEach(df => df.unpersist(false))
+    persistedRegistry.clear()
+  }
+
   /** Scalable global running sum of `weightCol` ordered by `idCol`
     * (ids must be globally unique; ties would make results ambiguous).
     * Adds column `outCol` = inclusive prefix sum; preserves all others.
@@ -58,6 +83,7 @@ object Chunker {
     val parted = df.repartitionByRange(parts, col(idCol))
       .withColumn("_graft_pid", spark_partition_id())
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    registerForCleanup(parted)
     // Phase 2 first (it is the materializing action): per-partition
     // totals -> exclusive prefix offsets. One row per partition; tiny at
     // any data scale. A plain groupBy — no window needed for totals.
@@ -162,23 +188,46 @@ object Chunker {
   }
 
   /** [[chunkTable]] memoized per (session, path, budget) and persisted:
-    * the three ref_* catalog queries (chunk stats / pipeline / combined)
-    * all consume the same chunk table — rebuilding the
-    * tokenize+shuffle+window lineage three times per run tripled the cost
-    * of the flagship pipeline. The cache holds a persisted DataFrame;
-    * entries die with their session.
+    * the catalog queries that consume the same chunk table (the ref_*
+    * family) would otherwise rebuild the tokenize+shuffle+window lineage
+    * once each. Entries are evicted when their session's SparkContext
+    * ends (listener below), or explicitly via [[clearCaches]].
+    *
+    * ASSUMPTION (documented contract): files under `dir` are immutable
+    * within a session — a rewrite during the session would be served
+    * stale until clearCaches().
     */
   private val chunkTableCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Int), DataFrame]()
+
+  private val watchedSessions =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[SparkSession]()
+
+  /** Drop a stopping session's memo entries so the static map never
+    * pins dead sessions or their plans.
+    */
+  private def watchSession(spark: SparkSession): Unit =
+    if (watchedSessions.add(spark)) {
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onApplicationEnd(
+            e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
+          chunkTableCache.keySet.removeIf(_._1 eq spark)
+          watchedSessions.remove(spark)
+          ()
+        }
+      })
+    }
 
   /** Chunk table over `documents` at `dir`, built once per (session, dir,
     * budget) and served persisted thereafter.
     */
   def documentChunks(spark: SparkSession, dir: String,
-                     budget: Int = DefaultBudget): DataFrame =
+                     budget: Int = DefaultBudget): DataFrame = {
+    watchSession(spark)
     chunkTableCache.computeIfAbsent((spark, dir, budget), _ =>
       chunkTable(graft.Tables.documents(spark, dir), "doc_id", "text", budget)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+  }
 
   // ---------------------------------------------------------------------
   // Reference-exact greedy packing (driver-side; parity tests only).

@@ -48,14 +48,20 @@ object Relational {
     }),
 
     // --- joins ----------------------------------------------------------
+    // The fact is PRE-AGGREGATED to order grain before any join: one
+    // shuffle on its natural key shrinks it ~4x, the joins then move
+    // order-grain rows only, and countDistinct (an Expand over the whole
+    // joined fact) becomes a plain count — the 100x-scale shape.
     "q03_segment_revenue" -> ((s, d) => {
       val c = customer(s, d); val o = orders(s, d); val l = lineitem(s, d)
-      l.join(o, l("l_orderkey") === o("o_orderkey"))
-        .join(c, o("o_custkey") === c("c_custkey"))
+      val orderRev = l.groupBy(col("l_orderkey"))
+        .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("order_rev"))
+      orderRev.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
         .groupBy(col("c_mktsegment"))
         .agg(
-          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"),
-          countDistinct(col("o_orderkey")).as("n_orders"))
+          round(sum(col("order_rev")), 4).as("revenue"),
+          count(lit(1)).as("n_orders"))
     }),
 
     "q04_left_join_counts" -> ((s, d) => {

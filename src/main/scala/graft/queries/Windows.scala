@@ -56,14 +56,16 @@ object Windows {
           round(avg(col("l_extendedprice")).over(w), 6).as("mavg_price"))
     }),
 
-    // rank vs dense_rank on a broadcast-sized dim (global window is fine
-    // on 200 rows; never do this on a fact table).
+    // Global rank WITHOUT the single-partition window: two-phase
+    // range-partitioned ranking (graft.plans.Ranks) — local ranks plus
+    // per-partition offsets. Scales to fact tables; no "No Partition
+    // Defined" straggler.
     "q19_rank_dense" -> ((s, d) => {
-      val w = Window.orderBy(col("p_retailprice").desc, col("p_partkey"))
-      part(s, d)
-        .select(col("p_partkey"),
-          rank().over(w).as("price_rank"),
-          dense_rank().over(w).as("price_dense_rank"),
+      graft.plans.Ranks.withGlobalRanks(part(s, d),
+          sortCols = Seq(col("p_retailprice").desc, col("p_partkey")),
+          keyCols = Seq(col("p_retailprice"), col("p_partkey")),
+          rankCol = "price_rank", denseCol = "price_dense_rank")
+        .select(col("p_partkey"), col("price_rank"), col("price_dense_rank"),
           round(col("p_retailprice"), 2).as("p_retailprice"))
     }),
 
