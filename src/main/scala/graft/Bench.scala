@@ -1,28 +1,36 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import scala.util.control.NonFatal
 
 /** Benchmark main: runs every catalog query on SPARK_GRAFT_SF_DIR and
   * prints ONE JSON line {"metric","value","unit","queries",...}.
   *
-  * Harness rules (VERDICT r1 items #5):
-  *  - a WARMUP pass at sf0.001 first, so the timed pass measures plans,
+  * Harness rules (VERDICT r1 #5, r2 #5):
+  *  - a WARMUP pass at sf0.001 first, so the timed passes measure plans,
   *    not JVM/codegen/session warmup;
+  *  - THREE timed passes per query, reporting the per-query MEDIAN
+  *    (plus min in "queries_min"): a single-shot timing cannot tell a
+  *    127x plan regression from one GC pause — r2's official 165 s vs
+  *    its 37 s re-run proved it. "value" = sum of medians;
+  *  - caches (Spark catalog + graft chunk-table memos + registered
+  *    persisted intermediates) are cleared before EVERY pass, so each
+  *    pass pays identical cold-plan work and passes are comparable;
   *  - every query is fully materialized through the `noop` sink — a
-  *    `count()` lets Catalyst prune unreferenced projections, so pure
-  *    projection queries would otherwise benchmark a row count over the
-  *    scan instead of their scalar work;
+  *    `count()` would let Catalyst prune the projections being measured;
   *  - failures are REPORTED (per-query "errors" map + rc!=0), never
-  *    swallowed: a broken query must not hide inside a faster total.
+  *    swallowed; warmup ignores only NonFatal errors.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARMUP_DIR", "/root/testdata/sf0.001")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val passes = sys.env.getOrElse("SPARK_GRAFT_PASSES", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -30,30 +38,45 @@ object Bench {
     def materialize(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
 
+    def clearAll(): Unit = {
+      pipeline.Chunker.clearCaches() // unpersist + forget (not just unpersist)
+      spark.catalog.clearCache()
+    }
+
     val names = SparkEntry.queries.keys.toSeq.sorted
-    // Warmup: full suite at the smallest sf (errors ignored here; the
-    // timed pass reports them).
     if (warmDir.nonEmpty) names.foreach { n =>
       try materialize(SparkEntry.queries(n)(spark, warmDir))
-      catch { case _: Throwable => () }
+      catch { case NonFatal(_) => () }
     }
-    spark.catalog.clearCache() // drop warmup-persisted chunk tables etc.
 
     var errors = Map.empty[String, String]
-    val results = names.map { name =>
-      val t0 = System.nanoTime()
-      try materialize(SparkEntry.queries(name)(spark, sfDir))
-      catch { case e: Throwable =>
-        errors += name -> Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
-      }
-      name -> (System.nanoTime() - t0) / 1e9
+    val timings = (1 to passes).map { _ =>
+      clearAll()
+      names.map { name =>
+        val t0 = System.nanoTime()
+        try materialize(SparkEntry.queries(name)(spark, sfDir))
+        catch { case e: Throwable =>
+          if (!errors.contains(name))
+            errors += name -> Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+        }
+        name -> (System.nanoTime() - t0) / 1e9
+      }.toMap
     }
-    def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
-      .replaceAll("[\\n\\r\\t]", " ") + "\""
-    val qs = results.map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
+    def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
+    val med = names.map(n => n -> median(timings.map(_(n))))
+    val mins = names.map(n => n -> timings.map(_(n)).min)
+
+    def jstr(s: String) = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    def jmap(m: Seq[(String, Double)]) =
+      m.map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
     val es = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"sf":"$sfDir"}""")
+    val total = med.map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","passes":$passes,"queries":${jmap(med)},"queries_min":${jmap(mins)},"errors":$es,"sf":"$sfDir"}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

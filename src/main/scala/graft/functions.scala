@@ -8,4 +8,11 @@ object functions {
   /** BPE-ish token estimate per string (see [[expressions.TokenCount]]). */
   def token_count(c: Column): Column =
     ExprBridge.column(expressions.TokenCount(ExprBridge.expression(c)))
+
+  /** Codegen'd float-vector dot product (see [[expressions.VecDot]]);
+    * bit-equal to the aggregate/zip_with fold it replaces.
+    */
+  def vec_dot(a: Column, b: Column): Column =
+    ExprBridge.column(expressions.VecDot(
+      ExprBridge.expression(a), ExprBridge.expression(b)))
 }

@@ -107,11 +107,13 @@ object Dedup {
     */
   def embeddingNearDups(emb: DataFrame, threshold: Double): DataFrame = {
     val sigs = emb.select(col("vec_id"), col("embedding"),
+      Similarity.norm(col("embedding")).as("nrm"),
       Similarity.bandSignature(col("embedding"), 4, 16).as("sig"))
     sigs.as("a").join(sigs.as("b"),
         col("a.sig") === col("b.sig") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        Similarity.cosine(col("a.embedding"), col("b.embedding")).as("cosine"))
+        Similarity.cosinePre(col("a.embedding"), col("b.embedding"),
+          col("a.nrm"), col("b.nrm")).as("cosine"))
       .filter(col("cosine") >= threshold)
   }
 

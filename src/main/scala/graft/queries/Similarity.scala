@@ -19,18 +19,31 @@ import graft.Tables._
   */
 object Similarity {
 
-  /** Sequential-fold dot product of two float vectors, as doubles. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+  /** Sequential-fold dot product of two float vectors, as doubles —
+    * the native codegen'd [[graft.expressions.VecDot]] (bit-equal to
+    * the aggregate/zip_with HOF fold, minus its per-pair allocation).
+    */
+  def dot(a: Column, b: Column): Column = graft.functions.vec_dot(a, b)
 
-  /** Sequential-fold squared L2 norm. */
-  def sqNorm(v: Column): Column =
-    aggregate(v, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double"))
+  /** Sequential-fold squared L2 norm (dot with itself). */
+  def sqNorm(v: Column): Column = graft.functions.vec_dot(v, v)
+
+  /** L2 norm. Precompute this ONCE PER ROW before any pairwise join:
+    * computing norms inside the pair projection triples the
+    * higher-order-function work (N*Q folds instead of N+Q).
+    */
+  def norm(v: Column): Column = sqrt(sqNorm(v))
 
   /** cosine(a, b) rounded to 6 decimals (rank on this, never the raw). */
   def cosine(a: Column, b: Column): Column =
-    round(dot(a, b) / (sqrt(sqNorm(a)) * sqrt(sqNorm(b))), 6)
+    round(dot(a, b) / (norm(a) * norm(b)), 6)
+
+  /** cosine with precomputed per-row norms — identical IEEE result to
+    * [[cosine]] (same folds over the same vectors), 3x less work per
+    * pair.
+    */
+  def cosinePre(a: Column, b: Column, normA: Column, normB: Column): Column =
+    round(dot(a, b) / (normA * normB), 6)
 
   /** Deterministic LSH-style bit signature: bit j = sign of the sum of
     * the j-th `dimsPerBand`-wide slice of the vector. Pseudo-hyperplanes
@@ -57,13 +70,16 @@ object Similarity {
     // shuffles — but the work is inherently O(N·Q): this is the exact
     // BASELINE; q39 is the bucketed plan you run at 100 TB.
     "q38_cosine_topk" -> ((s, d) => {
-      val e = embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val e = embeddings(s, d)
+        .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
       val q = embeddings(s, d).filter(col("label") === 0)
-        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+          norm(col("embedding")).as("q_nrm"))
       val scored = e.crossJoin(broadcast(q))
         .filter(col("vec_id") =!= col("q_id"))
         .select(col("q_id"), col("vec_id").as("neighbor_id"),
-          cosine(col("q_emb"), col("embedding")).as("cosine"))
+          cosinePre(col("q_emb"), col("embedding"),
+            col("q_nrm"), col("nrm")).as("cosine"))
       val w = Window.partitionBy(col("q_id"))
         .orderBy(col("cosine").desc, col("neighbor_id"))
       scored.withColumn("rn", row_number().over(w))
@@ -80,14 +96,17 @@ object Similarity {
     "q39_ann_buckets" -> ((s, d) => {
       val sigs = embeddings(s, d)
         .select(col("vec_id"), col("embedding"), col("label"),
+          norm(col("embedding")).as("nrm"),
           bandSignature(col("embedding"), Bands, DimsPerBand).as("sig"))
       val q = sigs.filter(col("label") === 0)
-        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("sig"))
-      val cands = sigs.select(col("vec_id"), col("embedding"), col("sig"))
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+          col("nrm").as("q_nrm"), col("sig"))
+      val cands = sigs.select(col("vec_id"), col("embedding"), col("nrm"), col("sig"))
         .join(broadcast(q), Seq("sig"))
         .filter(col("vec_id") =!= col("q_id"))
         .select(col("q_id"), col("vec_id").as("neighbor_id"),
-          cosine(col("q_emb"), col("embedding")).as("cosine"))
+          cosinePre(col("q_emb"), col("embedding"),
+            col("q_nrm"), col("nrm")).as("cosine"))
       val w = Window.partitionBy(col("q_id"))
         .orderBy(col("cosine").desc, col("neighbor_id"))
       cands.withColumn("rn", row_number().over(w))

@@ -91,9 +91,13 @@ def main():
             continue
         # Type-strict schema compare (sorted by column name, like canon):
         # fetchall() converts HUGEINT→int so value compare can't see it.
+        # sort by NAME only: DuckDBPyType has no ordering, so a name tie
+        # (duplicate columns) must not fall through to comparing types
         s_types = [str(t) for _, t in sorted(zip(spark_rel.columns,
-                                                 spark_rel.types))]
-        o_types = [str(t) for _, t in sorted(zip(o_rel.columns, o_rel.types))]
+                                                 spark_rel.types),
+                                             key=lambda p: p[0])]
+        o_types = [str(t) for _, t in sorted(zip(o_rel.columns, o_rel.types),
+                                             key=lambda p: p[0])]
         if s_types != o_types:
             failures.append(
                 (name, f"column types differ: spark={s_types} oracle={o_types}"))
