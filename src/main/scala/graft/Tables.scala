@@ -27,9 +27,14 @@ object Tables {
     * it loads TIMESTAMP_NS into its µs-precision TIMESTAMP, so both
     * engines see identical values. Integer `div` (not `/`): ns epochs
     * (~1.7e18) overflow double's 2^53 mantissa.
+    *
+    * The nanosAsLong conf should be set at session build (all graft
+    * mains do); the guard below only repairs sessions that didn't, and
+    * never re-mutates a correctly-configured session.
     */
   def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    if (s.conf.get(key, "false") != "true") s.conf.set(key, "true")
     table(s, d, "events")
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
