@@ -51,9 +51,12 @@ object Dedup {
     * The band join shuffles on (band_idx, band_hash) — bucket sizes are
     * collision counts, so the join output is candidates only, never N².
     */
-  def minhashCandidates(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  /** Distinct word-3-gram shingles per doc: (doc, shingle). Docs with
+    * fewer than 3 words have no 3-shingle and are excluded.
+    */
+  def shingleTable(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val ws = wordsOf(col(textCol))
-    val shingled = docs
+    docs
       .select(col(idCol).as("doc"), ws.as("ws"))
       .filter(size(col("ws")) >= 3)
       .select(col("doc"), explode(array_distinct(
@@ -61,6 +64,10 @@ object Dedup {
           concat_ws(" ", element_at(col("ws"), i + 1),
             element_at(col("ws"), i + 2),
             element_at(col("ws"), i + 3))))).as("shingle"))
+  }
+
+  def minhashCandidates(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val shingled = shingleTable(docs, idCol, textCol)
     val mhExprs = (0 until MinhashFuncs).map(k =>
       min(sha2(concat_ws(":", lit(k.toString), col("shingle")), 256)).as(s"mh$k"))
     val minhashes = shingled.groupBy(col("doc"))
@@ -79,6 +86,36 @@ object Dedup {
           col("a.doc") < col("b.doc"))
       .groupBy(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
       .agg(count(lit(1)).as("n_shared_bands"))
+  }
+
+  /** Exact n-gram Jaccard VERIFY stage over the MinHash candidates: the
+    * classic two-stage near-dup pipeline. Stage 1 (bucketed LSH) emits
+    * candidate pairs; stage 2 computes the exact shingle-set Jaccard
+    * for THOSE PAIRS ONLY — the quadratic set intersection never runs
+    * on non-candidates, so the total cost is candidates x shingles, not
+    * N^2.
+    */
+  def ngramJaccard(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val sh = shingleTable(docs, idCol, textCol)
+    val counts = sh.groupBy(col("doc")).agg(count(lit(1)).as("n_sh"))
+    val cands = minhashCandidates(docs, idCol, textCol)
+      .select(col("doc_a"), col("doc_b"))
+    val inter = cands
+      .join(sh.as("sa"), col("doc_a") === col("sa.doc"))
+      .join(sh.as("sb"),
+        col("doc_b") === col("sb.doc") && col("sa.shingle") === col("sb.shingle"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    cands
+      .join(inter, Seq("doc_a", "doc_b"), "left")
+      .na.fill(0L, Seq("n_inter"))
+      .join(counts.withColumnRenamed("doc", "doc_a")
+        .withColumnRenamed("n_sh", "n_a"), Seq("doc_a"))
+      .join(counts.withColumnRenamed("doc", "doc_b")
+        .withColumnRenamed("n_sh", "n_b"), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        round(col("n_inter").cast("double")
+          / (col("n_a") + col("n_b") - col("n_inter")), 6).as("jaccard"))
   }
 
   val SimhashBits = 16
@@ -126,6 +163,8 @@ object Dedup {
       minhashCandidates(documents(s, d), "doc_id", "text")),
     "q46_simhash" -> ((s, d) =>
       simhash(documents(s, d), "doc_id", "text")),
+    "q49_ngram_jaccard" -> ((s, d) =>
+      ngramJaccard(documents(s, d), "doc_id", "text")),
     "q47_embed_neardup" -> ((s, d) =>
       embeddingNearDups(embeddings(s, d), NearDupThreshold))
   )
@@ -133,39 +172,68 @@ object Dedup {
   private val wordsSql =
     "list_filter(regexp_split_to_array(lower(text), '\\s+'), w -> length(w) > 0)"
 
+  /** Shared DuckDB CTE chain: words -> shingles -> minhashes -> bands
+    * (mirrors [[shingleTable]] + [[minhashCandidates]] exactly).
+    */
+  private def minhashCtes: String = {
+    val mhCols = (0 until MinhashFuncs)
+      .map(k => s"min(sha256('$k' || ':' || shingle)) AS mh$k").mkString(",\n    ")
+    val bandSelects = (0 until MinhashBands).map { b =>
+      val parts = (0 until MinhashFuncs / MinhashBands)
+        .map(r => s"mh${b * (MinhashFuncs / MinhashBands) + r}").mkString(" || ")
+      s"SELECT doc, $b AS band_idx, sha256($parts) AS band_hash FROM mh"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH w AS (
+       |  SELECT doc_id AS doc, $wordsSql AS ws FROM documents),
+       |shingles AS (
+       |  SELECT DISTINCT doc,
+       |    unnest(list_transform(range(1, len(ws) - 1),
+       |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS shingle
+       |  FROM w WHERE len(ws) >= 3),
+       |mh AS (
+       |  SELECT doc,
+       |    $mhCols
+       |  FROM shingles GROUP BY doc),
+       |bands AS (
+       |  $bandSelects)""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "q40_dedup_exact" ->
       """SELECT sha256(lower(trim(text))) AS content_key,
         |  min(doc_id) AS survivor_id, count(*) AS n_copies
         |FROM documents GROUP BY 1""".stripMargin,
 
-    "q41_dedup_near" -> {
-      val mhCols = (0 until MinhashFuncs)
-        .map(k => s"min(sha256('$k' || ':' || shingle)) AS mh$k").mkString(",\n    ")
-      val bandSelects = (0 until MinhashBands).map { b =>
-        val parts = (0 until MinhashFuncs / MinhashBands)
-          .map(r => s"mh${b * (MinhashFuncs / MinhashBands) + r}").mkString(" || ")
-        s"SELECT doc, $b AS band_idx, sha256($parts) AS band_hash FROM mh"
-      }.mkString("\n  UNION ALL\n  ")
-      s"""WITH w AS (
-         |  SELECT doc_id AS doc, $wordsSql AS ws FROM documents),
-         |shingles AS (
-         |  SELECT DISTINCT doc,
-         |    unnest(list_transform(range(1, len(ws) - 1),
-         |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS shingle
-         |  FROM w WHERE len(ws) >= 3),
-         |mh AS (
-         |  SELECT doc,
-         |    $mhCols
-         |  FROM shingles GROUP BY doc),
-         |bands AS (
-         |  $bandSelects)
+    "q41_dedup_near" ->
+      s"""$minhashCtes
          |SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS n_shared_bands
          |FROM bands a JOIN bands b
          |  ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
          |  AND a.doc < b.doc
-         |GROUP BY 1, 2""".stripMargin
-    },
+         |GROUP BY 1, 2""".stripMargin,
+
+    "q49_ngram_jaccard" ->
+      s"""$minhashCtes,
+         |cands AS (
+         |  SELECT a.doc AS doc_a, b.doc AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+         |    AND a.doc < b.doc
+         |  GROUP BY 1, 2),
+         |counts AS (SELECT doc, count(*) AS n_sh FROM shingles GROUP BY 1),
+         |inter AS (
+         |  SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+         |  FROM cands c
+         |  JOIN shingles sa ON sa.doc = c.doc_a
+         |  JOIN shingles sb ON sb.doc = c.doc_b AND sb.shingle = sa.shingle
+         |  GROUP BY 1, 2)
+         |SELECT c.doc_a, c.doc_b,
+         |  round(CAST(coalesce(i.n_inter, 0) AS DOUBLE)
+         |        / (ca.n_sh + cb.n_sh - coalesce(i.n_inter, 0)), 6) AS jaccard
+         |FROM cands c
+         |LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+         |JOIN counts ca ON ca.doc = c.doc_a
+         |JOIN counts cb ON cb.doc = c.doc_b""".stripMargin,
 
     "q46_simhash" -> {
       val bitCols = (0 until SimhashBits).map { j =>

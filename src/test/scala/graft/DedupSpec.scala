@@ -63,6 +63,19 @@ class DedupSpec extends AnyFunSuite {
     assert(ham(fp(1L), fp(3L)) > ham(fp(1L), fp(2L)))
   }
 
+  test("ngram jaccard verify stage scores candidates exactly") {
+    val nearA = base.trim
+    val nearB = base.trim.replaceFirst("lazy", "sleepy")
+    val docs = Seq((1L, nearA), (2L, nearB), (3L, nearA)).toDF("doc_id", "text")
+    val scored = Dedup.ngramJaccard(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // identical docs: jaccard exactly 1.0
+    assert(scored.get((1L, 3L)).contains(1.0), s"got $scored")
+    // one word changed (the base repeats, so the distinct-shingle set is
+    // small and one edit dents it visibly): clearly similar but < 1
+    scored.get((1L, 2L)).foreach(j => assert(j > 0.5 && j < 1.0, s"j=$j"))
+  }
+
   test("embedding near-dups: identical vectors pair at cosine 1.0") {
     val v = Array.tabulate(64)(i => (math.sin(i + 1) * 0.5).toFloat)
     val w = Array.tabulate(64)(i => (math.cos(i * 2 + 1) * 0.5).toFloat)
