@@ -24,6 +24,25 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.count() > 0)
   }
 
+  test("typed flatMapGroupsWithState sessionizer == batch q34") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val evs = Tables.events(spark, TestSpark.sf0001)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("ts_us"), col("value"))
+      .as[graft.streaming.SessionEvent]
+    val got = graft.streaming.StatefulSessions.sessionize(evs)
+      .select(col("user_id"), col("session_idx"),
+        timestamp_micros(col("session_start_us")).as("session_start"),
+        col("n_events"), round(col("value_sum"), 2).as("value_sum"))
+    val want = graft.queries.EventsQueries.queries("q34_sessionize")(
+      spark, TestSpark.sf0001)
+      .select(col("user_id"), col("session_idx"), col("session_start"),
+        col("n_events"), col("value_sum"))
+    assert(canon(got) == canon(want))
+    assert(got.count() > 0)
+  }
+
   test("streaming session window == batch q37") {
     val stream = StreamingJobs.eventsStream(spark, TestSpark.sf0001)
     val got = StreamingJobs.runToCompletion(spark,
