@@ -69,6 +69,18 @@ object TextAnalytics {
           col("tfidf"), col("rn"))
     }),
 
+    // Corpus word counts via SALTED two-phase aggregation
+    // (plans/Salting.scala): word frequencies are the canonical skewed
+    // workload (stopwords are hot keys). Identical result to a direct
+    // groupBy — the oracle is the plain SQL — but the wide phase
+    // spreads each hot word over 16 sub-keys.
+    "q50_salted_word_freq" -> ((s, d) => {
+      val words = documents(s, d)
+        .select(col("doc_id"), explode(wordsOf(col("text"))).as("word"))
+      graft.plans.Salting.saltedCount(words, col("word"), "word",
+        saltFrom = Seq(col("doc_id"), col("word")))
+    }),
+
     // Per-document quality signals: length, word shape, stopword ratio,
     // token density — pure projections, no shuffle at all.
     "q45_quality_score" -> ((s, d) => {
@@ -121,6 +133,11 @@ object TextAnalytics {
          |      ORDER BY tfidf DESC, word) AS INT) AS rn
          |  FROM scored)
          |WHERE rn <= 5""".stripMargin,
+
+    "q50_salted_word_freq" ->
+      s"""SELECT word, count(*) AS n
+         |FROM (SELECT unnest($wordsSql) AS word FROM documents)
+         |GROUP BY word""".stripMargin,
 
     "q45_quality_score" -> {
       val stops = Stopwords.map(s => s"'$s'").mkString(", ")
