@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables._
+import graft.pipeline.Chunker
 
 /** Document deduplication (north star; SURVEY.md §2.2): exact
   * content-hash dedup, MinHash+LSH near-dup candidate generation,
@@ -73,6 +74,8 @@ object Dedup {
     val minhashes = shingled.groupBy(col("doc"))
       .agg(mhExprs.head, mhExprs.tail: _*)
     val rowsPerBand = MinhashFuncs / MinhashBands
+    // The self-join below consumes `bands` TWICE — without a persist the
+    // whole shingle->sha256x9->minhash lineage runs once per side.
     val bands = minhashes.select(col("doc"),
       explode(array((0 until MinhashBands).map { b =>
         struct(lit(b).as("band_idx"),
@@ -80,6 +83,8 @@ object Dedup {
             .as("band_hash"))
       }: _*)).as("band"))
       .select(col("doc"), col("band.band_idx"), col("band.band_hash"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    Chunker.registerForCleanup(bands)
     bands.as("a").join(bands.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
           col("a.band_hash") === col("b.band_hash") &&
@@ -96,10 +101,16 @@ object Dedup {
     * N^2.
     */
   def ngramJaccard(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // `sh` feeds three plan branches (counts + both intersection sides)
+    // and `cands` two — persist both or each branch replays its lineage.
     val sh = shingleTable(docs, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    Chunker.registerForCleanup(sh)
     val counts = sh.groupBy(col("doc")).agg(count(lit(1)).as("n_sh"))
     val cands = minhashCandidates(docs, idCol, textCol)
       .select(col("doc_a"), col("doc_b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    Chunker.registerForCleanup(cands)
     val inter = cands
       .join(sh.as("sa"), col("doc_a") === col("sa.doc"))
       .join(sh.as("sb"),
