@@ -37,6 +37,27 @@ object Multimodal {
           max(col("p.k")).as("k_max"))
     }),
 
+    // Cross-modal join: vectors to their source documents (doc_id ==
+    // vec_id in the fixture). Each query doc's nearest same-bucket
+    // neighbor is joined back to `documents` on BOTH ends to compare
+    // text-side metadata — the embeddings-never-meet-documents gap
+    // closed. Doc lookups join on the id key; vectors stay in the
+    // bucketed ANN path.
+    "q51_crossmodal_neighbors" -> ((s, d) => {
+      val docs = documents(s, d).select(col("doc_id"), col("lang"))
+      val top1 = Similarity.queries("q39_ann_buckets")(s, d)
+        .filter(col("rn") === 1)
+        .select(col("q_id"), col("neighbor_id"), col("cosine"))
+      top1
+        .join(docs.withColumnRenamed("doc_id", "q_id")
+          .withColumnRenamed("lang", "q_lang"), Seq("q_id"))
+        .join(docs.withColumnRenamed("doc_id", "neighbor_id")
+          .withColumnRenamed("lang", "n_lang"), Seq("neighbor_id"))
+        .select(col("q_id"), col("neighbor_id"), col("cosine"),
+          col("q_lang"), col("n_lang"),
+          (col("q_lang") === col("n_lang")).as("same_lang"))
+    }),
+
     // Opaque binary media column + typed metadata: the blob is the
     // UTF-8 bytes of `text` (the fixture ships no real media; the
     // byte-level plumbing — octet length, content fingerprint, magic
@@ -60,6 +81,15 @@ object Multimodal {
         |  min(k) AS k_min, max(k) AS k_max
         |FROM (SELECT event_type, CAST(props->>'$.k' AS BIGINT) AS k FROM events)
         |GROUP BY event_type""".stripMargin,
+
+    "q51_crossmodal_neighbors" ->
+      s"""SELECT t.q_id, t.neighbor_id, t.cosine,
+         |  dq.lang AS q_lang, dn.lang AS n_lang,
+         |  (dq.lang = dn.lang) AS same_lang
+         |FROM (${Similarity.oracles("q39_ann_buckets")}) t
+         |JOIN documents dq ON dq.doc_id = t.q_id
+         |JOIN documents dn ON dn.doc_id = t.neighbor_id
+         |WHERE t.rn = 1""".stripMargin,
 
     // sha256/hex run on the SAME UTF-8 bytes on both sides (DuckDB's
     // sha256 has no BLOB overload, so it hashes the varchar directly).
