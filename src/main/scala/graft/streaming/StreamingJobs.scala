@@ -17,6 +17,9 @@ import org.apache.spark.sql.functions._
   */
 object StreamingJobs {
 
+  private val stagingDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, java.nio.file.Path]()
+
   /** Streaming read of the events table. Schema comes from a batch
     * probe (file sources require an explicit schema); the nanos->micros
     * timestamp normalization matches graft.Tables.events.
@@ -28,15 +31,16 @@ object StreamingJobs {
     val schema = spark.read.parquet(path).schema // ts is LongType (nanos)
     // The file source demands a DIRECTORY (in production the events
     // table is one); the fixture is a single file, so stage a symlink
-    // dir next to it in tmp. No data is copied.
+    // dir in tmp — memoized per source path so repeated streams don't
+    // accumulate staging dirs. No data is copied.
     val src = java.nio.file.Paths.get(path)
     val stage =
       if (java.nio.file.Files.isDirectory(src)) src
-      else {
+      else stagingDirs.computeIfAbsent(src.toString, { _ =>
         val d = java.nio.file.Files.createTempDirectory("graft-stream-src")
         java.nio.file.Files.createSymbolicLink(d.resolve(src.getFileName), src)
         d
-      }
+      })
     spark.readStream.schema(schema).parquet(stage.toString)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
