@@ -112,6 +112,40 @@ object Similarity {
       cands.withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 3)
         .select(col("q_id"), col("neighbor_id"), col("rn"), col("cosine"))
+    }),
+
+    // Multi-probe ANN: each query also probes every bucket at hamming
+    // distance 1 from its own signature (flip one band bit) — ~(1+bands)x
+    // the candidates of q39 for materially better recall, still an
+    // equi-join on the signature, still never all-pairs. A candidate's
+    // single signature matches at most one distinct probe per query, so
+    // no pair dedup is needed.
+    "q52_ann_multiprobe" -> ((s, d) => {
+      val sigs = embeddings(s, d)
+        .select(col("vec_id"), col("embedding"), col("label"),
+          norm(col("embedding")).as("nrm"),
+          bandSignature(col("embedding"), Bands, DimsPerBand).as("sig"))
+      val flips = (0 until Bands).map { i =>
+        concat(
+          substring(col("sig"), 1, i),
+          when(substring(col("sig"), i + 1, 1) === "1", lit("0")).otherwise(lit("1")),
+          substring(col("sig"), i + 2, Bands - i - 1))
+      }
+      val q = sigs.filter(col("label") === 0)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+          col("nrm").as("q_nrm"),
+          explode(array(col("sig") +: flips: _*)).as("sig"))
+      val cands = sigs.select(col("vec_id"), col("embedding"), col("nrm"), col("sig"))
+        .join(broadcast(q), Seq("sig"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id").as("neighbor_id"),
+          cosinePre(col("q_emb"), col("embedding"),
+            col("q_nrm"), col("nrm")).as("cosine"))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("cosine").desc, col("neighbor_id"))
+      cands.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("q_id"), col("neighbor_id"), col("rn"), col("cosine"))
     })
   )
 
@@ -147,6 +181,31 @@ object Similarity {
          |           ORDER BY cosine DESC, neighbor_id) AS INT) AS rn
          |  FROM scored)
          |WHERE rn <= 5""".stripMargin,
+
+    "q52_ann_multiprobe" ->
+      s"""WITH sigs AS (
+         |  SELECT vec_id, embedding, label, $sigSql AS sig
+         |  FROM embeddings),
+         |q AS (
+         |  SELECT vec_id AS q_id, embedding AS q_emb,
+         |    unnest(list_prepend(sig, list_transform(range(0, $Bands), i ->
+         |      substring(sig, 1, CAST(i AS INT)) ||
+         |      (CASE WHEN substring(sig, CAST(i + 1 AS INT), 1) = '1'
+         |            THEN '0' ELSE '1' END) ||
+         |      substring(sig, CAST(i + 2 AS INT), $Bands - CAST(i AS INT) - 1))))
+         |      AS sig
+         |  FROM sigs WHERE label = 0),
+         |cands AS (
+         |  SELECT q.q_id, e.vec_id AS neighbor_id,
+         |         ${cosineSql("q.q_emb", "e.embedding")} AS cosine
+         |  FROM sigs e JOIN q ON e.sig = q.sig
+         |  WHERE e.vec_id <> q.q_id)
+         |SELECT q_id, neighbor_id, rn, cosine FROM (
+         |  SELECT q_id, neighbor_id, cosine,
+         |         CAST(row_number() OVER (PARTITION BY q_id
+         |           ORDER BY cosine DESC, neighbor_id) AS INT) AS rn
+         |  FROM cands)
+         |WHERE rn <= 3""".stripMargin,
 
     "q39_ann_buckets" ->
       s"""WITH sigs AS (
