@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.queries.Dedup
+
+/** Empty corpora must produce empty (not crashing) results everywhere —
+  * the reference tolerates empty input (mapreduce_test.go:441-451); the
+  * engine's operators must too.
+  */
+class EmptyInputSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  private val noDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+  private val noVecs = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
+
+  test("dedup family on an empty corpus") {
+    assert(Dedup.exactDedup(noDocs, "doc_id", "text").count() == 0)
+    assert(Dedup.minhashCandidates(noDocs, "doc_id", "text").count() == 0)
+    assert(Dedup.simhash(noDocs, "doc_id", "text").count() == 0)
+    assert(Dedup.ngramJaccard(noDocs, "doc_id", "text").count() == 0)
+    assert(Dedup.embeddingNearDups(noVecs, 0.5).count() == 0)
+  }
+
+  test("docs below the shingle floor are excluded, not fatal") {
+    val tiny = Seq((1L, "two words"), (2L, "")).toDF("doc_id", "text")
+    assert(Dedup.shingleTable(tiny, "doc_id", "text").count() == 0)
+    assert(Dedup.minhashCandidates(tiny, "doc_id", "text").count() == 0)
+    // simhash has no floor: one doc has words, one doesn't
+    assert(Dedup.simhash(tiny, "doc_id", "text").count() == 1)
+  }
+
+  test("stateful sessionizer and ranks on empty input") {
+    val noEvents = Seq.empty[graft.streaming.SessionEvent].toDS()
+    assert(graft.streaming.StatefulSessions.sessionize(noEvents).count() == 0)
+    val noRows = Seq.empty[(Long, Double)].toDF("id", "x")
+    val ranked = graft.plans.Ranks.withGlobalRanks(noRows,
+      sortCols = Seq(col("x").desc, col("id")),
+      keyCols = Seq(col("x"), col("id")))
+    assert(ranked.count() == 0)
+  }
+}
