@@ -38,6 +38,17 @@ object Dedup {
       .agg(min(col(idCol)).as("survivor_id"),
         count(lit(1)).as("n_copies"))
 
+  /** The deduplicated corpus itself: one surviving row (min id) per
+    * normalized-content group — what a training-data pipeline actually
+    * feeds downstream. Implemented as a semi-join against the survivor
+    * set, so only ids shuffle.
+    */
+  def keepSurvivors(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val survivors = exactDedup(docs, idCol, textCol)
+      .select(col("survivor_id").as(idCol))
+    docs.join(survivors, Seq(idCol), "left_semi")
+  }
+
   val MinhashFuncs = 9
   val MinhashBands = 3 // 3 rows/band: band collision ~= jaccard^3 per band
 

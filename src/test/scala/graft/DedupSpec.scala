@@ -27,6 +27,15 @@ class DedupSpec extends AnyFunSuite {
     assert(out(1).getAs[Long]("n_copies") == 1L)
   }
 
+  test("keepSurvivors returns the deduped corpus with min-id survivors") {
+    val docs = Seq(
+      (10L, base), (11L, base.toUpperCase), (12L, "different text here entirely"))
+      .toDF("doc_id", "text")
+    val kept = Dedup.keepSurvivors(docs, "doc_id", "text")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(10L, 12L))
+  }
+
   test("minhash surfaces near-duplicates, not unrelated docs") {
     // 36-word doc vs a copy with ONE word changed: shingle sets overlap
     // ~92%, so all 9 minhashes almost surely agree => all 3 bands match.
