@@ -150,7 +150,11 @@ object Chunker {
       .withColumn("n_tokens", graft.functions.token_count(col(textCol)).cast("long"))
       .select(col("*"),
         posexplode(
-          when(col("n_tokens") <= budget, array(col(textCol)))
+          // NULL text (null n_tokens) takes the no-split branch: the
+          // row flows through with a null piece, as before C3b —
+          // wordPack must never see null.
+          when(col("n_tokens").isNull || col("n_tokens") <= budget,
+            array(col(textCol)))
             .otherwise(packUdf(col(textCol))))
           .as(Seq("_graft_pos", "_graft_piece")))
       .withColumn(textCol, col("_graft_piece"))

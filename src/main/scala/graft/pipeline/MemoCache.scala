@@ -61,6 +61,7 @@ object MemoCache {
     val misses = keyed.join(memo, Seq("key"), "left_anti")
     val fresh = LlmMap.mapChunks(misses, client, prompt)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    Chunker.registerForCleanup(fresh)
     // The append is the materializing action that populates `fresh`'s
     // cache; everything downstream reuses it instead of re-calling the
     // model.

@@ -48,10 +48,19 @@ object AsOfJoin {
     val w = Window.partitionBy(col(keyCol))
       .orderBy(col(timeCol), col("_graft_side"), tieBreak)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = payload.foldLeft(all) { (df, c) =>
-      df.withColumn(c, last(when(col("_graft_side") === 0, col(c)), ignoreNulls = true).over(w))
+    // Carry ONE struct of the whole payload, not per-column lasts: a
+    // genuinely-NULL field in the latest right row must win (not be
+    // backfilled from an older row), and all fields must come from the
+    // SAME right row. The struct is non-null for every right row, so
+    // last(ignoreNulls) picks the latest right row atomically.
+    val carried = all
+      .withColumn("_graft_payload",
+        last(when(col("_graft_side") === 0, struct(payload.map(col): _*)),
+          ignoreNulls = true).over(w))
+    payload.foldLeft(carried) { (df, c) =>
+      df.withColumn(c, col(s"_graft_payload.$c"))
     }
-    carried.filter(col("_graft_side") === 1)
+      .filter(col("_graft_side") === 1)
       .select((lCols ++ payload).map(col): _*)
   }
 }

@@ -23,10 +23,6 @@ import graft.pipeline.Chunker
   */
 object Dedup {
 
-  /** Lower-cased whitespace-split words with empties removed. */
-  private def wordsOf(textCol: Column): Column =
-    filter(split(lower(textCol), "\\s+"), w => length(w) > 0)
-
   /** Exact dedup on normalized content: groups by
     * sha256(lower(trim(text))) with a DETERMINISTIC survivor — the
     * minimum id — never dropDuplicates' arbitrary first-seen pick
@@ -52,6 +48,21 @@ object Dedup {
   val MinhashFuncs = 9
   val MinhashBands = 3 // 3 rows/band: band collision ~= jaccard^3 per band
 
+  /** Distinct word-3-gram shingles per doc: (doc, shingle). Docs with
+    * fewer than 3 words have no 3-shingle and are excluded.
+    */
+  def shingleTable(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val ws = TextOps.wordsOf(col(textCol))
+    docs
+      .select(col(idCol).as("doc"), ws.as("ws"))
+      .filter(size(col("ws")) >= 3)
+      .select(col("doc"), explode(array_distinct(
+        transform(sequence(lit(0), size(col("ws")) - 3), i =>
+          concat_ws(" ", element_at(col("ws"), i + 1),
+            element_at(col("ws"), i + 2),
+            element_at(col("ws"), i + 3))))).as("shingle"))
+  }
+
   /** MinHash+LSH near-duplicate candidate pairs.
     *
     * shingle(3-gram of words) → 9 permutation-free minhashes
@@ -63,23 +74,15 @@ object Dedup {
     * The band join shuffles on (band_idx, band_hash) — bucket sizes are
     * collision counts, so the join output is candidates only, never N².
     */
-  /** Distinct word-3-gram shingles per doc: (doc, shingle). Docs with
-    * fewer than 3 words have no 3-shingle and are excluded.
-    */
-  def shingleTable(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val ws = wordsOf(col(textCol))
-    docs
-      .select(col(idCol).as("doc"), ws.as("ws"))
-      .filter(size(col("ws")) >= 3)
-      .select(col("doc"), explode(array_distinct(
-        transform(sequence(lit(0), size(col("ws")) - 3), i =>
-          concat_ws(" ", element_at(col("ws"), i + 1),
-            element_at(col("ws"), i + 2),
-            element_at(col("ws"), i + 3))))).as("shingle"))
-  }
+  def minhashCandidates(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    minhashCandidatesFromShingles(shingleTable(docs, idCol, textCol))
 
-  def minhashCandidates(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val shingled = shingleTable(docs, idCol, textCol)
+  /** As [[minhashCandidates]], over a prepared (doc, shingle) table —
+    * callers that also consume the shingles (the Jaccard verify stage)
+    * pass their persisted copy instead of paying the corpus explode
+    * twice.
+    */
+  def minhashCandidatesFromShingles(shingled: DataFrame): DataFrame = {
     val mhExprs = (0 until MinhashFuncs).map(k =>
       min(sha2(concat_ws(":", lit(k.toString), col("shingle")), 256)).as(s"mh$k"))
     val minhashes = shingled.groupBy(col("doc"))
@@ -118,7 +121,7 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     Chunker.registerForCleanup(sh)
     val counts = sh.groupBy(col("doc")).agg(count(lit(1)).as("n_sh"))
-    val cands = minhashCandidates(docs, idCol, textCol)
+    val cands = minhashCandidatesFromShingles(sh)
       .select(col("doc_a"), col("doc_b"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     Chunker.registerForCleanup(cands)
@@ -151,7 +154,7 @@ object Dedup {
   def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val hexHigh = Seq("8", "9", "a", "b", "c", "d", "e", "f")
     val counts = docs
-      .select(col(idCol).as("doc"), explode(wordsOf(col(textCol))).as("word"))
+      .select(col(idCol).as("doc"), explode(TextOps.wordsOf(col(textCol))).as("word"))
       .groupBy(col("doc"), col("word")).agg(count(lit(1)).as("cnt"))
       .withColumn("wh", sha2(col("word"), 256))
     counts.groupBy(col("doc"))
@@ -191,9 +194,6 @@ object Dedup {
       embeddingNearDups(embeddings(s, d), NearDupThreshold))
   )
 
-  private val wordsSql =
-    "list_filter(regexp_split_to_array(lower(text), '\\s+'), w -> length(w) > 0)"
-
   /** Shared DuckDB CTE chain: words -> shingles -> minhashes -> bands
     * (mirrors [[shingleTable]] + [[minhashCandidates]] exactly).
     */
@@ -206,7 +206,7 @@ object Dedup {
       s"SELECT doc, $b AS band_idx, sha256($parts) AS band_hash FROM mh"
     }.mkString("\n  UNION ALL\n  ")
     s"""WITH w AS (
-       |  SELECT doc_id AS doc, $wordsSql AS ws FROM documents),
+       |  SELECT doc_id AS doc, ${TextOps.wordsSql} AS ws FROM documents),
        |shingles AS (
        |  SELECT DISTINCT doc,
        |    unnest(list_transform(range(1, len(ws) - 1),
@@ -265,7 +265,7 @@ object Dedup {
       }.mkString(" ||\n    ")
       s"""WITH counts AS (
          |  SELECT doc_id AS doc, word, count(*) AS cnt, sha256(word) AS wh
-         |  FROM (SELECT doc_id, unnest($wordsSql) AS word FROM documents)
+         |  FROM (SELECT doc_id, unnest(${TextOps.wordsSql}) AS word FROM documents)
          |  GROUP BY doc_id, word)
          |SELECT doc,
          |    $bitCols AS simhash

@@ -28,6 +28,10 @@ object RefPipeline {
   private val Keyword = "merge"
   private val Prompt = "Keep the lines about merging."
 
+  /** Unique per process (see ref_memo_resume). */
+  private lazy val memoTmpRoot: String =
+    java.nio.file.Files.createTempDirectory("graft-memo-resume").toString
+
   /** DuckDB fragment: the engine's canonical token count (must stay in
     * lockstep with graft.expressions.TokenCount).
     */
@@ -37,7 +41,12 @@ object RefPipeline {
       s"w -> CAST(ceil(length(w) / 4.0) AS BIGINT))), 0) AS BIGINT)"
 
   /** DuckDB CTE computing (doc_id, text, n_tokens, chunk_id) exactly like
-    * Chunker.assignChunks.
+    * Chunker.assignChunks — FOR CORPORA WHERE NO RECORD EXCEEDS THE
+    * BUDGET (true of every fixture: docs are ~500 chars vs a
+    * 2000-token budget). Greedy C3b word-packing is a sequential fold
+    * and not cleanly ANSI-expressible; the oversized-record path is
+    * covered by the ScalaTest/ScalaCheck invariants instead
+    * (PipelineSpec "distributed C3b", ChunkerProperties).
     */
   private def chunksCte: String =
     s"""WITH toks AS (
@@ -97,7 +106,10 @@ object RefPipeline {
     // chunk resolves from the memo: a cached second run makes zero model
     // calls (mapreduce_test.go:210-218), enforced inside the plan.
     "ref_memo_resume" -> ((s, d) => {
-      val memoPath = s"${System.getProperty("java.io.tmpdir")}/graft_memo_resume_${math.abs(d.hashCode)}"
+      // per-JVM temp root: concurrent Verify/Bench processes (or other
+      // users) must never share a memo path — one process's clearMemo
+      // would fire mid-query in the other
+      val memoPath = s"${RefPipeline.memoTmpRoot}/memo_${Integer.toHexString(d.hashCode)}"
       graft.pipeline.MemoCache.clearMemo(s, memoPath)
       val chunks = Chunker.documentChunks(s, d, Budget)
       // run 1: the append inside mapChunksWithMemo materializes eagerly

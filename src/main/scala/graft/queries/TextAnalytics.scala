@@ -21,9 +21,6 @@ import graft.Tables._
   */
 object TextAnalytics {
 
-  private def wordsOf(textCol: Column): Column =
-    filter(split(lower(textCol), "\\s+"), w => length(w) > 0)
-
   /** Stopword list for quality scoring (fixture vocabulary includes
     * 'the' and 'a'; the rest are standard English function words).
     */
@@ -52,7 +49,7 @@ object TextAnalytics {
     // score with a word tie-break.
     "q43_tfidf_topterms" -> ((s, d) => {
       val words = documents(s, d)
-        .select(col("source"), explode(wordsOf(col("text"))).as("word"))
+        .select(col("source"), explode(TextOps.wordsOf(col("text"))).as("word"))
       val tf = words.groupBy(col("source"), col("word"))
         .agg(count(lit(1)).as("tf"))
       val dfreq = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
@@ -76,7 +73,7 @@ object TextAnalytics {
     // spreads each hot word over 16 sub-keys.
     "q50_salted_word_freq" -> ((s, d) => {
       val words = documents(s, d)
-        .select(col("doc_id"), explode(wordsOf(col("text"))).as("word"))
+        .select(col("doc_id"), explode(TextOps.wordsOf(col("text"))).as("word"))
       graft.plans.Salting.saltedCount(words, col("word"), "word",
         saltFrom = Seq(col("doc_id"), col("word")))
     }),
@@ -84,7 +81,7 @@ object TextAnalytics {
     // Per-document quality signals: length, word shape, stopword ratio,
     // token density — pure projections, no shuffle at all.
     "q45_quality_score" -> ((s, d) => {
-      val ws = wordsOf(col("text"))
+      val ws = TextOps.wordsOf(col("text"))
       documents(s, d)
         .withColumn("ws", ws)
         .withColumn("n_words", size(col("ws")).cast("long"))
@@ -95,15 +92,17 @@ object TextAnalytics {
             array_contains(array(Stopwords.map(lit): _*), w))).cast("long"))
         .select(
           col("doc_id"), col("n_words"),
-          round(col("sum_wlen").cast("double") / col("n_words"), 6).as("avg_word_len"),
-          round(col("stop_n").cast("double") / col("n_words"), 6).as("stop_ratio"),
-          round(graft.functions.token_count(col("text")).cast("double") * 100.0
-            / col("n_chars"), 6).as("tokens_per_100c"))
+          // guards: NULL (not engine-dependent NULL-vs-NaN) for
+          // zero-word / zero-char documents on BOTH engines
+          round(when(col("n_words") > 0,
+            col("sum_wlen").cast("double") / col("n_words")), 6).as("avg_word_len"),
+          round(when(col("n_words") > 0,
+            col("stop_n").cast("double") / col("n_words")), 6).as("stop_ratio"),
+          round(when(col("n_chars") > 0,
+            graft.functions.token_count(col("text")).cast("double") * 100.0
+              / col("n_chars")), 6).as("tokens_per_100c"))
     })
   )
-
-  private val wordsSql =
-    "list_filter(regexp_split_to_array(lower(text), '\\s+'), w -> length(w) > 0)"
 
   val oracles: Map[String, String] = Map(
     "q42_lang_stats" ->
@@ -119,7 +118,7 @@ object TextAnalytics {
 
     "q43_tfidf_topterms" ->
       s"""WITH words AS (
-         |  SELECT source, unnest($wordsSql) AS word FROM documents),
+         |  SELECT source, unnest(${TextOps.wordsSql}) AS word FROM documents),
          |tf AS (SELECT source, word, count(*) AS tf FROM words GROUP BY 1, 2),
          |df AS (SELECT word, count(*) AS df FROM tf GROUP BY 1),
          |ns AS (SELECT count(DISTINCT source) AS n_sources FROM documents),
@@ -136,22 +135,25 @@ object TextAnalytics {
 
     "q50_salted_word_freq" ->
       s"""SELECT word, count(*) AS n
-         |FROM (SELECT unnest($wordsSql) AS word FROM documents)
+         |FROM (SELECT unnest(${TextOps.wordsSql}) AS word FROM documents)
          |GROUP BY word""".stripMargin,
 
     "q45_quality_score" -> {
       val stops = Stopwords.map(s => s"'$s'").mkString(", ")
       s"""WITH t AS (
-         |  SELECT doc_id, n_chars, $wordsSql AS ws,
+         |  SELECT doc_id, n_chars, ${TextOps.wordsSql} AS ws,
          |    ${RefPipeline.tokenCountSql("text")} AS n_tok
          |  FROM documents)
          |SELECT doc_id,
          |  CAST(len(ws) AS BIGINT) AS n_words,
-         |  round(CAST(list_sum(list_transform(ws, w -> length(w))) AS DOUBLE)
-         |        / len(ws), 6) AS avg_word_len,
-         |  round(CAST(len(list_filter(ws, w -> list_contains([$stops], w))) AS DOUBLE)
-         |        / len(ws), 6) AS stop_ratio,
-         |  round(CAST(n_tok AS DOUBLE) * 100.0 / n_chars, 6) AS tokens_per_100c
+         |  round(CASE WHEN len(ws) > 0 THEN
+         |    CAST(list_sum(list_transform(ws, w -> length(w))) AS DOUBLE)
+         |        / len(ws) END, 6) AS avg_word_len,
+         |  round(CASE WHEN len(ws) > 0 THEN
+         |    CAST(len(list_filter(ws, w -> list_contains([$stops], w))) AS DOUBLE)
+         |        / len(ws) END, 6) AS stop_ratio,
+         |  round(CASE WHEN n_chars > 0 THEN
+         |    CAST(n_tok AS DOUBLE) * 100.0 / n_chars END, 6) AS tokens_per_100c
          |FROM t""".stripMargin
     }
   )

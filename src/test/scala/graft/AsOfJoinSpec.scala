@@ -29,6 +29,21 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(got.count() > 0)
   }
 
+  test("null payload field in the latest right row wins atomically") {
+    import spark.implicits._
+    val left = Seq((1L, 10L, 30L)).toDF("id", "k", "t")
+    val right = Seq(
+      (10L, 10L, Option(5L), Option(1.0)),
+      (10L, 20L, Option.empty[Long], Option(2.0))) // latest: p=null, v=2.0
+      .toDF("k", "t", "p", "v")
+    val out = AsOfJoin.asof(left, right, "k", "t", Seq("p", "v"), col("v"))
+      .collect()(0)
+    // must be the t=20 row verbatim — p stays null, never backfilled
+    // from t=10, and v comes from the SAME row
+    assert(out.isNullAt(out.fieldIndex("p")))
+    assert(out.getDouble(out.fieldIndex("v")) == 2.0)
+  }
+
   test("left rows before any right row get null payload") {
     import spark.implicits._
     val left = Seq((1L, 10L, 100L), (2L, 10L, 5L))
