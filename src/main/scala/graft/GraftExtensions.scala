@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.expressions.{TokenCount, VecDot}
+
+/** Session extensions: registers graft's native expressions as SQL
+  * functions, so `spark.sql("SELECT token_count(text) ...")` works for
+  * SQL-surface users exactly like the Column API
+  * (graft.functions.token_count / vec_dot). Activate with
+  *
+  *   .config("spark.sql.extensions", "graft.GraftExtensions")
+  *
+  * or `SparkSession.builder().withExtensions(new GraftExtensions)`.
+  * Function resolution stays inside Catalyst (native expressions, full
+  * codegen) — nothing here is a UDF.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo("graft", null, name, usage, "")
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("token_count"),
+      info("token_count", "token_count(str) - BPE-ish token estimate (see graft.expressions.TokenCount)"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1, "token_count takes exactly 1 argument")
+        TokenCount(children.head)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("vec_dot"),
+      info("vec_dot", "vec_dot(a, b) - float-vector dot product as double (see graft.expressions.VecDot)"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "vec_dot takes exactly 2 arguments")
+        VecDot(children(0), children(1))
+      }))
+  }
+}

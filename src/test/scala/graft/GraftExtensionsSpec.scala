@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The native expressions must be reachable from pure SQL when the
+  * extensions are installed — SQL-surface parity with the Column API.
+  */
+class GraftExtensionsSpec extends AnyFunSuite {
+
+  test("token_count and vec_dot resolve and evaluate from SQL") {
+    // force TestSpark's context to exist, then build a SIBLING session
+    // (same SparkContext) with the extensions installed
+    val base = TestSpark.spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      // withExtensions (not the spark.sql.extensions conf): that conf is
+      // STATIC and ignored when the SparkContext already exists, as here
+      val ext = SparkSession.builder()
+        .master("local[4]")
+        .withExtensions(new GraftExtensions)
+        .getOrCreate()
+      val r1 = ext.sql("SELECT token_count('hello world, tokenize me') AS n")
+        .collect()(0).getInt(0)
+      assert(r1 == graft.expressions.TokenCount.count("hello world, tokenize me"))
+      val r2 = ext.sql(
+        """SELECT vec_dot(CAST(array(1.0, 2.0, 3.0) AS array<float>),
+          |               CAST(array(1.0, 2.0, 3.0) AS array<float>)) AS d""".stripMargin)
+        .collect()(0).getDouble(0)
+      assert(r2 == 14.0)
+      // bad arity is a clean analysis error, not a crash
+      intercept[Exception](ext.sql("SELECT token_count('a', 'b')").collect())
+    } finally {
+      SparkSession.setActiveSession(base)
+      SparkSession.setDefaultSession(base)
+    }
+  }
+}
