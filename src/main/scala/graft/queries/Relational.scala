@@ -276,6 +276,28 @@ object Relational {
               |""".stripMargin)
     }),
 
+    // Ordered-set aggregates: exact linear-interpolation percentiles.
+    "q53_percentiles" -> ((s, d) => {
+      orders(s, d).createOrReplaceTempView("graft_orders_pct")
+      s.sql("""SELECT o_orderstatus,
+              |  round(percentile_cont(0.5) WITHIN GROUP (ORDER BY o_totalprice), 4) AS p50,
+              |  round(percentile_cont(0.9) WITHIN GROUP (ORDER BY o_totalprice), 4) AS p90,
+              |  round(percentile_cont(0.99) WITHIN GROUP (ORDER BY o_totalprice), 4) AS p99
+              |FROM graft_orders_pct GROUP BY o_orderstatus""".stripMargin)
+    }),
+
+    // Statistical aggregates (corr/covar/stddev/var). Rounded to 2dp:
+    // both engines use streaming moment formulas whose last-ulp noise
+    // must not flip the hash compare on ~1e4-magnitude values.
+    "q54_stats_agg" -> ((s, d) => {
+      lineitem(s, d).groupBy(col("l_returnflag"))
+        .agg(
+          round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("qty_price_corr"),
+          round(covar_samp(col("l_quantity"), col("l_extendedprice")), 2).as("qty_price_covar"),
+          round(stddev_samp(col("l_extendedprice")), 2).as("price_stddev"),
+          round(var_samp(col("l_quantity")), 2).as("qty_var"))
+    }),
+
     // Pivot (conditional aggregation over a known value set).
     "q32_pivot" -> ((s, d) => {
       events(s, d)
@@ -455,6 +477,21 @@ object Relational {
       """SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice
         |FROM orders
         |WHERE o_totalprice > 1.5 * (SELECT avg(o_totalprice) FROM orders)""".stripMargin,
+
+    "q53_percentiles" ->
+      """SELECT o_orderstatus,
+        |  round(percentile_cont(0.5) WITHIN GROUP (ORDER BY o_totalprice), 4) AS p50,
+        |  round(percentile_cont(0.9) WITHIN GROUP (ORDER BY o_totalprice), 4) AS p90,
+        |  round(percentile_cont(0.99) WITHIN GROUP (ORDER BY o_totalprice), 4) AS p99
+        |FROM orders GROUP BY o_orderstatus""".stripMargin,
+
+    "q54_stats_agg" ->
+      """SELECT l_returnflag,
+        |  round(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+        |  round(covar_samp(l_quantity, l_extendedprice), 2) AS qty_price_covar,
+        |  round(stddev_samp(l_extendedprice), 2) AS price_stddev,
+        |  round(var_samp(l_quantity), 2) AS qty_var
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
 
     "q32_pivot" ->
       """SELECT user_id % 10 AS cohort,
