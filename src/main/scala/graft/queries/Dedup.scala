@@ -190,6 +190,20 @@ object Dedup {
       simhash(documents(s, d), "doc_id", "text")),
     "q49_ngram_jaccard" -> ((s, d) =>
       ngramJaccard(documents(s, d), "doc_id", "text")),
+    // Character-level verify stage: exact edit distance, again on the
+    // CANDIDATE pairs only (levenshtein is O(len^2) per pair — the
+    // bucketed candidate set is what makes it affordable at scale).
+    "q55_edit_distance" -> ((s, d) => {
+      val docs = documents(s, d).select(col("doc_id"), col("text"))
+      minhashCandidates(documents(s, d), "doc_id", "text")
+        .select(col("doc_a"), col("doc_b"))
+        .join(docs.withColumnRenamed("doc_id", "doc_a")
+          .withColumnRenamed("text", "text_a"), Seq("doc_a"))
+        .join(docs.withColumnRenamed("doc_id", "doc_b")
+          .withColumnRenamed("text", "text_b"), Seq("doc_b"))
+        .select(col("doc_a"), col("doc_b"),
+          levenshtein(col("text_a"), col("text_b")).cast("long").as("edit_dist"))
+    }),
     "q47_embed_neardup" -> ((s, d) =>
       embeddingNearDups(embeddings(s, d), NearDupThreshold))
   )
@@ -256,6 +270,20 @@ object Dedup {
          |LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
          |JOIN counts ca ON ca.doc = c.doc_a
          |JOIN counts cb ON cb.doc = c.doc_b""".stripMargin,
+
+    "q55_edit_distance" ->
+      s"""$minhashCtes,
+         |cands AS (
+         |  SELECT a.doc AS doc_a, b.doc AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+         |    AND a.doc < b.doc
+         |  GROUP BY 1, 2)
+         |SELECT c.doc_a, c.doc_b,
+         |  levenshtein(da.text, db.text) AS edit_dist
+         |FROM cands c
+         |JOIN documents da ON da.doc_id = c.doc_a
+         |JOIN documents db ON db.doc_id = c.doc_b""".stripMargin,
 
     "q46_simhash" -> {
       val bitCols = (0 until SimhashBits).map { j =>

@@ -276,6 +276,21 @@ object Relational {
               |""".stripMargin)
     }),
 
+    // Conditional / null-handling scalar family.
+    "q56_conditional_funcs" -> ((s, d) => {
+      lineitem(s, d)
+        .filter(col("l_orderkey") < 200)
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          when(col("l_quantity") >= 25, "bulk")
+            .when(col("l_quantity") >= 10, "mid")
+            .otherwise("small").as("qty_band"),
+          nullif(col("l_returnflag"), lit("N")).as("rf_or_null"),
+          coalesce(nullif(col("l_returnflag"), lit("N")), lit("none")).as("rf_coalesced"),
+          round(greatest(col("l_extendedprice"), lit(20000.0)), 2).as("price_floor20k"),
+          round(least(col("l_quantity"), lit(25.0)), 2).as("qty_cap25"))
+    }),
+
     // Ordered-set aggregates: exact linear-interpolation percentiles.
     "q53_percentiles" -> ((s, d) => {
       orders(s, d).createOrReplaceTempView("graft_orders_pct")
@@ -477,6 +492,17 @@ object Relational {
       """SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice
         |FROM orders
         |WHERE o_totalprice > 1.5 * (SELECT avg(o_totalprice) FROM orders)""".stripMargin,
+
+    "q56_conditional_funcs" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  CASE WHEN l_quantity >= 25 THEN 'bulk'
+        |       WHEN l_quantity >= 10 THEN 'mid'
+        |       ELSE 'small' END AS qty_band,
+        |  nullif(l_returnflag, 'N') AS rf_or_null,
+        |  coalesce(nullif(l_returnflag, 'N'), 'none') AS rf_coalesced,
+        |  round(greatest(l_extendedprice, 20000.0), 2) AS price_floor20k,
+        |  round(least(l_quantity, 25.0), 2) AS qty_cap25
+        |FROM lineitem WHERE l_orderkey < 200""".stripMargin,
 
     "q53_percentiles" ->
       """SELECT o_orderstatus,
