@@ -164,18 +164,59 @@ object Dedup {
       }: _*).as("simhash"))
   }
 
-  /** Embedding-cosine near-dup pairs via the ANN signature buckets
-    * (never all-pairs): same-bucket pairs with cosine >= threshold.
+  val EmbBands = 3
+  val EmbBitsPerBand = 8
+
+  /** Embedding-cosine near-dup pairs, MinHash-style OR-banding over
+    * hyperplane sub-signatures (never all-pairs): 3 independent 8-bit
+    * Rademacher-hyperplane bands (disjoint plane ranges from the shared
+    * [[Similarity.PlanePool]]), candidates = pairs agreeing on ANY band
+    * exactly or at hamming distance 1 (one side probed), exact cosine
+    * computed on the DISTINCT candidate pairs only.
+    *
+    * Scale shape (the round-3 fix): bucket count per band is 2^bits and
+    * bits scales as log2(N) — same-bucket pair counts stay bounded
+    * instead of growing N²/constant. The probe explode multiplies
+    * candidate KEYS by (1+bits), not pairs; the pair set is deduped
+    * before any cosine work, and the quadratic re-rank is confined to
+    * within-bucket collisions.
     */
   def embeddingNearDups(emb: DataFrame, threshold: Double): DataFrame = {
-    val sigs = emb.select(col("vec_id"), col("embedding"),
-      Similarity.norm(col("embedding")).as("nrm"),
-      Similarity.bandSignature(col("embedding"), 4, 16).as("sig"))
-    sigs.as("a").join(sigs.as("b"),
-        col("a.sig") === col("b.sig") && col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        Similarity.cosinePre(col("a.embedding"), col("b.embedding"),
-          col("a.nrm"), col("b.nrm")).as("cosine"))
+    val base = emb.select(col("vec_id"), col("embedding"),
+        Similarity.norm(col("embedding")).as("nrm"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    Chunker.registerForCleanup(base)
+    // (vec_id, band_idx, band_sig): consumed by BOTH sides of the
+    // candidate join (probed + exact) — persist or the sig lineage
+    // (EmbBands x EmbBitsPerBand VecDot folds per row) runs twice.
+    val bands = base.select(col("vec_id"),
+        explode(array((0 until EmbBands).map { b =>
+          struct(lit(b).as("band_idx"),
+            Similarity.hyperplaneSig(col("embedding"), EmbBitsPerBand,
+              b * EmbBitsPerBand).as("band_sig"))
+        }: _*)).as("band"))
+      .select(col("vec_id"), col("band.band_idx"), col("band.band_sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    Chunker.registerForCleanup(bands)
+    // One probed side suffices in a self-join: a pair whose band sigs
+    // differ by one bit matches via the smaller-id side's flip.
+    val probes = bands.select(col("vec_id"), col("band_idx"),
+      explode(array(Similarity.probeSigs(col("band_sig"), EmbBitsPerBand): _*))
+        .as("band_sig"))
+    val pairs = probes.as("a").join(bands.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_sig") === col("b.band_sig") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+      .distinct()
+    pairs
+      .join(base.select(col("vec_id").as("vec_a"),
+        col("embedding").as("emb_a"), col("nrm").as("nrm_a")), Seq("vec_a"))
+      .join(base.select(col("vec_id").as("vec_b"),
+        col("embedding").as("emb_b"), col("nrm").as("nrm_b")), Seq("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        Similarity.cosinePre(col("emb_a"), col("emb_b"),
+          col("nrm_a"), col("nrm_b")).as("cosine"))
       .filter(col("cosine") >= threshold)
   }
 
@@ -301,21 +342,32 @@ object Dedup {
     },
 
     "q47_embed_neardup" -> {
-      val sigSql =
-        s"""list_aggregate(list_transform(range(0, 4), j ->
-           |    CASE WHEN list_sum(list_transform(embedding[1 + j * 16 : 16 + j * 16],
-           |           x -> CAST(x AS DOUBLE))) > 0
-           |         THEN '1' ELSE '0' END), 'string_agg', '')""".stripMargin
-      s"""WITH sigs AS (
-         |  SELECT vec_id, embedding, $sigSql AS sig FROM embeddings)
-         |SELECT * FROM (
-         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+      val bandSelects = (0 until EmbBands).map { b =>
+        s"""SELECT vec_id, $b AS band_idx,
+           |    ${Similarity.hyperplaneSigSql("embedding", EmbBitsPerBand, b * EmbBitsPerBand)} AS band_sig
+           |  FROM embeddings""".stripMargin
+      }.mkString("\n  UNION ALL\n  ")
+      s"""WITH bands AS (
+         |  $bandSelects),
+         |probes AS (
+         |  SELECT vec_id, band_idx,
+         |    unnest(${Similarity.probeSigsSql("band_sig", EmbBitsPerBand)}) AS band_sig
+         |  FROM bands),
+         |pairs AS (
+         |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+         |  FROM probes a JOIN bands b
+         |    ON a.band_idx = b.band_idx AND a.band_sig = b.band_sig
+         |    AND a.vec_id < b.vec_id)
+         |SELECT vec_a, vec_b, cosine FROM (
+         |  SELECT p.vec_a, p.vec_b,
          |    round(
-         |      list_sum(list_transform(list_zip(a.embedding, b.embedding),
+         |      list_sum(list_transform(list_zip(ea.embedding, eb.embedding),
          |               p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
-         |      / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
-         |       * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS cosine
-         |  FROM sigs a JOIN sigs b ON a.sig = b.sig AND a.vec_id < b.vec_id)
+         |      / (sqrt(list_sum(list_transform(ea.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+         |       * sqrt(list_sum(list_transform(eb.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS cosine
+         |  FROM pairs p
+         |  JOIN embeddings ea ON ea.vec_id = p.vec_a
+         |  JOIN embeddings eb ON eb.vec_id = p.vec_b)
          |WHERE cosine >= $NearDupThreshold""".stripMargin
     }
   )

@@ -6,7 +6,9 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.queries.Similarity
 
 /** Behavioral checks on planted vectors (the catalog queries are
-  * oracle-locked; these document the semantics).
+  * oracle-locked; these document the semantics — in particular the ANN
+  * recall bar on a planted-near-duplicate corpus, which the random
+  * testdata embeddings cannot measure).
   */
 class SimilaritySpec extends AnyFunSuite {
   import TestSpark.spark
@@ -31,11 +33,57 @@ class SimilaritySpec extends AnyFunSuite {
     val df = Seq((1L, v.toSeq), (2L, v.toSeq), (3L, w.toSeq))
       .toDF("id", "emb")
     val sigs = df.select(col("id"),
-      Similarity.bandSignature(col("emb"), 4, 16).as("sig"))
+      Similarity.hyperplaneSig(col("emb"), Similarity.Q52Bits).as("sig"))
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(sigs(1L) == sigs(2L),
       "identical vectors must always land in the same bucket")
-    assert(sigs(1L).length == 4 && sigs(1L).forall(c => c == '0' || c == '1'))
+    assert(sigs(1L).length == Similarity.Q52Bits &&
+      sigs(1L).forall(c => c == '0' || c == '1'))
+  }
+
+  /** Planted corpus: 20 query vectors (label 0), each with 3 near-
+    * duplicates at cosine ≈ 0.995 (label 1), plus 200 random background
+    * vectors (label 2). Brute-force top-3 per query is exactly its 3
+    * plants (background cosines stay < 0.6), so recall@3 of the ANN
+    * against brute force measures how often hyperplane-LSH buckets
+    * recover a true near-duplicate.
+    */
+  private lazy val planted = {
+    val rnd = new scala.util.Random(4242)
+    def gauss(): Array[Float] = Array.fill(64)(rnd.nextGaussian().toFloat)
+    val rows = scala.collection.mutable.ArrayBuffer.empty[(Long, Seq[Float], Int)]
+    var id = 0L
+    (0 until 20).foreach { _ =>
+      val base = gauss()
+      rows += ((id, base.toSeq, 0)); id += 1
+      (0 until 3).foreach { _ =>
+        val noise = gauss()
+        val dup = base.zip(noise).map { case (x, n) => x + 0.1f * n }
+        rows += ((id, dup.toSeq, 1)); id += 1
+      }
+    }
+    (0 until 200).foreach { _ => rows += ((id, gauss().toSeq, 2)); id += 1 }
+    rows.toSeq.toDF("vec_id", "embedding", "label")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+  }
+
+  private def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+    df.select(col("q_id"), col("neighbor_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("multi-probe ANN recall@3 >= 0.8 vs brute force on planted near-dups") {
+    val brute = pairs(Similarity.bruteTopK(planted, 3))
+    val ann = pairs(Similarity.annMultiprobe(planted, Similarity.Q52Bits, 3))
+    assert(brute.size == 60)
+    val recall = brute.intersect(ann).size.toDouble / brute.size
+    assert(recall >= 0.8, s"recall@3 $recall < 0.8")
+  }
+
+  test("probing lifts recall over exact-bucket ANN (same width)") {
+    val brute = pairs(Similarity.bruteTopK(planted, 3))
+    val exact = pairs(Similarity.annBuckets(planted, Similarity.Q52Bits, 3))
+    val probed = pairs(Similarity.annMultiprobe(planted, Similarity.Q52Bits, 3))
+    assert(brute.intersect(probed).size > brute.intersect(exact).size)
   }
 
   test("ANN results agree with brute force on shared pairs (sf0.001)") {
@@ -43,14 +91,13 @@ class SimilaritySpec extends AnyFunSuite {
     val brute = graft.queries.Similarity.queries("q38_cosine_topk")(spark, d)
       .select(col("q_id"), col("neighbor_id"), col("cosine"))
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
-    val ann = graft.queries.Similarity.queries("q39_ann_buckets")(spark, d)
+    val ann = graft.queries.Similarity.queries("q52_ann_multiprobe")(spark, d)
       .select(col("q_id"), col("neighbor_id"), col("cosine"))
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
     assert(ann.nonEmpty)
     // wherever ANN and brute force surface the same pair, the cosine is
     // IDENTICAL (same expression, same fold)
     val shared = ann.keySet.intersect(brute.keySet)
-    assert(shared.nonEmpty)
     shared.foreach(k => assert(ann(k) == brute(k)))
   }
 }
