@@ -222,6 +222,76 @@ object Dedup {
 
   private val NearDupThreshold = 0.35
 
+  /** Iteration cap for [[neardupClusters]]: label propagation converges
+    * in <= graph-diameter rounds, and near-dup components are shallow
+    * (duplicate clusters, not long chains) — 64 is far above any real
+    * diameter. Non-convergence inside the cap throws rather than
+    * returning a silently-partial clustering.
+    */
+  val MaxClusterIters = 64
+
+  /** Connected components over near-dup candidate pairs: every doc gets
+    * `cluster_id` = the SMALLEST doc id in its component (deterministic
+    * survivor rule, same as [[exactDedup]]), `is_survivor` = 1 for the
+    * one kept row per component. Docs in no pair are their own
+    * singleton cluster.
+    *
+    * Pregel-style smallest-label propagation: each round a doc's label
+    * becomes min(own, neighbors'); fixpoint in O(diameter) rounds. The
+    * driver loop holds only a per-round CHECKSUM (labels are monotone
+    * non-increasing, so an unchanged sum means an unchanged fixpoint) —
+    * every join/agg is distributed, nothing row-shaped ever reaches the
+    * driver, and each round's result is persisted so the next round's
+    * lineage stays one hop deep. This completes detect -> resolve ->
+    * emit for near-dup dedup (the reference's product is the KEPT
+    * subset of the corpus: /root/reference/internal/cli/mapreduce.go:91).
+    */
+  def neardupClusters(docs: DataFrame, pairs: DataFrame, idCol: String): DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .persist(MEMORY_AND_DISK)
+    Chunker.registerForCleanup(edges)
+    var labels = docs.select(col(idCol).as("doc"), col(idCol).as("label"))
+      .persist(MEMORY_AND_DISK)
+    def checksum(df: DataFrame): Option[Long] =
+      Option(df.agg(sum(col("label"))).head.get(0)).map(_.asInstanceOf[Long])
+    var sum0 = checksum(labels)
+    var converged = sum0.isEmpty // empty corpus: nothing to propagate
+    var iters = 0
+    while (!converged && iters < MaxClusterIters) {
+      val msgs = edges.join(labels, col("src") === col("doc"))
+        .select(col("dst").as("doc"), col("label"))
+      val next = labels.union(msgs).groupBy(col("doc"))
+        .agg(min(col("label")).as("label"))
+        .persist(MEMORY_AND_DISK)
+      val sum1 = checksum(next)
+      labels.unpersist()
+      labels = next
+      converged = sum1 == sum0
+      sum0 = sum1
+      iters += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"label propagation did not converge in $MaxClusterIters rounds")
+    Chunker.registerForCleanup(labels)
+    labels.select(col("doc").as(idCol), col("label").as("cluster_id"),
+      (col("doc") === col("label")).cast("long").as("is_survivor"))
+  }
+
+  /** The near-dup-deduplicated corpus: one surviving row (smallest id)
+    * per connected component of the MinHash candidate graph — the
+    * near-dup counterpart of [[keepSurvivors]]. Only ids shuffle in the
+    * semi-join.
+    */
+  def keepNearDupSurvivors(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val labels = neardupClusters(docs,
+      minhashCandidates(docs, idCol, textCol), idCol)
+    docs.join(labels.filter(col("is_survivor") === 1).select(col(idCol)),
+      Seq(idCol), "left_semi")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_dedup_exact" -> ((s, d) =>
       exactDedup(documents(s, d), "doc_id", "text")),
@@ -246,7 +316,11 @@ object Dedup {
           levenshtein(col("text_a"), col("text_b")).cast("long").as("edit_dist"))
     }),
     "q47_embed_neardup" -> ((s, d) =>
-      embeddingNearDups(embeddings(s, d), NearDupThreshold))
+      embeddingNearDups(embeddings(s, d), NearDupThreshold)),
+    "q57_neardup_clusters" -> ((s, d) => {
+      val docs = documents(s, d)
+      neardupClusters(docs, minhashCandidates(docs, "doc_id", "text"), "doc_id")
+    })
   )
 
   /** Shared DuckDB CTE chain: words -> shingles -> minhashes -> bands
@@ -340,6 +414,31 @@ object Dedup {
          |    $bitCols AS simhash
          |FROM counts GROUP BY doc""".stripMargin
     },
+
+    // Connected components in ANSI SQL: `reach` enumerates every
+    // (doc, ancestor-that-reaches-it) pair over the candidate-pair
+    // edges (UNION dedup bounds the recursion); cluster_id = min label,
+    // exactly the propagation fixpoint computed by [[neardupClusters]].
+    "q57_neardup_clusters" ->
+      s"""WITH RECURSIVE ${minhashCtes.stripPrefix("WITH ")},
+         |cands AS (
+         |  SELECT a.doc AS doc_a, b.doc AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+         |    AND a.doc < b.doc
+         |  GROUP BY 1, 2),
+         |edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM cands
+         |  UNION SELECT doc_b, doc_a FROM cands),
+         |reach(doc, label) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.doc),
+         |labels AS (
+         |  SELECT doc AS doc_id, min(label) AS cluster_id FROM reach GROUP BY doc)
+         |SELECT d.doc_id, l.cluster_id,
+         |  CAST(d.doc_id = l.cluster_id AS BIGINT) AS is_survivor
+         |FROM documents d JOIN labels l ON l.doc_id = d.doc_id""".stripMargin,
 
     "q47_embed_neardup" -> {
       val bandSelects = (0 until EmbBands).map { b =>

@@ -85,6 +85,29 @@ class DedupSpec extends AnyFunSuite {
     scored.get((1L, 2L)).foreach(j => assert(j > 0.5 && j < 1.0, s"j=$j"))
   }
 
+  test("neardup clusters: transitive pairs collapse to the min-id component") {
+    // candidate graph: 1-2, 2-3 (a chain: 1 and 3 never pair directly),
+    // 5-6; docs 4 and 7 untouched singletons
+    val docs = (1L to 7L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("doc_a", "doc_b")
+    val out = Dedup.neardupClusters(docs, pairs, "doc_id")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out(1L) == ((1L, 1L)) && out(2L) == ((1L, 0L)) && out(3L) == ((1L, 0L)),
+      s"chain must fully collapse: $out")
+    assert(out(5L) == ((5L, 1L)) && out(6L) == ((5L, 0L)))
+    assert(out(4L) == ((4L, 1L)) && out(7L) == ((7L, 1L)))
+  }
+
+  test("keepNearDupSurvivors emits one row per component plus singletons") {
+    val nearA = base.trim
+    val nearB = base.trim.replaceFirst("lazy", "sleepy")
+    val other = (1 to 40).map(i => s"uniqueword$i").mkString(" ")
+    val docs = Seq((1L, nearA), (2L, nearB), (3L, other)).toDF("doc_id", "text")
+    val kept = Dedup.keepNearDupSurvivors(docs, "doc_id", "text")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(1L, 3L), s"got $kept")
+  }
+
   test("embedding near-dups: identical vectors pair at cosine 1.0") {
     val v = Array.tabulate(64)(i => (math.sin(i + 1) * 0.5).toFloat)
     val w = Array.tabulate(64)(i => (math.cos(i * 2 + 1) * 0.5).toFloat)
