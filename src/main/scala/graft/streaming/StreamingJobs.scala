@@ -85,4 +85,40 @@ object StreamingJobs {
     q.awaitTermination()
     spark.table(queryName)
   }
+
+  /** Run `mkAgg` INCREMENTALLY: each batch DataFrame becomes one parquet
+    * file (mtime-ordered, which is the file source's processing order)
+    * and `maxFilesPerTrigger=1` makes AvailableNow process them as
+    * SEPARATE micro-batches. With `append` output the watermark advances
+    * between batches, finalized windows are emitted exactly once and
+    * their state is EVICTED, and input rows older than the watermark are
+    * dropped — the real state lifecycle, not a one-shot replay
+    * (StreamingSpec proves the late-drop on a planted late event).
+    */
+  def runIncremental(spark: SparkSession, batches: Seq[DataFrame],
+                     mkAgg: DataFrame => DataFrame, queryName: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val dir = Files.createTempDirectory("graft-inc-src")
+    val schema = batches.head.schema
+    batches.zipWithIndex.foreach { case (b, i) =>
+      val tmp = Files.createTempDirectory("graft-inc-stage")
+      b.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = Files.list(tmp).filter(p =>
+          p.getFileName.toString.startsWith("part-")).findFirst.get
+      val dest = dir.resolve(f"batch-$i%05d.parquet")
+      Files.move(part, dest)
+      Files.setLastModifiedTime(dest,
+        java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 60000L))
+    }
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir.toString)
+    val q = mkAgg(src).writeStream
+      .format("memory")
+      .queryName(queryName)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+  }
 }

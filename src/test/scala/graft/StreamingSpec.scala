@@ -43,6 +43,56 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.count() > 0)
   }
 
+  test("incremental multi-batch stream: watermark drops the late event, " +
+    "finalized windows match batch") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    def evs(rows: (String, String, Double)*) =
+      rows.toSeq.toDF("ts_s", "event_type", "value")
+        .select(to_timestamp(col("ts_s")).as("ts"), col("event_type"), col("value"))
+    // batch 1: on-time events across hours 0..5 (max event time 05:30)
+    val b1 = evs(
+      ("2024-01-01 00:10:00", "view", 1.0), ("2024-01-01 00:40:00", "view", 2.0),
+      ("2024-01-01 01:15:00", "view", 3.0), ("2024-01-01 02:20:00", "click", 4.0),
+      ("2024-01-01 05:30:00", "view", 5.0))
+    // batch 2 advances the watermark to 03:30 (05:30 - 2h): at its end
+    // the hour-0..2 windows are emitted and their state EVICTED
+    val b2 = evs(("2024-01-01 06:30:00", "view", 6.0))
+    // batch 3 is ONLY the late event: its window was already finalized,
+    // so the watermark must drop the row — if it leaked it would re-open
+    // hour-0 state and a duplicate hour-0 row would be emitted later
+    val b3 = evs(("2024-01-01 00:20:00", "view", 99.0))
+    // batch 4 advances the clock further so any leaked state would flush
+    val b4 = evs(("2024-01-01 08:00:00", "view", 7.0))
+    val got = StreamingJobs.runIncremental(spark, Seq(b1, b2, b3, b4),
+      StreamingJobs.tumblingCounts, "t_incremental")
+    val all = got.collect()
+    val rows = all.map(r => (String.valueOf(r.get(0)), r.getString(1)) ->
+      (r.getLong(2), r.getDouble(3))).toMap
+    // append emitted each finalized window exactly once (a leaked late
+    // row would re-open evicted state and emit hour-0 twice)
+    assert(all.length == rows.size, s"duplicate window emission: ${all.toSeq}")
+    // hour-0 "view" finalized with the TWO batch-1 events only: the late
+    // 99.0-value event was dropped by the watermark
+    assert(rows(("2024-01-01 00:00:00.0", "view")) == ((2L, 3.0)),
+      s"late event leaked into a finalized window: $rows")
+    // finalized windows match the batch aggregation over on-time events
+    val onTime = evs(
+      ("2024-01-01 00:10:00", "view", 1.0), ("2024-01-01 00:40:00", "view", 2.0),
+      ("2024-01-01 01:15:00", "view", 3.0), ("2024-01-01 02:20:00", "click", 4.0),
+      ("2024-01-01 05:30:00", "view", 5.0), ("2024-01-01 06:30:00", "view", 6.0),
+      ("2024-01-01 08:00:00", "view", 7.0))
+    val batch = onTime.groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("value_sum"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("value_sum"))
+      .collect().map(r => (String.valueOf(r.get(0)), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    rows.foreach { case (k, v) =>
+      assert(batch(k) == v, s"finalized window $k diverged from batch: $v vs ${batch(k)}")
+    }
+  }
+
   test("streaming session window == batch q37") {
     val stream = StreamingJobs.eventsStream(spark, TestSpark.sf0001)
     val got = StreamingJobs.runToCompletion(spark,
