@@ -86,6 +86,34 @@ object Relational {
         .select(col("c_custkey"), col("c_nationkey"))
     }),
 
+    // Full outer over two pre-aggregated sides: each side shrinks to its
+    // key grain BEFORE the join, so the outer join moves one row per key
+    // — never the raw tables. The acctbal filter guarantees key sets
+    // that miss in BOTH directions (null-side coverage both ways).
+    "q58_full_outer_join" -> ((s, d) => {
+      val cn = customer(s, d).filter(col("c_acctbal") > 8000)
+        .groupBy(col("c_nationkey").as("nationkey"))
+        .agg(count(lit(1)).as("n_cust"))
+      val sn = supplier(s, d)
+        .groupBy(col("s_nationkey").as("nationkey"))
+        .agg(count(lit(1)).as("n_supp"))
+      cn.join(sn, Seq("nationkey"), "full_outer")
+        .select(col("nationkey"),
+          coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+          coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+    }),
+
+    // Right outer with the preserved side on the right; the left-side
+    // status restriction lives in the join (an ON-clause predicate —
+    // a WHERE would silently turn the join inner).
+    "q59_right_join" -> ((s, d) => {
+      val o = orders(s, d).filter(col("o_orderstatus") === "F")
+      o.join(customer(s, d), col("o_custkey") === col("c_custkey"), "right")
+        .groupBy(col("c_custkey"), col("c_mktsegment"))
+        .agg(count(col("o_orderkey")).as("n_orders"),
+          round(coalesce(sum(col("o_totalprice")), lit(0.0)), 2).as("spend"))
+    }),
+
     // Explicit broadcast of the small dimension: at 100 TB the fact side
     // never shuffles for this join.
     "q07_broadcast_join" -> ((s, d) => {
@@ -357,6 +385,25 @@ object Relational {
         |  round(coalesce(sum(o_totalprice), 0), 2) AS spend
         |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
         |GROUP BY c_custkey""".stripMargin,
+
+    "q58_full_outer_join" ->
+      """WITH cn AS (
+        |  SELECT c_nationkey AS nationkey, count(*) AS n_cust
+        |  FROM customer WHERE c_acctbal > 8000 GROUP BY 1),
+        |sn AS (
+        |  SELECT s_nationkey AS nationkey, count(*) AS n_supp
+        |  FROM supplier GROUP BY 1)
+        |SELECT coalesce(cn.nationkey, sn.nationkey) AS nationkey,
+        |  CAST(coalesce(cn.n_cust, 0) AS BIGINT) AS n_cust,
+        |  CAST(coalesce(sn.n_supp, 0) AS BIGINT) AS n_supp
+        |FROM cn FULL OUTER JOIN sn ON cn.nationkey = sn.nationkey""".stripMargin,
+
+    "q59_right_join" ->
+      """SELECT c_custkey, c_mktsegment, count(o_orderkey) AS n_orders,
+        |  round(coalesce(sum(o_totalprice), 0), 2) AS spend
+        |FROM orders RIGHT JOIN customer
+        |  ON o_custkey = c_custkey AND o_orderstatus = 'F'
+        |GROUP BY c_custkey, c_mktsegment""".stripMargin,
 
     "q05_semi_join" ->
       """SELECT c_custkey, c_mktsegment FROM customer
