@@ -91,6 +91,25 @@ object RefPipeline {
           md5(col("text")).as("text_md5"))
     }),
 
+    // C3b WITH an oracle: chunk stats over a derived corpus where every
+    // word costs exactly 1 token ("ab" => ceil(2/4) = 1), record i has
+    // k = 2 + doc_id % 7 words, and the budget is 4 — so records with
+    // k > 4 take the oversized word-split path (greedy 4-word pieces,
+    // remainder last) and records with k <= 4 flow through unsplit.
+    // Uniform word cost makes the split ANSI-expressible: piece `pos`
+    // of an oversized record carries least(4, k - 4*pos) tokens, which
+    // the oracle reproduces exactly — closing the one invariant that
+    // was previously ScalaTest/ScalaCheck-only (SURVEY §2.1 C3b).
+    "ref_chunk_stats_oversized" -> ((s, d) => {
+      val k = (lit(2) + pmod(col("doc_id"), lit(7))).cast("long")
+      val docs = Tables.documents(s, d).select(col("doc_id"),
+        array_join(transform(sequence(lit(1L), k), _ => lit("ab")), " ")
+          .as("text"))
+      Chunker.chunkTable(docs, "doc_id", "text", budget = 4)
+        .select(col("chunk_id"), col("n_records"), col("n_tokens"),
+          md5(col("text")).as("text_md5"))
+    }),
+
     // C4+C5: map stage with the deterministic line-filter client.
     "ref_pipeline" -> ((s, d) => {
       val chunks = Chunker.documentChunks(s, d, Budget)
@@ -152,6 +171,37 @@ object RefPipeline {
          |       count(*) AS n_records,
          |       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
          |       md5(string_agg(text, chr(10) ORDER BY doc_id)) AS text_md5
+         |FROM chunks GROUP BY chunk_id""".stripMargin,
+
+    // The word-split mirror: oversized records expand to
+    // ceil(k/4) pieces of least(4, k - 4*pos) one-token words each;
+    // the running sum then buckets PIECES in (doc_id, pos) order,
+    // exactly like assignChunks' struct sort key.
+    "ref_chunk_stats_oversized" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, 2 + doc_id % 7 AS k FROM documents),
+         |pieces AS (
+         |  SELECT doc_id,
+         |         unnest(range(0, CAST(ceil(k / 4.0) AS BIGINT))) AS pos,
+         |         k
+         |  FROM d),
+         |pt AS (
+         |  SELECT doc_id, pos,
+         |         CAST(least(4, k - 4 * pos) AS BIGINT) AS n_tokens,
+         |         array_to_string(list_transform(
+         |           range(0, least(4, k - 4 * pos)), x -> 'ab'), ' ') AS text
+         |  FROM pieces),
+         |cum AS (
+         |  SELECT doc_id, pos, n_tokens, text,
+         |         sum(n_tokens) OVER (ORDER BY doc_id, pos) AS c
+         |  FROM pt),
+         |chunks AS (
+         |  SELECT doc_id, pos, n_tokens, text,
+         |         CAST(greatest(0, floor((c - 1) / 4.0)) AS BIGINT) AS chunk_id
+         |  FROM cum)
+         |SELECT chunk_id, count(*) AS n_records,
+         |       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+         |       md5(string_agg(text, chr(10) ORDER BY doc_id, pos)) AS text_md5
          |FROM chunks GROUP BY chunk_id""".stripMargin,
 
     // Identical output contract to ref_pipeline — resume must be
