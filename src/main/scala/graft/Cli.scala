@@ -56,8 +56,12 @@ object Cli {
     try {
       val chunks = Chunker.chunkTable(corpus, "line_id", "text")
       val memoPath = file + ".graft_memo"
+      // The keyword parameterizes the client's behavior, so it MUST be
+      // part of the memo key (as the model id) — otherwise a re-run with
+      // a different keyword would silently serve the old keyword's
+      // results from the on-disk memo.
       val mapped = MemoCache.mapChunksWithMemo(
-        chunks, KeywordFilterClient(keyword), prompt, "local", memoPath)
+        chunks, KeywordFilterClient(keyword), prompt, s"local:$keyword", memoPath)
       Combine.writeCombined(mapped, file + ".combined_results.txt")
       Console.err.println(
         s"[graft] done: ${tracker.completed} tasks, output ${file}.combined_results.txt")

@@ -47,23 +47,48 @@ object Chunker {
     * range-partitioned inputs would otherwise live for the session.
     * [[clearCaches]] is the explicit release valve — Bench calls it
     * between passes; long-lived sessions call it between pipelines.
+    *
+    * Keyed by owning SparkSession (like chunkTableCache), so a
+    * per-session clear never unpersists another session's plans, and
+    * the onApplicationEnd listener drains a stopping session's entries.
     */
   private val persistedRegistry =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[DataFrame]()
+    new java.util.concurrent.ConcurrentHashMap[SparkSession,
+      java.util.Set[DataFrame]]()
 
   def registerForCleanup(df: DataFrame): Unit = {
-    persistedRegistry.add(df)
+    watchSession(df.sparkSession)
+    persistedRegistry
+      .computeIfAbsent(df.sparkSession,
+        _ => java.util.concurrent.ConcurrentHashMap.newKeySet[DataFrame]())
+      .add(df)
     ()
   }
 
   /** Unpersist + forget every cached chunk table and registered
-    * intermediate. Safe any time; subsequent calls rebuild lazily.
+    * intermediate, across ALL sessions in the JVM. Safe any time;
+    * subsequent calls rebuild lazily. Single-session processes (Bench,
+    * Verify, Cli) use this; multi-session hosts use the per-session
+    * overload.
     */
   def clearCaches(): Unit = {
     chunkTableCache.forEach((_, df) => df.unpersist(false))
     chunkTableCache.clear()
-    persistedRegistry.forEach(df => df.unpersist(false))
+    persistedRegistry.forEach((_, dfs) => dfs.forEach(df => df.unpersist(false)))
     persistedRegistry.clear()
+  }
+
+  /** Per-session release: unpersist + forget only `spark`'s cached
+    * chunk tables and registered intermediates.
+    */
+  def clearCaches(spark: SparkSession): Unit = {
+    val it = chunkTableCache.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getKey._1 eq spark) { e.getValue.unpersist(false); it.remove() }
+    }
+    Option(persistedRegistry.remove(spark))
+      .foreach(_.forEach(df => df.unpersist(false)))
   }
 
   /** Scalable global running sum of `weightCol` ordered by `idCol`
@@ -207,8 +232,9 @@ object Chunker {
   private val watchedSessions =
     java.util.concurrent.ConcurrentHashMap.newKeySet[SparkSession]()
 
-  /** Drop a stopping session's memo entries so the static map never
-    * pins dead sessions or their plans.
+  /** Drop a stopping session's memo/registry entries so the static maps
+    * never pin dead sessions or their plans. (No unpersist on a stopped
+    * context — its blocks are already gone.)
     */
   private def watchSession(spark: SparkSession): Unit =
     if (watchedSessions.add(spark)) {
@@ -216,6 +242,7 @@ object Chunker {
         override def onApplicationEnd(
             e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
           chunkTableCache.keySet.removeIf(_._1 eq spark)
+          persistedRegistry.remove(spark)
           watchedSessions.remove(spark)
           ()
         }

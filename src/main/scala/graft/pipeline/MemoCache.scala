@@ -34,10 +34,19 @@ object MemoCache {
       org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("key", org.apache.spark.sql.types.StringType),
         org.apache.spark.sql.types.StructField("result", org.apache.spark.sql.types.StringType))))
+    // ONLY a missing/empty memo path means "cold cache". Any other read
+    // failure (permissions, corrupt footer, storage flake) must
+    // propagate: swallowing it would silently recompute the whole map
+    // stage — re-invoking the model — and append duplicate keys, with
+    // no signal that anything went wrong.
     try {
       val df = spark.read.parquet(memoPath)
       if (df.columns.sameElements(Array("key", "result"))) df else empty
-    } catch { case scala.util.control.NonFatal(_) => empty }
+    } catch {
+      case e: org.apache.spark.sql.AnalysisException
+        if e.getCondition == "PATH_NOT_FOUND" || e.getCondition == "UNABLE_TO_INFER_SCHEMA" =>
+        empty
+    }
   }
 
   /** Run the map stage with memoization.
@@ -79,5 +88,24 @@ object MemoCache {
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(path, true)
     ()
+  }
+
+  /** Compact the memo: concurrent appends can leave duplicate keys
+    * (harmless — reads dedupe — but they accumulate bytes and read
+    * work forever). Rewrites the table deduplicated to a sibling temp
+    * path, then swaps it in. NOT safe concurrently with writers
+    * (maintenance op, like any table compaction); the read view before
+    * and after is identical (MemoCacheSpec proves it).
+    */
+  def compactMemo(spark: SparkSession, memoPath: String): Unit = {
+    val path = new org.apache.hadoop.fs.Path(memoPath)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path)) return
+    val tmp = new org.apache.hadoop.fs.Path(memoPath + ".compact.tmp")
+    readMemo(spark, memoPath).dropDuplicates("key")
+      .write.mode("overwrite").parquet(tmp.toString)
+    fs.delete(path, true)
+    if (!fs.rename(tmp, path))
+      throw new java.io.IOException(s"compactMemo: rename $tmp -> $path failed")
   }
 }

@@ -207,6 +207,31 @@ class MemoCacheSpec extends AnyFunSuite {
     MemoCache.mapChunksWithMemo(chunks, CountingClient("keep"), "p", "m", dir).collect()
     assert(CountingClient.calls.get() == 2, "cleared cache must recompute")
   }
+
+  test("compactMemo dedupes concurrent-append keys; read view unchanged") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-memo4").toString + "/memo"
+    val chunks = Seq((0L, "alpha keep"), (1L, "beta")).toDF("chunk_id", "text")
+    // two full runs against an empty-then-populated memo, plus a forced
+    // duplicate append (what concurrent writers produce)
+    MemoCache.mapChunksWithMemo(chunks, CountingClient("keep"), "p", "m", dir).collect()
+    spark.read.parquet(dir).write.mode("append").parquet(dir)
+    val before = spark.read.parquet(dir)
+    assert(before.count() == 4 && before.dropDuplicates("key").count() == 2)
+    val viewBefore = MemoCache.mapChunksWithMemo(
+      chunks, CountingClient("keep"), "p", "m", dir)
+      .orderBy("chunk_id").select("result").as[String].collect().toSeq
+    MemoCache.compactMemo(spark, dir)
+    assert(spark.read.parquet(dir).count() == 2, "duplicates must be gone")
+    CountingClient.reset()
+    val viewAfter = MemoCache.mapChunksWithMemo(
+      chunks, CountingClient("keep"), "p", "m", dir)
+      .orderBy("chunk_id").select("result").as[String].collect().toSeq
+    assert(CountingClient.calls.get() == 0, "compaction must not evict entries")
+    assert(viewBefore == viewAfter)
+    MemoCache.compactMemo(spark, dir) // idempotent
+    MemoCache.compactMemo(spark, dir + "_missing") // no-op on absent path
+    assert(spark.read.parquet(dir).count() == 2)
+  }
 }
 
 class ProgressTrackerSpec extends AnyFunSuite {
