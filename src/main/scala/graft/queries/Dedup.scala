@@ -167,6 +167,19 @@ object Dedup {
   val EmbBands = 3
   val EmbBitsPerBand = 8
 
+  /** The (vec_id, band_idx, band_sig) sub-signature table behind
+    * [[embeddingNearDups]] — exposed so PlanAudit can print the bucket
+    * histogram (the bounded-candidate evidence).
+    */
+  def embeddingBands(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"),
+        explode(array((0 until EmbBands).map { b =>
+          struct(lit(b).as("band_idx"),
+            Similarity.hyperplaneSig(col("embedding"), EmbBitsPerBand,
+              b * EmbBitsPerBand).as("band_sig"))
+        }: _*)).as("band"))
+      .select(col("vec_id"), col("band.band_idx"), col("band.band_sig"))
+
   /** Embedding-cosine near-dup pairs, MinHash-style OR-banding over
     * hyperplane sub-signatures (never all-pairs): 3 independent 8-bit
     * Rademacher-hyperplane bands (disjoint plane ranges from the shared
@@ -189,13 +202,7 @@ object Dedup {
     // (vec_id, band_idx, band_sig): consumed by BOTH sides of the
     // candidate join (probed + exact) — persist or the sig lineage
     // (EmbBands x EmbBitsPerBand VecDot folds per row) runs twice.
-    val bands = base.select(col("vec_id"),
-        explode(array((0 until EmbBands).map { b =>
-          struct(lit(b).as("band_idx"),
-            Similarity.hyperplaneSig(col("embedding"), EmbBitsPerBand,
-              b * EmbBitsPerBand).as("band_sig"))
-        }: _*)).as("band"))
-      .select(col("vec_id"), col("band.band_idx"), col("band.band_sig"))
+    val bands = embeddingBands(base)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     Chunker.registerForCleanup(bands)
     // One probed side suffices in a self-join: a pair whose band sigs
