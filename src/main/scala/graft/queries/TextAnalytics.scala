@@ -8,18 +8,60 @@ import graft.Tables._
 
 /** Text analytics over the `documents` corpus (north star; SURVEY.md
   * §2.2): per-language corpus statistics, tf-idf top terms per source,
-  * and per-document quality scoring — the signals a training-data
-  * pipeline filters on before anything reaches a model.
+  * per-document quality scoring, and word-profile language
+  * identification — the signals a training-data pipeline filters on
+  * before anything reaches a model.
   *
-  * (A language-ID n-gram heuristic is deliberately NOT a catalog query:
-  * the fixture's `text` is drawn from one shared vocabulary for every
-  * `lang` value, so any classifier would be fitting noise. The `lang`
-  * column itself drives the per-language stats.)
+  * Language-ID (q60) ships as the MECHANISM with a green oracle: train
+  * per-language top-word profiles from labeled docs, predict from text
+  * alone. On the fixture corpus the vocabulary is shared across langs,
+  * so fixture accuracy is chance — the classifier's QUALITY is proven
+  * in TextAnalyticsSpec on planted corpora with real per-language
+  * vocabularies (accuracy 1.0), the same planted-fixture pattern as the
+  * ANN recall bar.
   *
   * All plans are single-groupBy map-reducible or join+window — no
-  * collect, no cross joins except the 1-row n_sources scalar broadcast.
+  * collect, no cross joins except tiny broadcast dimensions (the 1-row
+  * n_sources scalar, the 5-row language list, the 100-row profile).
   */
 object TextAnalytics {
+
+  /** Top-`topK` words per language by frequency (ties broken
+    * lexicographically): the training half of language-ID. One shuffle
+    * over exploded words; the result is profile-sized (langs x topK),
+    * broadcastable at any corpus scale.
+    */
+  def langProfiles(docs: DataFrame, topK: Int): DataFrame = {
+    val words = docs.select(col("lang"),
+      explode(TextOps.wordsOf(col("text"))).as("word"))
+    val counts = words.groupBy(col("lang"), col("word"))
+      .agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("c").desc, col("word"))
+    counts.withColumn("rn", row_number().over(w)).filter(col("rn") <= topK)
+      .select(col("lang"), col("word"))
+  }
+
+  /** Predict a language per document from text alone: score = distinct
+    * profile words present, prediction = argmax (score desc, lang asc —
+    * deterministic on ties, including the all-zero case). The profile
+    * and language list are broadcast; the corpus side is one explode +
+    * one aggregation — no shuffle grows with the number of languages.
+    */
+  def predictLang(docs: DataFrame, profiles: DataFrame,
+                  langs: DataFrame): DataFrame = {
+    val docWords = docs.select(col("doc_id"),
+      explode(array_distinct(TextOps.wordsOf(col("text")))).as("word"))
+    val matches = docWords.join(broadcast(profiles), Seq("word"))
+      .groupBy(col("doc_id"), col("lang")).agg(count(lit(1)).as("hits"))
+    val grid = docs.select(col("doc_id")).crossJoin(broadcast(langs))
+    val scored = grid.join(matches, Seq("doc_id", "lang"), "left")
+      .na.fill(0L, Seq("hits"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("hits").desc, col("lang"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("doc_id"), col("lang").as("pred_lang"),
+        col("hits").as("score"))
+  }
 
   /** Stopword list for quality scoring (fixture vocabulary includes
     * 'the' and 'a'; the rest are standard English function words).
@@ -76,6 +118,19 @@ object TextAnalytics {
         .select(col("doc_id"), explode(TextOps.wordsOf(col("text"))).as("word"))
       graft.plans.Salting.saltedCount(words, col("word"), "word",
         saltFrom = Seq(col("doc_id"), col("word")))
+    }),
+
+    // Language-ID: train top-20-word profiles on the labeled corpus,
+    // predict per doc from text alone, report correctness against the
+    // label. See the object doc for the fixture-accuracy caveat.
+    "q60_lang_id" -> ((s, d) => {
+      val docs = documents(s, d)
+      val profiles = langProfiles(docs, 20)
+      val langs = docs.select(col("lang")).distinct()
+      predictLang(docs, profiles, langs)
+        .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+        .select(col("doc_id"), col("pred_lang"), col("score"),
+          (col("pred_lang") === col("lang")).cast("long").as("is_correct"))
     }),
 
     // Per-document quality signals: length, word shape, stopword ratio,
@@ -137,6 +192,38 @@ object TextAnalytics {
       s"""SELECT word, count(*) AS n
          |FROM (SELECT unnest(${TextOps.wordsSql}) AS word FROM documents)
          |GROUP BY word""".stripMargin,
+
+    "q60_lang_id" ->
+      s"""WITH words AS (
+         |  SELECT lang, unnest(${TextOps.wordsSql}) AS word FROM documents),
+         |counts AS (SELECT lang, word, count(*) AS c FROM words GROUP BY 1, 2),
+         |prof AS (
+         |  SELECT lang, word FROM (
+         |    SELECT lang, word,
+         |      row_number() OVER (PARTITION BY lang ORDER BY c DESC, word) AS rn
+         |    FROM counts)
+         |  WHERE rn <= 20),
+         |dw AS (
+         |  SELECT DISTINCT doc_id, word FROM (
+         |    SELECT doc_id, unnest(${TextOps.wordsSql}) AS word FROM documents)),
+         |m AS (
+         |  SELECT doc_id, lang, count(*) AS hits
+         |  FROM dw JOIN prof USING (word) GROUP BY 1, 2),
+         |langs AS (SELECT DISTINCT lang FROM documents),
+         |grid AS (SELECT d.doc_id, l.lang FROM documents d CROSS JOIN langs l),
+         |scored AS (
+         |  SELECT g.doc_id, g.lang, CAST(coalesce(m.hits, 0) AS BIGINT) AS hits
+         |  FROM grid g LEFT JOIN m ON m.doc_id = g.doc_id AND m.lang = g.lang),
+         |pred AS (
+         |  SELECT doc_id, lang AS pred_lang, hits AS score FROM (
+         |    SELECT doc_id, lang, hits,
+         |      row_number() OVER (PARTITION BY doc_id
+         |        ORDER BY hits DESC, lang) AS rn
+         |    FROM scored)
+         |  WHERE rn = 1)
+         |SELECT p.doc_id, p.pred_lang, p.score,
+         |  CAST(p.pred_lang = d.lang AS BIGINT) AS is_correct
+         |FROM pred p JOIN documents d ON d.doc_id = p.doc_id""".stripMargin,
 
     "q45_quality_score" -> {
       val stops = Stopwords.map(s => s"'$s'").mkString(", ")

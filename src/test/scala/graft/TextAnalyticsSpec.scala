@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.queries.TextAnalytics
+
+/** Behavioral proof for language-ID on PLANTED corpora with real
+  * per-language vocabularies (the catalog fixture shares one vocabulary
+  * across langs, so quality can only be measured here — same pattern as
+  * the ANN recall bar in SimilaritySpec).
+  */
+class TextAnalyticsSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  private val vocab = Map(
+    "en" -> Seq("the", "and", "of", "house", "water", "light"),
+    "es" -> Seq("el", "la", "de", "casa", "agua", "luz"),
+    "de" -> Seq("der", "die", "das", "haus", "wasser", "licht"))
+
+  /** 10 docs per language, each sampling its language's vocabulary with
+    * a sprinkle of shared numerals (cross-language noise).
+    */
+  private lazy val planted = {
+    val rnd = new scala.util.Random(99)
+    val rows = for {
+      (lang, words) <- vocab.toSeq.sortBy(_._1)
+      i <- 0 until 10
+    } yield {
+      val body = Seq.fill(12)(words(rnd.nextInt(words.size))) ++
+        Seq.fill(3)((rnd.nextInt(10) + 100).toString)
+      ((lang.hashCode.toLong << 8) + i, rnd.shuffle(body).mkString(" "), lang)
+    }
+    rows.toDF("doc_id", "text", "lang")
+  }
+
+  test("lang-id: planted per-language vocabularies classify at accuracy 1.0") {
+    val profiles = TextAnalytics.langProfiles(planted, 20)
+    val langs = planted.select(col("lang")).distinct()
+    val pred = TextAnalytics.predictLang(planted, profiles, langs)
+      .join(planted.select(col("doc_id"), col("lang")), Seq("doc_id"))
+    val n = pred.count()
+    val correct = pred.filter(col("pred_lang") === col("lang")).count()
+    assert(n == 30)
+    assert(correct == n, s"accuracy ${correct.toDouble / n} < 1.0")
+  }
+
+  test("lang-id: prediction is deterministic on all-zero scores") {
+    // a doc matching NO profile word must still get a prediction — the
+    // lexicographically smallest language, via the (score desc, lang
+    // asc) tie-break
+    val docs = Seq((1L, "zzz qqq xxx", "en")).toDF("doc_id", "text", "lang")
+    val profiles = Seq(("en", "hello"), ("es", "hola")).toDF("lang", "word")
+    val langs = profiles.select(col("lang")).distinct()
+    val out = TextAnalytics.predictLang(docs, profiles, langs).collect()
+    assert(out.length == 1)
+    assert(out(0).getString(1) == "en" && out(0).getLong(2) == 0L)
+  }
+
+  test("profiles are bounded: langs x topK rows, frequency-ranked") {
+    val profiles = TextAnalytics.langProfiles(planted, 3).collect()
+    assert(profiles.length == 9) // 3 langs x top-3
+    val en = profiles.filter(_.getString(0) == "en").map(_.getString(1)).toSet
+    assert(en.subsetOf(vocab("en").toSet ++ (100 to 109).map(_.toString)))
+  }
+}
