@@ -143,6 +143,47 @@ object Dedup {
           / (col("n_a") + col("n_b") - col("n_inter")), 6).as("jaccard"))
   }
 
+  val WinnowK = 8 // char-gram width
+  val WinnowW = 4 // winnowing window (consecutive grams per min)
+
+  /** Winnowing document fingerprints (Schleimer et al., SIGMOD'03): hash
+    * every char `k`-gram of the lower-cased text, slide a window of `w`
+    * consecutive gram hashes, keep each window's minimum — the classic
+    * position-robust fingerprint set for plagiarism/near-dup detection
+    * (an insertion shifts positions but most window minima survive).
+    *
+    * Returns one row per doc: gram count, distinct-fingerprint count,
+    * and an md5 over the sorted fingerprint set (the comparable digest).
+    * Scale shape: the gram explode is ~len(text) rows per doc but every
+    * window/aggregate is PARTITIONED BY doc — no global ordering, no
+    * cross-doc shuffle beyond the per-doc groupBy. Docs with fewer than
+    * k + w - 1 chars have no full window and drop out (documented).
+    */
+  def winnowFingerprints(docs: DataFrame, idCol: String, textCol: String,
+                         k: Int = WinnowK, w: Int = WinnowW): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = docs
+      .select(col(idCol).as("doc"), lower(col(textCol)).as("t"))
+      .filter(length(col("t")) >= k)
+    val grams = base
+      .select(col("doc"), col("t"),
+        explode(sequence(lit(1), length(col("t")) - k + 1)).as("pos"))
+      .select(col("doc"), col("pos"),
+        sha2(col("t").substr(col("pos"), lit(k)), 256).as("h"))
+    val win = Window.partitionBy(col("doc")).orderBy(col("pos"))
+      .rowsBetween(-(w - 1), 0)
+    val fps = grams
+      .withColumn("wm", min(col("h")).over(win))
+      .filter(col("pos") >= w)
+      .select(col("doc"), col("wm")).distinct()
+    fps.groupBy(col("doc"))
+      .agg(count(lit(1)).as("n_fingerprints"),
+        md5(concat_ws("", array_sort(collect_list(col("wm"))))).as("fp_md5"))
+      .join(base.select(col("doc"),
+        (length(col("t")) - k + 1).cast("long").as("n_grams")), Seq("doc"))
+      .select(col("doc"), col("n_grams"), col("n_fingerprints"), col("fp_md5"))
+  }
+
   val SimhashBits = 16
 
   /** SimHash fingerprint per document: bit j is the sign of the
@@ -327,7 +368,9 @@ object Dedup {
     "q57_neardup_clusters" -> ((s, d) => {
       val docs = documents(s, d)
       neardupClusters(docs, minhashCandidates(docs, "doc_id", "text"), "doc_id")
-    })
+    }),
+    "q61_winnow_fingerprint" -> ((s, d) =>
+      winnowFingerprints(documents(s, d), "doc_id", "text"))
   )
 
   /** Shared DuckDB CTE chain: words -> shingles -> minhashes -> bands
@@ -446,6 +489,31 @@ object Dedup {
          |SELECT d.doc_id, l.cluster_id,
          |  CAST(d.doc_id = l.cluster_id AS BIGINT) AS is_survivor
          |FROM documents d JOIN labels l ON l.doc_id = d.doc_id""".stripMargin,
+
+    "q61_winnow_fingerprint" ->
+      s"""WITH t AS (
+         |  SELECT doc_id AS doc, lower(text) AS t FROM documents
+         |  WHERE length(text) >= $WinnowK),
+         |g AS (
+         |  SELECT doc, t,
+         |    unnest(range(1, length(t) - $WinnowK + 2)) AS pos
+         |  FROM t),
+         |h AS (
+         |  SELECT doc, pos,
+         |    sha256(substring(t, CAST(pos AS INT), $WinnowK)) AS h
+         |  FROM g),
+         |wm AS (
+         |  SELECT doc, pos,
+         |    min(h) OVER (PARTITION BY doc ORDER BY pos
+         |      ROWS BETWEEN ${WinnowW - 1} PRECEDING AND CURRENT ROW) AS wm
+         |  FROM h),
+         |fp AS (SELECT DISTINCT doc, wm FROM wm WHERE pos >= $WinnowW)
+         |SELECT f.doc,
+         |  CAST(length(t.t) - $WinnowK + 1 AS BIGINT) AS n_grams,
+         |  count(*) AS n_fingerprints,
+         |  md5(string_agg(f.wm, '' ORDER BY f.wm)) AS fp_md5
+         |FROM fp f JOIN t ON t.doc = f.doc
+         |GROUP BY f.doc, t.t""".stripMargin,
 
     "q47_embed_neardup" -> {
       val bandSelects = (0 until EmbBands).map { b =>

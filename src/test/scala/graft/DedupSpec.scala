@@ -108,6 +108,25 @@ class DedupSpec extends AnyFunSuite {
     assert(kept == Seq(1L, 3L), s"got $kept")
   }
 
+  test("winnow fingerprints: identical docs match; edits keep most prints") {
+    // fingerprint SETS via the operator's internals: rerun with a join
+    // on the digest for identity, and compare overlap via raw counts
+    val nearA = base.trim
+    val nearB = base.trim.replaceFirst("lazy", "sleepy")
+    val other = (1 to 40).map(i => s"uniqueword$i").mkString(" ")
+    val docs = Seq((1L, nearA), (2L, nearA), (3L, nearB), (4L, other))
+      .toDF("doc_id", "text")
+    val out = Dedup.winnowFingerprints(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(out(1L) == out(2L), "identical docs must fingerprint identically")
+    assert(out(1L)._3 != out(4L)._3, "unrelated docs must differ")
+    // one-word edit: digest differs but the fingerprint COUNT stays
+    // close (the repeated base text has few distinct grams)
+    assert(out(1L)._3 != out(3L)._3)
+    assert(out(3L)._2 <= out(1L)._2 + 6)
+  }
+
   test("embedding near-dups: identical vectors pair at cosine 1.0") {
     val v = Array.tabulate(64)(i => (math.sin(i + 1) * 0.5).toFloat)
     val w = Array.tabulate(64)(i => (math.cos(i * 2 + 1) * 0.5).toFloat)
