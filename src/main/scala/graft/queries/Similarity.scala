@@ -178,6 +178,56 @@ object Similarity {
     rerank(sigs, q, k)
   }
 
+  /** IVF stride: centroids = vectors with vec_id % stride == 0, so the
+    * cell COUNT is ~N/stride and grows with the corpus (the IVF analog
+    * of the hyperplane width rule); avg cell size stays ~stride.
+    */
+  val IvfStride = 16
+
+  /** IVF (inverted-file) ANN — the second classic ANN family next to
+    * LSH: every vector is assigned to its nearest "centroid" (a
+    * deterministic sample of the corpus: vec_id % stride == 0, so the
+    * partitioning needs no training step and is oracle-reproducible);
+    * a query probes its `nprobe` nearest cells and re-ranks exactly
+    * inside them.
+    *
+    * Scale shape: the assignment is a map-side broadcast cross of each
+    * row against ~N/stride centroids (the IVF build cost), the probe
+    * join is an equi-join on cell id, and the quadratic re-rank is
+    * confined to nprobe cells of ~stride vectors each. The scored
+    * (vector x centroid) intermediate feeds both the cell assignment
+    * and the query probes — persisted, or the crossJoin lineage runs
+    * twice.
+    */
+  def annIvf(emb: DataFrame, stride: Int, nprobe: Int, k: Int): DataFrame = {
+    val e = emb.select(col("vec_id"), col("embedding"), col("label"),
+      norm(col("embedding")).as("nrm"))
+    val cents = e.filter(col("vec_id") % stride === 0)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("c_emb"),
+        col("nrm").as("c_nrm"))
+    val scored = e.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("embedding"), col("label"), col("nrm"),
+        col("cent_id"),
+        cosinePre(col("embedding"), col("c_emb"),
+          col("nrm"), col("c_nrm")).as("c_cos"))
+      .withColumn("crn", row_number().over(
+        Window.partitionBy(col("vec_id"))
+          .orderBy(col("c_cos").desc, col("cent_id"))))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.pipeline.Chunker.registerForCleanup(scored)
+    val cells = scored.filter(col("crn") === 1)
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("cent_id"))
+    val qprobes = scored.filter(col("label") === 0 && col("crn") <= nprobe)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"), col("cent_id"))
+    val cands = cells.join(broadcast(qprobes), Seq("cent_id"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("neighbor_id"),
+        cosinePre(col("q_emb"), col("embedding"),
+          col("q_nrm"), col("nrm")).as("cosine"))
+    topK(cands, k)
+  }
+
   private def withSig(emb: DataFrame, bits: Int): DataFrame =
     emb.select(col("vec_id"), col("embedding"), col("label"),
       norm(col("embedding")).as("nrm"),
@@ -204,7 +254,8 @@ object Similarity {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q38_cosine_topk" -> ((s, d) => bruteTopK(embeddings(s, d), 5)),
     "q39_ann_buckets" -> ((s, d) => annBuckets(embeddings(s, d), Q39Bits, 3)),
-    "q52_ann_multiprobe" -> ((s, d) => annMultiprobe(embeddings(s, d), Q52Bits, 3))
+    "q52_ann_multiprobe" -> ((s, d) => annMultiprobe(embeddings(s, d), Q52Bits, 3)),
+    "q62_ann_ivf" -> ((s, d) => annIvf(embeddings(s, d), IvfStride, 2, 3))
   )
 
   /** DuckDB fragment: cosine of two list columns, identical fold order
@@ -248,6 +299,32 @@ object Similarity {
          |         ${cosineSql("q.q_emb", "e.embedding")} AS cosine
          |  FROM sigs e JOIN q ON e.sig = q.sig
          |  WHERE e.vec_id <> q.q_id)
+         |${topKSql("cands", 3)}""".stripMargin,
+
+    "q62_ann_ivf" ->
+      s"""WITH e AS (SELECT vec_id, embedding, label FROM embeddings),
+         |cents AS (
+         |  SELECT vec_id AS cent_id, embedding AS c_emb FROM e
+         |  WHERE vec_id % $IvfStride = 0),
+         |scored AS (
+         |  SELECT e.vec_id, e.embedding, e.label, c.cent_id,
+         |    ${cosineSql("e.embedding", "c.c_emb")} AS c_cos
+         |  FROM e CROSS JOIN cents c),
+         |ranked AS (
+         |  SELECT vec_id, embedding, label, cent_id,
+         |    row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY c_cos DESC, cent_id) AS crn
+         |  FROM scored),
+         |cells AS (
+         |  SELECT vec_id, embedding, cent_id FROM ranked WHERE crn = 1),
+         |qprobes AS (
+         |  SELECT vec_id AS q_id, embedding AS q_emb, cent_id
+         |  FROM ranked WHERE label = 0 AND crn <= 2),
+         |cands AS (
+         |  SELECT q.q_id, c.vec_id AS neighbor_id,
+         |         ${cosineSql("q.q_emb", "c.embedding")} AS cosine
+         |  FROM cells c JOIN qprobes q ON c.cent_id = q.cent_id
+         |  WHERE c.vec_id <> q.q_id)
          |${topKSql("cands", 3)}""".stripMargin,
 
     "q52_ann_multiprobe" ->

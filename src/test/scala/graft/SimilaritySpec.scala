@@ -79,6 +79,16 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.8, s"recall@3 $recall < 0.8")
   }
 
+  test("IVF ANN recall@3 >= 0.8 vs brute force on planted near-dups") {
+    // near-duplicates land in the same centroid cell as their base with
+    // high probability (their centroid cosines are ~equal), so IVF with
+    // 2 probes recovers most planted pairs
+    val brute = pairs(Similarity.bruteTopK(planted, 3))
+    val ivf = pairs(Similarity.annIvf(planted, Similarity.IvfStride, 2, 3))
+    val recall = brute.intersect(ivf).size.toDouble / brute.size
+    assert(recall >= 0.8, s"IVF recall@3 $recall < 0.8")
+  }
+
   test("probing lifts recall over exact-bucket ANN (same width)") {
     val brute = pairs(Similarity.bruteTopK(planted, 3))
     val exact = pairs(Similarity.annBuckets(planted, Similarity.Q52Bits, 3))
