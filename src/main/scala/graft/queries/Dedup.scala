@@ -158,6 +158,9 @@ object Dedup {
     * window/aggregate is PARTITIONED BY doc — no global ordering, no
     * cross-doc shuffle beyond the per-doc groupBy. Docs with fewer than
     * k + w - 1 chars have no full window and drop out (documented).
+    * The per-gram sha256 is the price of cross-engine oracle parity
+    * (same trade as the q49 minhashes); a production build swaps in a
+    * cheap rolling hash and keeps the identical plan.
     */
   def winnowFingerprints(docs: DataFrame, idCol: String, textCol: String,
                          k: Int = WinnowK, w: Int = WinnowW): DataFrame = {
@@ -172,13 +175,18 @@ object Dedup {
         sha2(col("t").substr(col("pos"), lit(k)), 256).as("h"))
     val win = Window.partitionBy(col("doc")).orderBy(col("pos"))
       .rowsBetween(-(w - 1), 0)
+    // collect_set dedupes INSIDE the per-doc aggregation: the window
+    // above already partitioned by doc, so the groupBy reuses that
+    // partitioning and the whole dedup+digest costs zero extra
+    // exchanges (a separate distinct would add one).
     val fps = grams
       .withColumn("wm", min(col("h")).over(win))
       .filter(col("pos") >= w)
-      .select(col("doc"), col("wm")).distinct()
-    fps.groupBy(col("doc"))
-      .agg(count(lit(1)).as("n_fingerprints"),
-        md5(concat_ws("", array_sort(collect_list(col("wm"))))).as("fp_md5"))
+      .groupBy(col("doc"))
+      .agg(array_sort(collect_set(col("wm"))).as("fps"))
+    fps
+      .select(col("doc"), size(col("fps")).cast("long").as("n_fingerprints"),
+        md5(concat_ws("", col("fps"))).as("fp_md5"))
       .join(base.select(col("doc"),
         (length(col("t")) - k + 1).cast("long").as("n_grams")), Seq("doc"))
       .select(col("doc"), col("n_grams"), col("n_fingerprints"), col("fp_md5"))

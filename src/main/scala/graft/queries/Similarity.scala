@@ -201,13 +201,19 @@ object Similarity {
     */
   def annIvf(emb: DataFrame, stride: Int, nprobe: Int, k: Int): DataFrame = {
     val e = emb.select(col("vec_id"), col("embedding"), col("label"),
-      norm(col("embedding")).as("nrm"))
+        norm(col("embedding")).as("nrm"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.pipeline.Chunker.registerForCleanup(e)
     val cents = e.filter(col("vec_id") % stride === 0)
       .select(col("vec_id").as("cent_id"), col("embedding").as("c_emb"),
         col("nrm").as("c_nrm"))
+    // Rank NARROW rows: the (vector x centroid) table carries only ids
+    // and the cosine through the per-vector rank window — dragging the
+    // 64-float embedding through that sort shuffle multiplies the bytes
+    // moved for nothing. Embeddings re-join from the persisted base by
+    // vec_id afterwards.
     val scored = e.crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("embedding"), col("label"), col("nrm"),
-        col("cent_id"),
+      .select(col("vec_id"), col("label"), col("cent_id"),
         cosinePre(col("embedding"), col("c_emb"),
           col("nrm"), col("c_nrm")).as("c_cos"))
       .withColumn("crn", row_number().over(
@@ -216,10 +222,12 @@ object Similarity {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     graft.pipeline.Chunker.registerForCleanup(scored)
     val cells = scored.filter(col("crn") === 1)
-      .select(col("vec_id"), col("embedding"), col("nrm"), col("cent_id"))
+      .select(col("vec_id"), col("cent_id"))
+      .join(e.select(col("vec_id"), col("embedding"), col("nrm")), Seq("vec_id"))
     val qprobes = scored.filter(col("label") === 0 && col("crn") <= nprobe)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-        col("nrm").as("q_nrm"), col("cent_id"))
+      .select(col("vec_id").as("q_id"), col("cent_id"))
+      .join(e.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm")), Seq("q_id"))
     val cands = cells.join(broadcast(qprobes), Seq("cent_id"))
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("neighbor_id"),
