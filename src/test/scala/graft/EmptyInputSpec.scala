@@ -22,6 +22,24 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(Dedup.simhash(noDocs, "doc_id", "text").count() == 0)
     assert(Dedup.ngramJaccard(noDocs, "doc_id", "text").count() == 0)
     assert(Dedup.embeddingNearDups(noVecs, 0.5).count() == 0)
+    assert(Dedup.winnowFingerprints(noDocs, "doc_id", "text").count() == 0)
+    val noPairs = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    assert(Dedup.neardupClusters(noDocs, noPairs, "doc_id").count() == 0)
+    assert(Dedup.keepNearDupSurvivors(noDocs, "doc_id", "text").count() == 0)
+  }
+
+  test("similarity and lang-id on an empty corpus") {
+    val noLabeled = Seq.empty[(Long, Seq[Float], Int)]
+      .toDF("vec_id", "embedding", "label")
+    assert(graft.queries.Similarity.bruteTopK(noLabeled, 3).count() == 0)
+    assert(graft.queries.Similarity.annMultiprobe(noLabeled, 10, 3).count() == 0)
+    assert(graft.queries.Similarity.annIvf(noLabeled, 16, 2, 3).count() == 0)
+    val noLangDocs = Seq.empty[(Long, String, String)]
+      .toDF("doc_id", "text", "lang")
+    val profiles = graft.queries.TextAnalytics.langProfiles(noLangDocs, 20)
+    val langs = noLangDocs.select(col("lang")).distinct()
+    assert(graft.queries.TextAnalytics
+      .predictLang(noLangDocs, profiles, langs).count() == 0)
   }
 
   test("docs below the shingle floor are excluded, not fatal") {
