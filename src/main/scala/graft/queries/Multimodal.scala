@@ -58,6 +58,26 @@ object Multimodal {
           (col("q_lang") === col("n_lang")).as("same_lang"))
     }),
 
+    // Video frame sampling over typed media metadata: one sampled frame
+    // every 2 s of duration plus the stream parameters to seek it —
+    // the generator + arithmetic an extract-frames stage feeds to the
+    // (stubbed) decoder. Metadata is synthesized deterministically from
+    // fixture columns (duration from n_chars, fps from doc_id) since
+    // the corpus ships no real video; the sampling operator itself is
+    // the real thing: a per-row generator, no shuffle at all.
+    "q63_frame_sample" -> ((s, d) => {
+      val m = documents(s, d).select(col("doc_id"),
+        (col("n_chars") * 40).cast("long").as("duration_ms"),
+        (lit(24) + pmod(col("doc_id"), lit(6))).cast("long").as("fps"))
+      m.filter(col("duration_ms") > 0)
+        .select(col("doc_id"), col("duration_ms"), col("fps"),
+          explode(sequence(lit(0L),
+            expr("(duration_ms - 1) div 2000"))).as("s2"))
+        .select(col("doc_id"), col("duration_ms"), col("fps"),
+          (col("s2") * 2000).as("ts_ms"),
+          (col("s2") * 2 * col("fps")).as("frame_idx"))
+    }),
+
     // Opaque binary media column + typed metadata: the blob is the
     // UTF-8 bytes of `text` (the fixture ships no real media; the
     // byte-level plumbing — octet length, content fingerprint, magic
@@ -90,6 +110,19 @@ object Multimodal {
          |JOIN documents dq ON dq.doc_id = t.q_id
          |JOIN documents dn ON dn.doc_id = t.neighbor_id
          |WHERE t.rn = 1""".stripMargin,
+
+    "q63_frame_sample" ->
+      """WITH m AS (
+        |  SELECT doc_id, CAST(n_chars * 40 AS BIGINT) AS duration_ms,
+        |    CAST(24 + doc_id % 6 AS BIGINT) AS fps
+        |  FROM documents)
+        |SELECT doc_id, duration_ms, fps,
+        |  CAST(s2 * 2000 AS BIGINT) AS ts_ms,
+        |  CAST(s2 * 2 * fps AS BIGINT) AS frame_idx
+        |FROM (
+        |  SELECT doc_id, duration_ms, fps,
+        |    unnest(range(0, (duration_ms - 1) // 2000 + 1)) AS s2
+        |  FROM m WHERE duration_ms > 0)""".stripMargin,
 
     // sha256/hex run on the SAME UTF-8 bytes on both sides (DuckDB's
     // sha256 has no BLOB overload, so it hashes the varchar directly).
