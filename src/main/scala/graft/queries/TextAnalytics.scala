@@ -68,6 +68,28 @@ object TextAnalytics {
     */
   val Stopwords = Seq("the", "a", "of", "and", "in", "to")
 
+  /** Hex-string threshold for a sampling fraction: keep a row when the
+    * first 8 hex chars of its content hash sort below this literal.
+    * Computed ONCE driver-side and baked into both the Spark plan and
+    * the oracle SQL — lexicographic comparison of lowercase hex is
+    * identical in both engines, so no hex-to-int conversion (which the
+    * engines disagree on) is ever needed.
+    */
+  def sampleThreshold(fraction: Double): String = {
+    require(fraction >= 0 && fraction <= 1)
+    f"${math.min((fraction * (1L << 32)).toLong, (1L << 32) - 1)}%08x"
+  }
+
+  /** Deterministic hash-threshold sampling — the scalable "take p% of
+    * the corpus" every training-data pipeline needs: membership depends
+    * only on the row's id (stable across runs, clusters, engines), the
+    * filter is a pure projection (no shuffle, no RNG state), and
+    * stratified rates fall out of a per-stratum threshold expression.
+    */
+  def sampleByHash(docs: DataFrame, idCol: String, thresholdHex: Column): DataFrame =
+    docs.filter(
+      substring(sha2(col(idCol).cast("string"), 256), 1, 8) < thresholdHex)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Per-language corpus stats: wakes up the `lang`/`source`/`n_chars`
@@ -131,6 +153,20 @@ object TextAnalytics {
         .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
         .select(col("doc_id"), col("pred_lang"), col("score"),
           (col("pred_lang") === col("lang")).cast("long").as("is_correct"))
+    }),
+
+    // Stratified deterministic sampling: 50% of English docs, 20% of
+    // everything else, by content-hash threshold. The verification agg
+    // (kept per lang) rides on top; the sample itself is the operator.
+    "q64_sample_stratified" -> ((s, d) => {
+      val docs = documents(s, d)
+      val thr = when(col("lang") === "en", lit(sampleThreshold(0.5)))
+        .otherwise(lit(sampleThreshold(0.2)))
+      sampleByHash(docs, "doc_id", thr)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_sampled"),
+          min(col("doc_id")).as("min_doc"),
+          max(col("doc_id")).as("max_doc"))
     }),
 
     // Per-document quality signals: length, word shape, stopword ratio,
@@ -224,6 +260,15 @@ object TextAnalytics {
          |SELECT p.doc_id, p.pred_lang, p.score,
          |  CAST(p.pred_lang = d.lang AS BIGINT) AS is_correct
          |FROM pred p JOIN documents d ON d.doc_id = p.doc_id""".stripMargin,
+
+    "q64_sample_stratified" ->
+      s"""SELECT lang, count(*) AS n_sampled,
+         |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
+         |FROM documents
+         |WHERE substring(sha256(CAST(doc_id AS VARCHAR)), 1, 8) <
+         |  CASE WHEN lang = 'en' THEN '${sampleThreshold(0.5)}'
+         |       ELSE '${sampleThreshold(0.2)}' END
+         |GROUP BY lang""".stripMargin,
 
     "q45_quality_score" -> {
       val stops = Stopwords.map(s => s"'$s'").mkString(", ")

@@ -58,6 +58,22 @@ class TextAnalyticsSpec extends AnyFunSuite {
     assert(out(0).getString(1) == "en" && out(0).getLong(2) == 0L)
   }
 
+  test("hash sampling: deterministic membership, rate near the fraction") {
+    val docs = (1L to 2000L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val thr = lit(TextAnalytics.sampleThreshold(0.25))
+    val a = TextAnalytics.sampleByHash(docs, "doc_id", thr)
+      .select("doc_id").as[Long].collect().toSet
+    val b = TextAnalytics.sampleByHash(docs, "doc_id", thr)
+      .select("doc_id").as[Long].collect().toSet
+    assert(a == b, "same input + threshold must sample identical rows")
+    assert(math.abs(a.size / 2000.0 - 0.25) < 0.05, s"rate ${a.size / 2000.0}")
+    // fraction monotonicity: a smaller threshold samples a subset
+    val c = TextAnalytics.sampleByHash(docs, "doc_id",
+      lit(TextAnalytics.sampleThreshold(0.1)))
+      .select("doc_id").as[Long].collect().toSet
+    assert(c.subsetOf(a))
+  }
+
   test("profiles are bounded: langs x topK rows, frequency-ranked") {
     val profiles = TextAnalytics.langProfiles(planted, 3).collect()
     assert(profiles.length == 9) // 3 langs x top-3
