@@ -86,6 +86,25 @@ object EventsQueries {
         .agg(count(lit(1)).as("n_events"))
         .select(col("user_id"), col("session_window.start").as("session_start"),
           col("n_events"))
+    }),
+
+    // Sequential funnel: per user, the first view and the first purchase
+    // AT OR AFTER it (event-order conversion, not mere co-occurrence).
+    // Two filtered scans pre-aggregated/narrowed before the single
+    // user-keyed join; the ordering constraint is a conditional min, so
+    // no window over the raw event stream is needed.
+    "q65_funnel" -> ((s, d) => {
+      val e = events(s, d)
+      val firstView = e.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("first_view"))
+      val purch = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("p_ts"))
+      firstView.join(purch, Seq("user_id"), "left")
+        .groupBy(col("user_id"), col("first_view"))
+        .agg(min(when(col("p_ts") >= col("first_view"), col("p_ts")))
+          .as("first_purchase"))
+        .select(col("user_id"), col("first_view"), col("first_purchase"),
+          col("first_purchase").isNotNull.cast("long").as("converted"))
     })
   )
 
@@ -142,6 +161,19 @@ object EventsQueries {
     "q37_session_window" ->
       s"""$sessionsCte
          |SELECT user_id, min(ts) AS session_start, count(*) AS n_events
-         |FROM sessions GROUP BY user_id, session_idx""".stripMargin
+         |FROM sessions GROUP BY user_id, session_idx""".stripMargin,
+
+    "q65_funnel" ->
+      """WITH fv AS (
+        |  SELECT user_id, min(ts) AS first_view FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase')
+        |SELECT user_id, first_view, first_purchase,
+        |  CAST(first_purchase IS NOT NULL AS BIGINT) AS converted
+        |FROM (
+        |  SELECT fv.user_id, fv.first_view,
+        |    min(CASE WHEN p.ts >= fv.first_view THEN p.ts END) AS first_purchase
+        |  FROM fv LEFT JOIN p ON p.user_id = fv.user_id
+        |  GROUP BY 1, 2)""".stripMargin
   )
 }
