@@ -114,6 +114,18 @@ object Relational {
           round(coalesce(sum(col("o_totalprice")), lit(0.0)), 2).as("spend"))
     }),
 
+    // The SQL surface itself: same engine, same Catalyst plan, driven
+    // through spark.sql over a temp view (TPC-H Q6 shape) — proves a
+    // SQL-first user gets the identical declarative path as the Column
+    // API used everywhere else in the catalog.
+    "q66_sql_surface" -> ((s, d) => {
+      lineitem(s, d).createOrReplaceTempView("lineitem_v")
+      s.sql("""SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue_delta,
+              |       count(*) AS n_lines
+              |FROM lineitem_v
+              |WHERE l_quantity < 24 AND l_discount BETWEEN 0.05 AND 0.07""".stripMargin)
+    }),
+
     // Explicit broadcast of the small dimension: at 100 TB the fact side
     // never shuffles for this join.
     "q07_broadcast_join" -> ((s, d) => {
@@ -404,6 +416,12 @@ object Relational {
         |FROM orders RIGHT JOIN customer
         |  ON o_custkey = c_custkey AND o_orderstatus = 'F'
         |GROUP BY c_custkey, c_mktsegment""".stripMargin,
+
+    "q66_sql_surface" ->
+      """SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue_delta,
+        |  count(*) AS n_lines
+        |FROM lineitem
+        |WHERE l_quantity < 24 AND l_discount BETWEEN 0.05 AND 0.07""".stripMargin,
 
     "q05_semi_join" ->
       """SELECT c_custkey, c_mktsegment FROM customer

@@ -68,6 +68,18 @@ object StreamingJobs {
       .select(col("user_id"), col("session_window.start").as("session_start"),
         col("n_events"))
 
+  /** Streaming exact dedup: emit the FIRST occurrence of each key and
+    * drop replays arriving within the watermark horizon — the streaming
+    * form of exact dedup for an at-least-once ingest pipeline. State is
+    * bounded: a key's dedup record is evicted once the watermark passes
+    * its event time + delay (an unbounded dropDuplicates would grow
+    * state forever at 100 TB/day).
+    */
+  def dedupStream(events: DataFrame, keyCol: String): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .dropDuplicatesWithinWatermark(keyCol)
+
   /** Run a streaming aggregation to completion over the (static) file
     * source and return the final result from the memory sink.
     * Trigger.AvailableNow processes everything then stops — the batch-

@@ -93,6 +93,22 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming dedup: replayed keys within the watermark emit once") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    def evs(rows: (String, Long, Double)*) =
+      rows.toSeq.toDF("ts_s", "event_id", "value")
+        .select(to_timestamp(col("ts_s")).as("ts"), col("event_id"), col("value"))
+    val b1 = evs(("2024-01-01 00:10:00", 1L, 1.0), ("2024-01-01 00:20:00", 2L, 2.0))
+    // replay of event 1 in a LATER micro-batch (at-least-once delivery),
+    // plus a fresh event
+    val b2 = evs(("2024-01-01 00:10:00", 1L, 1.0), ("2024-01-01 00:40:00", 3L, 3.0))
+    val got = StreamingJobs.runIncremental(spark, Seq(b1, b2),
+      df => StreamingJobs.dedupStream(df, "event_id"), "t_dedup")
+    val ids = got.select("event_id").as[Long].collect().sorted.toSeq
+    assert(ids == Seq(1L, 2L, 3L), s"replay must be suppressed: $ids")
+  }
+
   test("streaming session window == batch q37") {
     val stream = StreamingJobs.eventsStream(spark, TestSpark.sf0001)
     val got = StreamingJobs.runToCompletion(spark,
