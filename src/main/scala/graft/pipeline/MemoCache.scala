@@ -93,19 +93,36 @@ object MemoCache {
   /** Compact the memo: concurrent appends can leave duplicate keys
     * (harmless — reads dedupe — but they accumulate bytes and read
     * work forever). Rewrites the table deduplicated to a sibling temp
-    * path, then swaps it in. NOT safe concurrently with writers
-    * (maintenance op, like any table compaction); the read view before
-    * and after is identical (MemoCacheSpec proves it).
+    * path, then swaps it in via rename-aside (the live memo is only
+    * deleted AFTER the compacted table is installed, so a crash at any
+    * point leaves either the old or the new table readable — never
+    * neither). NOT safe concurrently with writers (maintenance op,
+    * like any table compaction); the read view before and after is
+    * identical (MemoCacheSpec proves it).
     */
   def compactMemo(spark: SparkSession, memoPath: String): Unit = {
     val path = new org.apache.hadoop.fs.Path(memoPath)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(path)) return
+    // Refuse to "compact" anything that isn't a memo table: the silent
+    // empty-on-mismatch read fallback would otherwise rewrite a
+    // mis-pointed path as an empty table — data destruction.
+    val df = spark.read.parquet(memoPath)
+    if (!df.columns.sameElements(Array("key", "result")))
+      throw new IllegalArgumentException(
+        s"compactMemo: $memoPath is not a memo table " +
+          s"(columns ${df.columns.mkString(",")}, expected key,result)")
     val tmp = new org.apache.hadoop.fs.Path(memoPath + ".compact.tmp")
-    readMemo(spark, memoPath).dropDuplicates("key")
-      .write.mode("overwrite").parquet(tmp.toString)
-    fs.delete(path, true)
-    if (!fs.rename(tmp, path))
+    val old = new org.apache.hadoop.fs.Path(memoPath + ".compact.old")
+    fs.delete(tmp, true); fs.delete(old, true)
+    df.dropDuplicates("key").write.mode("overwrite").parquet(tmp.toString)
+    if (!fs.rename(path, old))
+      throw new java.io.IOException(s"compactMemo: rename $path -> $old failed")
+    if (!fs.rename(tmp, path)) {
+      fs.rename(old, path) // restore; the original memo was never lost
       throw new java.io.IOException(s"compactMemo: rename $tmp -> $path failed")
+    }
+    fs.delete(old, true)
+    ()
   }
 }

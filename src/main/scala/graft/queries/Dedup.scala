@@ -160,7 +160,9 @@ object Dedup {
     * k + w - 1 chars have no full window and drop out (documented).
     * The per-gram sha256 is the price of cross-engine oracle parity
     * (same trade as the q49 minhashes); a production build swaps in a
-    * cheap rolling hash and keeps the identical plan.
+    * cheap rolling hash and keeps the identical plan. ASCII-corpus
+    * contract for the oracle (like TokenCount): Spark's length/substr
+    * count UTF-16 units, DuckDB's count codepoints.
     */
   def winnowFingerprints(docs: DataFrame, idCol: String, textCol: String,
                          k: Int = WinnowK, w: Int = WinnowW): DataFrame = {
@@ -178,18 +180,19 @@ object Dedup {
     // collect_set dedupes INSIDE the per-doc aggregation: the window
     // above already partitioned by doc, so the groupBy reuses that
     // partitioning and the whole dedup+digest costs zero extra
-    // exchanges (a separate distinct would add one).
-    val fps = grams
+    // exchanges (a separate distinct would add one). n_grams falls out
+    // of the same aggregation as max(pos) — the last gram's position IS
+    // len-k+1 and always survives the pos >= w filter for any doc that
+    // reaches the output — so no second corpus scan or join is needed.
+    grams
       .withColumn("wm", min(col("h")).over(win))
       .filter(col("pos") >= w)
       .groupBy(col("doc"))
-      .agg(array_sort(collect_set(col("wm"))).as("fps"))
-    fps
-      .select(col("doc"), size(col("fps")).cast("long").as("n_fingerprints"),
+      .agg(max(col("pos")).cast("long").as("n_grams"),
+        array_sort(collect_set(col("wm"))).as("fps"))
+      .select(col("doc"), col("n_grams"),
+        size(col("fps")).cast("long").as("n_fingerprints"),
         md5(concat_ws("", col("fps"))).as("fp_md5"))
-      .join(base.select(col("doc"),
-        (length(col("t")) - k + 1).cast("long").as("n_grams")), Seq("doc"))
-      .select(col("doc"), col("n_grams"), col("n_fingerprints"), col("fp_md5"))
   }
 
   val SimhashBits = 16
@@ -294,9 +297,9 @@ object Dedup {
     *
     * Pregel-style smallest-label propagation: each round a doc's label
     * becomes min(own, neighbors'); fixpoint in O(diameter) rounds. The
-    * driver loop holds only a per-round CHECKSUM (labels are monotone
-    * non-increasing, so an unchanged sum means an unchanged fixpoint) —
-    * every join/agg is distributed, nothing row-shaped ever reaches the
+    * driver loop holds only a per-round changed-any-row BOOLEAN (an
+    * exact fixpoint probe that works for ids of any type) — every
+    * join/agg is distributed, nothing row-shaped ever reaches the
     * driver, and each round's result is persisted so the next round's
     * lineage stays one hop deep. This completes detect -> resolve ->
     * emit for near-dup dedup (the reference's product is the KEPT
@@ -310,10 +313,16 @@ object Dedup {
     Chunker.registerForCleanup(edges)
     var labels = docs.select(col(idCol).as("doc"), col(idCol).as("label"))
       .persist(MEMORY_AND_DISK)
-    def checksum(df: DataFrame): Option[Long] =
-      Option(df.agg(sum(col("label"))).head.get(0)).map(_.asInstanceOf[Long])
-    var sum0 = checksum(labels)
-    var converged = sum0.isEmpty // empty corpus: nothing to propagate
+    // Exact, id-type-agnostic fixpoint test: did ANY label change this
+    // round? (A numeric checksum would silently mis-converge for string
+    // ids, where sum() is null.) The limit(1) stops the probe join at
+    // the first changed row; the count is also the action that
+    // materializes `next`'s persist for the following round.
+    def anyChanged(next: DataFrame, prev: DataFrame): Boolean =
+      next.as("n").join(prev.as("p"), col("n.doc") === col("p.doc"))
+        .filter(col("n.label") =!= col("p.label"))
+        .limit(1).count() > 0
+    var converged = labels.isEmpty // empty corpus: nothing to propagate
     var iters = 0
     while (!converged && iters < MaxClusterIters) {
       val msgs = edges.join(labels, col("src") === col("doc"))
@@ -321,11 +330,9 @@ object Dedup {
       val next = labels.union(msgs).groupBy(col("doc"))
         .agg(min(col("label")).as("label"))
         .persist(MEMORY_AND_DISK)
-      val sum1 = checksum(next)
+      converged = !anyChanged(next, labels)
       labels.unpersist()
       labels = next
-      converged = sum1 == sum0
-      sum0 = sum1
       iters += 1
     }
     if (!converged)
@@ -498,10 +505,13 @@ object Dedup {
          |  CAST(d.doc_id = l.cluster_id AS BIGINT) AS is_survivor
          |FROM documents d JOIN labels l ON l.doc_id = d.doc_id""".stripMargin,
 
+    // The length guard lowers FIRST, like the Spark side — for exotic
+    // characters whose lowercase has a different length (e.g. U+0130),
+    // filtering on the raw length would diverge between engines.
     "q61_winnow_fingerprint" ->
       s"""WITH t AS (
          |  SELECT doc_id AS doc, lower(text) AS t FROM documents
-         |  WHERE length(text) >= $WinnowK),
+         |  WHERE length(lower(text)) >= $WinnowK),
          |g AS (
          |  SELECT doc, t,
          |    unnest(range(1, length(t) - $WinnowK + 2)) AS pos
@@ -514,14 +524,13 @@ object Dedup {
          |  SELECT doc, pos,
          |    min(h) OVER (PARTITION BY doc ORDER BY pos
          |      ROWS BETWEEN ${WinnowW - 1} PRECEDING AND CURRENT ROW) AS wm
-         |  FROM h),
-         |fp AS (SELECT DISTINCT doc, wm FROM wm WHERE pos >= $WinnowW)
-         |SELECT f.doc,
-         |  CAST(length(t.t) - $WinnowK + 1 AS BIGINT) AS n_grams,
-         |  count(*) AS n_fingerprints,
-         |  md5(string_agg(f.wm, '' ORDER BY f.wm)) AS fp_md5
-         |FROM fp f JOIN t ON t.doc = f.doc
-         |GROUP BY f.doc, t.t""".stripMargin,
+         |  FROM h)
+         |SELECT doc,
+         |  CAST(max(pos) AS BIGINT) AS n_grams,
+         |  CAST(count(DISTINCT wm) AS BIGINT) AS n_fingerprints,
+         |  md5(string_agg(DISTINCT wm, '' ORDER BY wm)) AS fp_md5
+         |FROM wm WHERE pos >= $WinnowW
+         |GROUP BY doc""".stripMargin,
 
     "q47_embed_neardup" -> {
       val bandSelects = (0 until EmbBands).map { b =>

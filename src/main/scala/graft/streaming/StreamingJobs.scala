@@ -109,28 +109,42 @@ object StreamingJobs {
     */
   def runIncremental(spark: SparkSession, batches: Seq[DataFrame],
                      mkAgg: DataFrame => DataFrame, queryName: String): DataFrame = {
-    import java.nio.file.{Files, Paths}
+    import java.nio.file.Files
     val dir = Files.createTempDirectory("graft-inc-src")
     val schema = batches.head.schema
     batches.zipWithIndex.foreach { case (b, i) =>
       val tmp = Files.createTempDirectory("graft-inc-stage")
       b.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-      val part = Files.list(tmp).filter(p =>
+      val listing = Files.list(tmp)
+      val part =
+        try listing.filter(p =>
           p.getFileName.toString.startsWith("part-")).findFirst.get
+        finally listing.close()
       val dest = dir.resolve(f"batch-$i%05d.parquet")
       Files.move(part, dest)
       Files.setLastModifiedTime(dest,
         java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 60000L))
+      deleteRecursively(tmp)
     }
-    val src = spark.readStream.schema(schema)
-      .option("maxFilesPerTrigger", 1).parquet(dir.toString)
-    val q = mkAgg(src).writeStream
-      .format("memory")
-      .queryName(queryName)
-      .outputMode("append")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    spark.table(queryName)
+    val q = try {
+      val src = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(dir.toString)
+      val query = mkAgg(src).writeStream
+        .format("memory")
+        .queryName(queryName)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      query.awaitTermination()
+      spark.table(queryName)
+    } finally deleteRecursively(dir) // memory sink holds the result; the
+    q                                // staged source is no longer needed
+  }
+
+  private def deleteRecursively(root: java.nio.file.Path): Unit = {
+    val walk = java.nio.file.Files.walk(root)
+    try walk.sorted(java.util.Comparator.reverseOrder())
+      .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+    finally walk.close()
   }
 }

@@ -96,18 +96,22 @@ class SimilaritySpec extends AnyFunSuite {
     assert(brute.intersect(probed).size > brute.intersect(exact).size)
   }
 
-  test("ANN results agree with brute force on shared pairs (sf0.001)") {
-    val d = TestSpark.sf0001
-    val brute = graft.queries.Similarity.queries("q38_cosine_topk")(spark, d)
-      .select(col("q_id"), col("neighbor_id"), col("cosine"))
-      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
-    val ann = graft.queries.Similarity.queries("q52_ann_multiprobe")(spark, d)
-      .select(col("q_id"), col("neighbor_id"), col("cosine"))
-      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
-    assert(ann.nonEmpty)
-    // wherever ANN and brute force surface the same pair, the cosine is
-    // IDENTICAL (same expression, same fold)
+  test("ANN cosines are IDENTICAL to brute force on shared pairs") {
+    // planted fixture: recall >= 0.8 GUARANTEES a non-empty overlap, so
+    // this identity property can never pass vacuously
+    def scoredPairs(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("q_id"), col("neighbor_id"), col("cosine"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val brute = scoredPairs(Similarity.bruteTopK(planted, 3))
+    val ann = scoredPairs(
+      Similarity.annMultiprobe(planted, Similarity.Q52Bits, 3))
     val shared = ann.keySet.intersect(brute.keySet)
-    shared.foreach(k => assert(ann(k) == brute(k)))
+    assert(shared.nonEmpty, "empty overlap would make this test vacuous")
+    shared.foreach(k => assert(ann(k) == brute(k),
+      s"cosine diverged on $k: same expression must give the same fold"))
+    // and the catalog queries still produce rows on the real fixture
+    val d = TestSpark.sf0001
+    assert(graft.queries.Similarity.queries("q52_ann_multiprobe")(spark, d)
+      .count() > 0)
   }
 }
