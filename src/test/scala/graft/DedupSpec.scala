@@ -98,6 +98,29 @@ class DedupSpec extends AnyFunSuite {
     assert(out(4L) == ((4L, 1L)) && out(7L) == ((7L, 1L)))
   }
 
+  test("neardup clusters match a reference union-find on random graphs") {
+    for (seed <- Seq(7, 42, 1234)) {
+      val rnd = new scala.util.Random(seed)
+      val n = 40
+      val edges = Seq.fill(25)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+      // reference union-find, driver-side
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val want = (0 until n).map(i => i.toLong -> find(i).toLong).toMap
+      val docs = (0L until n.toLong).map(i => (i, s"d$i")).toDF("doc_id", "text")
+      val pairs = edges.toDF("doc_a", "doc_b")
+      val got = Dedup.neardupClusters(docs, pairs, "doc_id")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == want, s"seed $seed: distributed clustering != union-find")
+    }
+  }
+
   test("keepNearDupSurvivors emits one row per component plus singletons") {
     val nearA = base.trim
     val nearB = base.trim.replaceFirst("lazy", "sleepy")
