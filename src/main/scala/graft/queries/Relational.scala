@@ -183,10 +183,22 @@ object Relational {
 
     // HLL sketch — approximate by design, no exact oracle (driver records
     // rows-only). rsd 5% default.
+    // HLL sketch next to the exact count, emitting the exact values and
+    // a within-5%-envelope flag per column (HLL at rsd=1% is
+    // deterministic for a given dataset, so the flag is stable and the
+    // whole row is hash-checkable — this was the catalog's one
+    // rows-only entry before round 4).
     "q11_approx_distinct" -> ((s, d) => {
       lineitem(s, d).agg(
-        approx_count_distinct(col("l_partkey")).as("approx_parts"),
-        approx_count_distinct(col("l_orderkey")).as("approx_orders"))
+          countDistinct(col("l_partkey")).as("exact_parts"),
+          countDistinct(col("l_orderkey")).as("exact_orders"),
+          approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"),
+          approx_count_distinct(col("l_orderkey"), 0.01).as("approx_orders"))
+        .select(col("exact_parts"), col("exact_orders"),
+          (abs(col("approx_parts") - col("exact_parts")).cast("double")
+            / col("exact_parts") <= 0.05).cast("long").as("parts_within_5pct"),
+          (abs(col("approx_orders") - col("exact_orders")).cast("double")
+            / col("exact_orders") <= 0.05).cast("long").as("orders_within_5pct"))
     }),
 
     // --- multi-dimensional aggregation ----------------------------------
@@ -461,6 +473,16 @@ object Relational {
       """SELECT o_orderstatus, count(DISTINCT o_custkey) AS n_custs,
         |  count(*) AS n_orders, round(sum(o_totalprice), 2) AS total
         |FROM orders GROUP BY o_orderstatus""".stripMargin,
+
+    // The oracle pins the exact counts and PREDICTS the envelope flags:
+    // Spark's HLL at rsd=1% is deterministic per dataset, and its error
+    // on these fixtures sits far inside the 5% bound.
+    "q11_approx_distinct" ->
+      """SELECT count(DISTINCT l_partkey) AS exact_parts,
+        |  count(DISTINCT l_orderkey) AS exact_orders,
+        |  CAST(1 AS BIGINT) AS parts_within_5pct,
+        |  CAST(1 AS BIGINT) AS orders_within_5pct
+        |FROM lineitem""".stripMargin,
 
     "q12_rollup" ->
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
