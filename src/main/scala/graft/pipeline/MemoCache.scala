@@ -38,13 +38,20 @@ object MemoCache {
     // failure (permissions, corrupt footer, storage flake) must
     // propagate: swallowing it would silently recompute the whole map
     // stage — re-invoking the model — and append duplicate keys, with
-    // no signal that anything went wrong.
+    // no signal that anything went wrong. Existence is checked up front
+    // (filesystems differ on WHICH exception a missing path raises:
+    // local FS throws raw FileNotFoundException, not AnalysisException
+    // PATH_NOT_FOUND), so the catch below only excuses an existing-but-
+    // fileless dir (e.g. a crash between mkdir and first append).
+    val path = new org.apache.hadoop.fs.Path(memoPath)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path)) return empty
     try {
       val df = spark.read.parquet(memoPath)
       if (df.columns.sameElements(Array("key", "result"))) df else empty
     } catch {
       case e: org.apache.spark.sql.AnalysisException
-        if e.getCondition == "PATH_NOT_FOUND" || e.getCondition == "UNABLE_TO_INFER_SCHEMA" =>
+        if e.getCondition == "UNABLE_TO_INFER_SCHEMA" =>
         empty
     }
   }
