@@ -126,6 +126,20 @@ object Relational {
               |WHERE l_quantity < 24 AND l_discount BETWEEN 0.05 AND 0.07""".stripMargin)
     }),
 
+    // Correlated aggregating scalar subquery in WHERE — exercises
+    // Catalyst's decorrelation rewrite (the subquery becomes a grouped
+    // left join, so the plan is a shuffle-agg + join, not a per-row
+    // probe; same rewrite DuckDB applies on the oracle side).
+    "q68_correlated_subquery" -> ((s, d) => {
+      customer(s, d).createOrReplaceTempView("customer_v68")
+      orders(s, d).createOrReplaceTempView("orders_v68")
+      s.sql("""SELECT c_custkey, c_mktsegment
+              |FROM customer_v68 c
+              |WHERE (SELECT count(*) FROM orders_v68 o
+              |       WHERE o.o_custkey = c.c_custkey
+              |         AND o.o_totalprice > 250000) >= 2""".stripMargin)
+    }),
+
     // Explicit broadcast of the small dimension: at 100 TB the fact side
     // never shuffles for this join.
     "q07_broadcast_join" -> ((s, d) => {
@@ -440,6 +454,13 @@ object Relational {
         |  count(*) AS n_lines
         |FROM lineitem
         |WHERE l_quantity < 24 AND l_discount BETWEEN 0.05 AND 0.07""".stripMargin,
+
+    "q68_correlated_subquery" ->
+      """SELECT c_custkey, c_mktsegment
+        |FROM customer c
+        |WHERE (SELECT count(*) FROM orders o
+        |       WHERE o.o_custkey = c.c_custkey
+        |         AND o.o_totalprice > 250000) >= 2""".stripMargin,
 
     "q05_semi_join" ->
       """SELECT c_custkey, c_mktsegment FROM customer

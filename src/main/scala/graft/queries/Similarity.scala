@@ -263,7 +263,21 @@ object Similarity {
     "q38_cosine_topk" -> ((s, d) => bruteTopK(embeddings(s, d), 5)),
     "q39_ann_buckets" -> ((s, d) => annBuckets(embeddings(s, d), Q39Bits, 3)),
     "q52_ann_multiprobe" -> ((s, d) => annMultiprobe(embeddings(s, d), Q52Bits, 3)),
-    "q62_ann_ivf" -> ((s, d) => annIvf(embeddings(s, d), IvfStride, 2, 3))
+    "q62_ann_ivf" -> ((s, d) => annIvf(embeddings(s, d), IvfStride, 2, 3)),
+
+    // Per-label centroid via the typed VecCentroid Aggregator (UDAF
+    // surface): one hash aggregate with a fixed 8*dim buffer — no
+    // collect_list of vectors, no dim× posexplode shuffle. The result
+    // is exploded to (label, pos, value) rows only AFTER the 10-row
+    // aggregate, so the explode is driver-cheap at any scale.
+    "q70_vec_centroid" -> ((s, d) => {
+      val centroid = udaf(graft.aggregates.VecCentroid)
+      embeddings(s, d).groupBy(col("label"))
+        .agg(centroid(col("embedding")).as("centroid"))
+        .select(col("label"), posexplode(col("centroid")).as(Seq("pos", "cval")))
+        .select(col("label"), col("pos"),
+          round(col("cval"), 6).as("centroid_val"))
+    })
   )
 
   /** DuckDB fragment: cosine of two list columns, identical fold order
@@ -308,6 +322,14 @@ object Similarity {
          |  FROM sigs e JOIN q ON e.sig = q.sig
          |  WHERE e.vec_id <> q.q_id)
          |${topKSql("cands", 3)}""".stripMargin,
+
+    "q70_vec_centroid" ->
+      """WITH e AS (
+        |  SELECT label, embedding, unnest(range(0, len(embedding))) AS pos
+        |  FROM embeddings)
+        |SELECT label, CAST(pos AS INT) AS pos,
+        |  round(sum(CAST(embedding[pos + 1] AS DOUBLE)) / count(*), 6) AS centroid_val
+        |FROM e GROUP BY label, pos""".stripMargin,
 
     "q62_ann_ivf" ->
       s"""WITH e AS (SELECT vec_id, embedding, label FROM embeddings),

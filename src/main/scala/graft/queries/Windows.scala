@@ -74,6 +74,23 @@ object Windows {
         .orderBy(col("o_totalprice").desc, col("o_orderkey"))
         .limit(10)
         .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("o_totalprice"))
+    }),
+
+    // Distribution/analytic window family: ntile, percent_rank,
+    // cume_dist over the ranking order; first/nth/last over an explicit
+    // whole-partition ROWS frame (the default RANGE frame stops at the
+    // current row, which would make last_value trivially self-valued).
+    "q67_analytic_funcs" -> ((s, d) => {
+      val w1 = Window.partitionBy(col("c_nationkey"))
+        .orderBy(col("c_acctbal").desc, col("c_custkey"))
+      val w2 = w1.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      customer(s, d).select(col("c_custkey"), col("c_nationkey"),
+        ntile(4).over(w1).as("bal_quartile"),
+        round(percent_rank().over(w1), 6).as("pct_rank"),
+        round(cume_dist().over(w1), 6).as("cume"),
+        round(first(col("c_acctbal")).over(w2), 2).as("top_bal"),
+        round(nth_value(col("c_acctbal"), 2).over(w2), 2).as("second_bal"),
+        round(last(col("c_acctbal")).over(w2), 2).as("bottom_bal"))
     })
   )
 
@@ -117,6 +134,19 @@ object Windows {
 
     "q20_sort_limit" ->
       """SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice
-        |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin
+        |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+
+    "q67_analytic_funcs" ->
+      """SELECT c_custkey, c_nationkey,
+        |  CAST(ntile(4) OVER w1 AS INT) AS bal_quartile,
+        |  round(percent_rank() OVER w1, 6) AS pct_rank,
+        |  round(cume_dist() OVER w1, 6) AS cume,
+        |  round(first_value(c_acctbal) OVER w2, 2) AS top_bal,
+        |  round(nth_value(c_acctbal, 2) OVER w2, 2) AS second_bal,
+        |  round(last_value(c_acctbal) OVER w2, 2) AS bottom_bal
+        |FROM customer
+        |WINDOW w1 AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey),
+        |       w2 AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""".stripMargin
   )
 }
