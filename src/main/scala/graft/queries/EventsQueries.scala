@@ -105,6 +105,15 @@ object EventsQueries {
           .as("first_purchase"))
         .select(col("user_id"), col("first_view"), col("first_purchase"),
           col("first_purchase").isNotNull.cast("long").as("converted"))
+    }),
+
+    // Batch twin of the stream-stream interval join (the SAME
+    // StreamingJobs.attributionJoin definition — withWatermark is a
+    // no-op on batch inputs). StreamingSpec asserts the streaming run
+    // emits identical rows.
+    "q71_view_attribution" -> ((s, d) => {
+      val e = events(s, d)
+      graft.streaming.StreamingJobs.attributionJoin(e, e)
     })
   )
 
@@ -174,6 +183,15 @@ object EventsQueries {
         |  SELECT fv.user_id, fv.first_view,
         |    min(CASE WHEN p.ts >= fv.first_view THEN p.ts END) AS first_purchase
         |  FROM fv LEFT JOIN p ON p.user_id = fv.user_id
-        |  GROUP BY 1, 2)""".stripMargin
+        |  GROUP BY 1, 2)""".stripMargin,
+
+    "q71_view_attribution" ->
+      """SELECT p.event_id AS purchase_id, v.event_id AS view_id,
+        |  p.user_id, p.ts AS p_ts, v.ts AS v_ts,
+        |  round(p.value, 2) AS value
+        |FROM events p JOIN events v
+        |  ON p.user_id = v.user_id
+        | AND p.event_type = 'purchase' AND v.event_type = 'view'
+        | AND v.ts <= p.ts AND v.ts >= p.ts - INTERVAL 1 HOUR""".stripMargin
   )
 }

@@ -80,6 +80,47 @@ object StreamingJobs {
       .withWatermark("ts", "2 hours")
       .dropDuplicatesWithinWatermark(keyCol)
 
+  /** Stream-stream interval join (view -> purchase attribution): each
+    * purchase joined to the same user's views in the preceding hour.
+    * One definition for both modes: on streams, the two watermarks plus
+    * the event-time range condition bound the join state (views older
+    * than the watermark minus the interval are evicted — without the
+    * range bound this state would grow forever at ingest scale); on
+    * batch DataFrames `withWatermark` is a no-op and the same plan is
+    * an ordinary range join (catalog twin q71_view_attribution).
+    */
+  def attributionJoin(views: DataFrame, purchases: DataFrame): DataFrame = {
+    val v = views.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"),
+        col("event_id").as("view_id"))
+      .withWatermark("v_ts", "2 hours")
+    val p = purchases.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("purchase_id"), col("value"))
+      .withWatermark("p_ts", "2 hours")
+    p.join(v, col("p_user") === col("v_user") &&
+        col("v_ts") <= col("p_ts") &&
+        col("v_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR"))
+      .select(col("purchase_id"), col("view_id"),
+        col("p_user").as("user_id"), col("p_ts"), col("v_ts"),
+        round(col("value"), 2).as("value"))
+  }
+
+  /** Run a streaming plan with `append` output to completion (the only
+    * mode stream-stream joins support) and return the emitted rows.
+    */
+  def runAppend(spark: SparkSession, plan: DataFrame,
+                queryName: String): DataFrame = {
+    val q = plan.writeStream
+      .format("memory")
+      .queryName(queryName)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+  }
+
   /** Run a streaming aggregation to completion over the (static) file
     * source and return the final result from the memory sink.
     * Trigger.AvailableNow processes everything then stops — the batch-

@@ -24,6 +24,16 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.count() > 0)
   }
 
+  test("stream-stream interval join == batch q71 range join") {
+    val stream = StreamingJobs.eventsStream(spark, TestSpark.sf0001)
+    val got = StreamingJobs.runAppend(spark,
+      StreamingJobs.attributionJoin(stream, stream), "t_ssjoin")
+    val want = graft.queries.EventsQueries.queries("q71_view_attribution")(
+      spark, TestSpark.sf0001)
+    assert(canon(got) == canon(want))
+    assert(got.count() > 0)
+  }
+
   test("typed flatMapGroupsWithState sessionizer == batch q34") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
