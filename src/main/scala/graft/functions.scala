@@ -15,4 +15,11 @@ object functions {
   def vec_dot(a: Column, b: Column): Column =
     ExprBridge.column(expressions.VecDot(
       ExprBridge.expression(a), ExprBridge.expression(b)))
+
+  /** Winnowing fingerprint set of a string (see
+    * [[expressions.WinnowFps]]); value-equal to the array-HOF
+    * formulation it replaces.
+    */
+  def winnow_fps(c: Column, k: Int, w: Int): Column =
+    ExprBridge.column(expressions.WinnowFps(ExprBridge.expression(c), k, w))
 }

@@ -15,11 +15,11 @@ import graft.pipeline.Chunker
   * 100 TB candidate generation must be an equi-join on a derived key,
   * with the quadratic work confined to within-bucket re-ranks.
   *
-  * Hash portability: all hashes are sha256 of UTF-8 strings (hex), the
-  * one hash family Spark (`sha2(_, 256)`) and the DuckDB oracle
-  * (`sha256`) compute identically. MinHash uses the MIN of sha256 over
-  * salted shingles — a permutation-free formulation whose min is taken
-  * on the hex STRING (lexicographic), identical in both engines.
+  * Hash portability: hashes are sha256 (or md5 where only dispersion
+  * matters) of UTF-8 strings (hex) — the hash families Spark and the
+  * DuckDB oracle compute identically. MinHash uses the MIN of sha256
+  * over salted shingles — a permutation-free formulation whose min is
+  * taken on the hex STRING (lexicographic), identical in both engines.
   */
 object Dedup {
 
@@ -154,42 +154,35 @@ object Dedup {
     *
     * Returns one row per doc: gram count, distinct-fingerprint count,
     * and an md5 over the sorted fingerprint set (the comparable digest).
-    * Scale shape: the gram explode is ~len(text) rows per doc but every
-    * window/aggregate is PARTITIONED BY doc — no global ordering, no
-    * cross-doc shuffle beyond the per-doc groupBy. Docs with fewer than
-    * k + w - 1 chars have no full window and drop out (documented).
-    * The per-gram sha256 is the price of cross-engine oracle parity
-    * (same trade as the q49 minhashes); a production build swaps in a
-    * cheap rolling hash and keeps the identical plan. ASCII-corpus
-    * contract for the oracle (like TokenCount): Spark's length/substr
-    * count UTF-16 units, DuckDB's count codepoints.
+    * Scale shape: every step is per-document, so the whole op is ONE
+    * narrow projection over the corpus scan — the native
+    * [[graft.expressions.WinnowFps]] expression computes gram hashes,
+    * sliding minima, and the distinct set in a single per-row loop,
+    * with NO gram explode (len(text)× row blowup), no per-doc window
+    * shuffle+sort, no hash aggregation, and no interpreted-lambda
+    * overhead (the HOF formulation spent q61's whole budget boxing
+    * through ~2 lambdas per corpus character). The one exchange is a
+    * ~300-byte-per-row text repartition that spreads the hashing
+    * across cores when the source is a single file. Docs with fewer
+    * than k + w - 1 chars have no full window and drop out
+    * (documented). The per-gram digest is md5 — the cheapest hash both
+    * engines compute identically (the fingerprint needs dispersion,
+    * not crypto strength); a production build swaps in a rolling hash
+    * and keeps the identical plan (same trade as the q49 minhashes).
+    * ASCII-corpus contract for the oracle (like TokenCount): Spark's
+    * length/substr count UTF-16 units, DuckDB's count codepoints.
     */
   def winnowFingerprints(docs: DataFrame, idCol: String, textCol: String,
                          k: Int = WinnowK, w: Int = WinnowW): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val base = docs
+    docs
       .select(col(idCol).as("doc"), lower(col(textCol)).as("t"))
-      .filter(length(col("t")) >= k)
-    val grams = base
-      .select(col("doc"), col("t"),
-        explode(sequence(lit(1), length(col("t")) - k + 1)).as("pos"))
-      .select(col("doc"), col("pos"),
-        sha2(col("t").substr(col("pos"), lit(k)), 256).as("h"))
-    val win = Window.partitionBy(col("doc")).orderBy(col("pos"))
-      .rowsBetween(-(w - 1), 0)
-    // collect_set dedupes INSIDE the per-doc aggregation: the window
-    // above already partitioned by doc, so the groupBy reuses that
-    // partitioning and the whole dedup+digest costs zero extra
-    // exchanges (a separate distinct would add one). n_grams falls out
-    // of the same aggregation as max(pos) — the last gram's position IS
-    // len-k+1 and always survives the pos >= w filter for any doc that
-    // reaches the output — so no second corpus scan or join is needed.
-    grams
-      .withColumn("wm", min(col("h")).over(win))
-      .filter(col("pos") >= w)
-      .groupBy(col("doc"))
-      .agg(max(col("pos")).cast("long").as("n_grams"),
-        array_sort(collect_set(col("wm"))).as("fps"))
+      .filter(length(col("t")) >= k + w - 1) // n_grams = len-k+1 >= w
+      // ~300-byte rows: a trivial shuffle that spreads the hashing
+      // across all cores even when the source is one parquet file.
+      .repartition(col("doc"))
+      .select(col("doc"),
+        (length(col("t")) - k + 1).cast("long").as("n_grams"),
+        graft.functions.winnow_fps(col("t"), k, w).as("fps"))
       .select(col("doc"), col("n_grams"),
         size(col("fps")).cast("long").as("n_fingerprints"),
         md5(concat_ws("", col("fps"))).as("fp_md5"))
@@ -518,7 +511,7 @@ object Dedup {
          |  FROM t),
          |h AS (
          |  SELECT doc, pos,
-         |    sha256(substring(t, CAST(pos AS INT), $WinnowK)) AS h
+         |    md5(substring(t, CAST(pos AS INT), $WinnowK)) AS h
          |  FROM g),
          |wm AS (
          |  SELECT doc, pos,

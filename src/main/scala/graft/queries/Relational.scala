@@ -373,6 +373,36 @@ object Relational {
               |FROM graft_orders_pct GROUP BY o_orderstatus""".stripMargin)
     }),
 
+    // Sketch percentiles, hash-checked like q11: the exact median is
+    // the oracle-checkable anchor; the approx_percentile sketch (the
+    // bounded-memory path a 100 TB scan would use) is validated by
+    // RANK, not value — the sketch returns an actual data element, so
+    // a value-relative envelope breaks wherever adjacent elements sit
+    // far apart (interpolated exact medians land between them). The
+    // element's rank fraction must fall in [0.45, 0.55]; the sketch's
+    // rank error bound is 1/accuracy = 0.001, and it is deterministic
+    // for a given dataset, so the flag is stable and hash-checkable.
+    "q72_approx_percentile" -> ((s, d) => {
+      orders(s, d).createOrReplaceTempView("graft_orders_apx")
+      s.sql("""WITH apx AS (
+              |  SELECT o_orderstatus,
+              |    approx_percentile(o_totalprice, 0.5, 1000) AS p50_apx
+              |  FROM graft_orders_apx GROUP BY o_orderstatus),
+              |exact AS (
+              |  SELECT o_orderstatus,
+              |    round(percentile_cont(0.5) WITHIN GROUP (ORDER BY o_totalprice), 4) AS p50_exact
+              |  FROM graft_orders_apx GROUP BY o_orderstatus),
+              |rk AS (
+              |  SELECT o.o_orderstatus,
+              |    CAST(sum(CASE WHEN o.o_totalprice <= a.p50_apx THEN 1 ELSE 0 END) AS DOUBLE)
+              |      / count(*) AS frac
+              |  FROM graft_orders_apx o JOIN apx a USING (o_orderstatus)
+              |  GROUP BY o.o_orderstatus)
+              |SELECT e.o_orderstatus, e.p50_exact,
+              |  CAST(r.frac BETWEEN 0.45 AND 0.55 AS BIGINT) AS p50_rank_ok
+              |FROM exact e JOIN rk r USING (o_orderstatus)""".stripMargin)
+    }),
+
     // Statistical aggregates (corr/covar/stddev/var). Rounded to 2dp:
     // both engines use streaming moment formulas whose last-ulp noise
     // must not flip the hash compare on ~1e4-magnitude values.
@@ -623,6 +653,15 @@ object Relational {
         |  round(percentile_cont(0.5) WITHIN GROUP (ORDER BY o_totalprice), 4) AS p50,
         |  round(percentile_cont(0.9) WITHIN GROUP (ORDER BY o_totalprice), 4) AS p90,
         |  round(percentile_cont(0.99) WITHIN GROUP (ORDER BY o_totalprice), 4) AS p99
+        |FROM orders GROUP BY o_orderstatus""".stripMargin,
+
+    // The oracle pins the envelope flag to 1 (like q11): the exact p50
+    // anchors the hash; a sketch whose element drifts outside the
+    // [0.45, 0.55] rank band fails the hash check.
+    "q72_approx_percentile" ->
+      """SELECT o_orderstatus,
+        |  round(percentile_cont(0.5) WITHIN GROUP (ORDER BY o_totalprice), 4) AS p50_exact,
+        |  CAST(1 AS BIGINT) AS p50_rank_ok
         |FROM orders GROUP BY o_orderstatus""".stripMargin,
 
     "q54_stats_agg" ->

@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.queries.Dedup
@@ -148,6 +150,42 @@ class DedupSpec extends AnyFunSuite {
     // close (the repeated base text has few distinct grams)
     assert(out(1L)._3 != out(3L)._3)
     assert(out(3L)._2 <= out(1L)._2 + 6)
+  }
+
+  test("native winnow_fps == the array-HOF formulation, incl. edge lengths") {
+    // Value parity of graft.expressions.WinnowFps against the
+    // composable HOF definition it replaces, over texts spanning
+    // no-full-window, exactly-one-window, and repetitive/mixed-case
+    // shapes (k=8, w=4 -> min full-window length 11).
+    val k = Dedup.WinnowK; val w = Dedup.WinnowW
+    val texts = Seq(
+      "abcdefghij",                       // 10 chars: no full window
+      "abcdefghijk",                      // 11 chars: exactly one window
+      "aaaaaaaaaaaaaaaaaaaaaa",           // all grams identical
+      base.trim, base.trim.toUpperCase,
+      (1 to 30).map(i => s"w$i").mkString(" "))
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "t")
+      .select(col("id"), lower(col("t")).as("t"))
+      .withColumn("n", length(col("t")) - k + 1)
+    def winnowed(g: Column, n: Column) = array_sort(array_distinct(
+      transform(sequence(lit(w), n), i => array_min(slice(g, i - w + 1, lit(w))))))
+    val hof = df.filter(col("n") >= w).select(col("id"), element_at(
+      transform(array(transform(sequence(lit(1), col("n")),
+        p => md5(col("t").substr(p, lit(k)).cast("binary")))),
+        g => winnowed(g, col("n"))), 1).as("fps"))
+    val native = df.filter(col("n") >= w)
+      .select(col("id"), graft.functions.winnow_fps(col("t"), k, w).as("fps"))
+    val h = hof.collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val nv = native.collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(nv == h)
+    assert(nv.nonEmpty && nv.keySet == texts.indices.filter(i =>
+      texts(i).length - k + 1 >= w).map(_.toLong).toSet)
+    // below-min-window input yields an empty set, not a crash
+    val short = Seq((0L, "abcdefghij")).toDF("id", "t")
+      .select(graft.functions.winnow_fps(col("t"), k, w).as("fps"))
+      .head().getSeq[String](0)
+    assert(short.isEmpty)
   }
 
   test("embedding near-dups: identical vectors pair at cosine 1.0") {
