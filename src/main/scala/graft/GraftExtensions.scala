@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.expressions.{TokenCount, VecDot}
+import graft.expressions.{TokenCount, VecDot, WinnowFps}
 
 /** Session extensions: registers graft's native expressions as SQL
   * functions, so `spark.sql("SELECT token_count(text) ...")` works for
@@ -36,6 +36,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.size == 2, "vec_dot takes exactly 2 arguments")
         VecDot(children(0), children(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("winnow_fps"),
+      info("winnow_fps", "winnow_fps(str, k, w) - winnowing fingerprint set (see graft.expressions.WinnowFps)"),
+      (children: Seq[Expression]) => {
+        require(children.size == 3, "winnow_fps takes exactly 3 arguments")
+        def intLit(e: Expression, arg: String): Int = e match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"winnow_fps: $arg must be an integer literal, got $other")
+        }
+        WinnowFps(children.head, intLit(children(1), "k"), intLit(children(2), "w"))
       }))
   }
 }

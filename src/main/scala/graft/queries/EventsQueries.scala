@@ -114,6 +114,27 @@ object EventsQueries {
     "q71_view_attribution" -> ((s, d) => {
       val e = events(s, d)
       graft.streaming.StreamingJobs.attributionJoin(e, e)
+    }),
+
+    // Time-series gap-fill: dense hourly series per event type with
+    // zero-filled missing hours (dashboards and anomaly detectors need
+    // the gaps, not just the observed buckets). The spine is generated
+    // from a 1-row bounds aggregate — hours x types stays tiny relative
+    // to the event volume it summarizes, and the left join shuffles
+    // only the aggregated counts, never raw events.
+    "q73_gapfill_hourly" -> ((s, d) => {
+      val e = events(s, d)
+        .select(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+      val counts = e.groupBy(col("h"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      val spine = e.agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+        .select(explode(sequence(col("h0"), col("h1"),
+          expr("INTERVAL 1 HOUR"))).as("h"))
+      val types = e.select(col("event_type")).distinct()
+      spine.crossJoin(broadcast(types))
+        .join(counts, Seq("h", "event_type"), "left")
+        .na.fill(0L, Seq("n"))
+        .select(col("h").as("hour_start"), col("event_type"), col("n"))
     })
   )
 
@@ -192,6 +213,17 @@ object EventsQueries {
         |FROM events p JOIN events v
         |  ON p.user_id = v.user_id
         | AND p.event_type = 'purchase' AND v.event_type = 'view'
-        | AND v.ts <= p.ts AND v.ts >= p.ts - INTERVAL 1 HOUR""".stripMargin
+        | AND v.ts <= p.ts AND v.ts >= p.ts - INTERVAL 1 HOUR""".stripMargin,
+
+    "q73_gapfill_hourly" ->
+      """WITH e AS (SELECT date_trunc('hour', ts) AS h, event_type FROM events),
+        |counts AS (SELECT h, event_type, count(*) AS n FROM e GROUP BY 1, 2),
+        |bounds AS (SELECT min(h) AS h0, max(h) AS h1 FROM e),
+        |spine AS (SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+        |          FROM bounds),
+        |types AS (SELECT DISTINCT event_type FROM e)
+        |SELECT s.h AS hour_start, t.event_type, CAST(coalesce(c.n, 0) AS BIGINT) AS n
+        |FROM spine s CROSS JOIN types t
+        |LEFT JOIN counts c ON c.h = s.h AND c.event_type = t.event_type""".stripMargin
   )
 }

@@ -29,8 +29,14 @@ class GraftExtensionsSpec extends AnyFunSuite {
           |               CAST(array(1.0, 2.0, 3.0) AS array<float>)) AS d""".stripMargin)
         .collect()(0).getDouble(0)
       assert(r2 == 14.0)
+      val r3 = ext.sql("SELECT size(winnow_fps('abcdefghijk', 8, 4)) AS n")
+        .collect()(0).getInt(0)
+      assert(r3 == 1) // 11 chars, k=8, w=4: exactly one full window
       // bad arity is a clean analysis error, not a crash
       intercept[Exception](ext.sql("SELECT token_count('a', 'b')").collect())
+      // non-literal k/w is rejected loudly, not silently defaulted
+      intercept[Exception](
+        ext.sql("SELECT winnow_fps('abc', length('abcdefgh'), 4)").collect())
     } finally {
       SparkSession.setActiveSession(base)
       SparkSession.setDefaultSession(base)
