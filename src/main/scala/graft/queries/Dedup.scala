@@ -348,6 +348,66 @@ object Dedup {
       Seq(idCol), "left_semi")
   }
 
+  /** Benchmark decontamination: which training docs share word-3-gram
+    * shingles with the held-out eval slice? The eval side is tiny by
+    * definition (a benchmark, not a corpus), so both the eval shingles
+    * and the per-eval-doc shingle totals are BROADCAST — the corpus
+    * side streams through one equi-join on the shingle, never an
+    * all-pairs comparison. `contamination` is the fraction of the eval
+    * doc's shingles found in the training doc; pairs sharing a single
+    * shingle are noise and dropped.
+    */
+  def decontaminate(docs: DataFrame, idCol: String, textCol: String,
+                    isEvalDoc: Column => Column, minShared: Long): DataFrame = {
+    val sh = shingleTable(docs, idCol, textCol)
+    val ev = sh.filter(isEvalDoc(col("doc")))
+      .select(col("doc").as("eval_doc"), col("shingle"))
+    val tr = sh.filter(!isEvalDoc(col("doc")))
+      .select(col("doc").as("train_doc"), col("shingle"))
+    val evSizes = ev.groupBy(col("eval_doc"))
+      .agg(count(lit(1)).as("n_eval_shingles"))
+    tr.join(broadcast(ev), Seq("shingle"))
+      .groupBy(col("train_doc"), col("eval_doc"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .join(broadcast(evSizes), Seq("eval_doc"))
+      .select(col("train_doc"), col("eval_doc"), col("n_shared"),
+        round(col("n_shared").cast("double") / col("n_eval_shingles"), 6)
+          .as("contamination"))
+  }
+
+  /** Boilerplate detection: shingles occurring in at least `minDocs`
+    * distinct documents (shingleTable is per-doc-distinct, so count(*)
+    * IS the doc frequency). EXACT result via heavy-hitter candidate
+    * pruning: a per-partition hash-map count (the one genuinely
+    * imperative per-partition step in the engine) emits only shingles
+    * whose LOCAL count reaches ceil(minDocs/numPartitions) — any
+    * shingle with global count >= minDocs must clear that bar in some
+    * partition, so the candidate set is a superset of the answer and
+    * the final filter makes the result independent of partitioning. At
+    * 100 TB the candidate set is tiny (threshold >> partitions) and
+    * only candidates ever shuffle; at test SFs the local bar degrades
+    * to 1 and the plan is an ordinary count — same answer either way.
+    */
+  def boilerplateShingles(docs: DataFrame, idCol: String, textCol: String,
+                          minDocs: Long): DataFrame = {
+    val sp = docs.sparkSession
+    import sp.implicits._
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val sh = shingleTable(docs, idCol, textCol).persist(MEMORY_AND_DISK)
+    Chunker.registerForCleanup(sh)
+    val parts = math.max(sh.rdd.getNumPartitions, 1)
+    val localBar = math.max(1L, (minDocs + parts - 1) / parts)
+    val cands = sh.select(col("shingle")).as[String].mapPartitions { it =>
+      val m = scala.collection.mutable.HashMap.empty[String, Long]
+      it.foreach(s => m.update(s, m.getOrElse(s, 0L) + 1L))
+      m.iterator.collect { case (k, n) if n >= localBar => k }
+    }.toDF("shingle")
+    sh.join(broadcast(cands), Seq("shingle"), "left_semi")
+      .groupBy(col("shingle")).agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_dedup_exact" -> ((s, d) =>
       exactDedup(documents(s, d), "doc_id", "text")),
@@ -378,7 +438,14 @@ object Dedup {
       neardupClusters(docs, minhashCandidates(docs, "doc_id", "text"), "doc_id")
     }),
     "q61_winnow_fingerprint" -> ((s, d) =>
-      winnowFingerprints(documents(s, d), "doc_id", "text"))
+      winnowFingerprints(documents(s, d), "doc_id", "text")),
+    // Eval slice = every 20th doc id — a stand-in for "the benchmark":
+    // deterministic, engine-portable, ~5% of the corpus.
+    "q74_decontaminate" -> ((s, d) =>
+      decontaminate(documents(s, d), "doc_id", "text",
+        doc => doc % 20 === 0, minShared = 2L)),
+    "q77_boilerplate" -> ((s, d) =>
+      boilerplateShingles(documents(s, d), "doc_id", "text", minDocs = 5L))
   )
 
   /** Shared DuckDB CTE chain: words -> shingles -> minhashes -> bands
@@ -392,13 +459,7 @@ object Dedup {
         .map(r => s"mh${b * (MinhashFuncs / MinhashBands) + r}").mkString(" || ")
       s"SELECT doc, $b AS band_idx, sha256($parts) AS band_hash FROM mh"
     }.mkString("\n  UNION ALL\n  ")
-    s"""WITH w AS (
-       |  SELECT doc_id AS doc, ${TextOps.wordsSql} AS ws FROM documents),
-       |shingles AS (
-       |  SELECT DISTINCT doc,
-       |    unnest(list_transform(range(1, len(ws) - 1),
-       |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS shingle
-       |  FROM w WHERE len(ws) >= 3),
+    s"""$shingleCtes,
        |mh AS (
        |  SELECT doc,
        |    $mhCols
@@ -406,6 +467,19 @@ object Dedup {
        |bands AS (
        |  $bandSelects)""".stripMargin
   }
+
+  /** DuckDB twin of [[shingleTable]] (words -> distinct per-doc
+    * 3-gram shingles); the prefix of [[minhashCtes]] and the base for
+    * the q74/q77 oracles.
+    */
+  private def shingleCtes: String =
+    s"""WITH w AS (
+       |  SELECT doc_id AS doc, ${TextOps.wordsSql} AS ws FROM documents),
+       |shingles AS (
+       |  SELECT DISTINCT doc,
+       |    unnest(list_transform(range(1, len(ws) - 1),
+       |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS shingle
+       |  FROM w WHERE len(ws) >= 3)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q40_dedup_exact" ->
@@ -553,6 +627,27 @@ object Dedup {
          |  JOIN embeddings ea ON ea.vec_id = p.vec_a
          |  JOIN embeddings eb ON eb.vec_id = p.vec_b)
          |WHERE cosine >= $NearDupThreshold""".stripMargin
-    }
+    },
+
+    "q74_decontaminate" ->
+      s"""$shingleCtes,
+         |ev AS (SELECT doc AS eval_doc, shingle FROM shingles WHERE doc % 20 = 0),
+         |tr AS (SELECT doc AS train_doc, shingle FROM shingles WHERE NOT doc % 20 = 0),
+         |sz AS (SELECT eval_doc, count(*) AS n_eval_shingles FROM ev GROUP BY 1),
+         |ov AS (
+         |  SELECT train_doc, eval_doc, count(*) AS n_shared
+         |  FROM tr JOIN ev USING (shingle) GROUP BY 1, 2)
+         |SELECT train_doc, eval_doc, n_shared,
+         |  round(CAST(n_shared AS DOUBLE) / n_eval_shingles, 6) AS contamination
+         |FROM ov JOIN sz USING (eval_doc)
+         |WHERE n_shared >= 2""".stripMargin,
+
+    // The candidate-pruning phase is semantically invisible (exact
+    // superset, re-filtered) — the oracle is the plain doc-frequency
+    // threshold.
+    "q77_boilerplate" ->
+      s"""$shingleCtes
+         |SELECT shingle, count(*) AS n_docs
+         |FROM shingles GROUP BY 1 HAVING count(*) >= 5""".stripMargin
   )
 }

@@ -23,6 +23,32 @@ object Relational {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // --- privacy / anonymization ---------------------------------------
+    // k-anonymity release of the customer table: names become sha256
+    // pseudonyms, the balance is generalized to a coarse band, and any
+    // quasi-identifier combination (nation x band x segment) backing
+    // fewer than k individuals is suppressed to NULLs. Group sizes are
+    // a tiny dimension (nations x bands x segments), so the size table
+    // is computed once and BROADCAST back — the record side never
+    // shuffles.
+    "q76_anonymize" -> ((s, d) => {
+      val k = 3
+      val c = customer(s, d)
+        .select(
+          substring(sha2(col("c_name"), 256), 1, 16).as("pseudonym"),
+          col("c_nationkey"),
+          floor(col("c_acctbal") / 5000).cast("long").as("bal_band"),
+          col("c_mktsegment"))
+      val sizes = c.groupBy(col("c_nationkey"), col("bal_band"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("group_n"))
+      c.join(broadcast(sizes), Seq("c_nationkey", "bal_band", "c_mktsegment"))
+        .select(col("pseudonym"),
+          when(col("group_n") >= k, col("c_nationkey")).as("nationkey"),
+          when(col("group_n") >= k, col("bal_band")).as("bal_band"),
+          when(col("group_n") >= k, col("c_mktsegment")).as("mktsegment"),
+          col("group_n"))
+    }),
+
     // --- aggregation ----------------------------------------------------
     // TPC-H Q1 shape: scan-side filter + 6-way aggregate. The filter and
     // the 8-column projection are pushed into the parquet scan.
@@ -427,6 +453,22 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q76_anonymize" ->
+      """WITH c AS (
+        |  SELECT substring(sha256(c_name), 1, 16) AS pseudonym,
+        |    c_nationkey,
+        |    CAST(floor(c_acctbal / 5000) AS BIGINT) AS bal_band,
+        |    c_mktsegment
+        |  FROM customer),
+        |g AS (SELECT c_nationkey, bal_band, c_mktsegment, count(*) AS group_n
+        |      FROM c GROUP BY 1, 2, 3)
+        |SELECT c.pseudonym,
+        |  CASE WHEN g.group_n >= 3 THEN c.c_nationkey END AS nationkey,
+        |  CASE WHEN g.group_n >= 3 THEN c.bal_band END AS bal_band,
+        |  CASE WHEN g.group_n >= 3 THEN c.c_mktsegment END AS mktsegment,
+        |  g.group_n
+        |FROM c JOIN g USING (c_nationkey, bal_band, c_mktsegment)""".stripMargin,
+
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty,

@@ -169,6 +169,36 @@ object TextAnalytics {
           max(col("doc_id")).as("max_doc"))
     }),
 
+    // Gopher-style repetition signals: duplicate-word fraction and the
+    // share of the document taken by its single most frequent bigram —
+    // the classic template/spam tells a pretraining filter cuts on.
+    // Two cascaded aggregations over exploded bigrams (the second
+    // groups by a prefix of the first's key, so AQE plans them without
+    // a second wide exchange); docs with <2 words survive via
+    // explode_outer with NULL metrics.
+    "q75_repetition_stats" -> ((s, d) => {
+      val ws = TextOps.wordsOf(col("text"))
+      val base = documents(s, d).select(col("doc_id"), ws.as("ws"))
+        .withColumn("n_words", size(col("ws")).cast("long"))
+        .withColumn("n_distinct", size(array_distinct(col("ws"))).cast("long"))
+      val ex = base.select(col("doc_id"), col("n_words"), col("n_distinct"),
+        explode_outer(when(col("n_words") >= 2,
+          transform(sequence(lit(1), (col("n_words") - 1).cast("int")), i =>
+            concat_ws(" ", element_at(col("ws"), i),
+              element_at(col("ws"), i + 1))))).as("bg"))
+      ex.groupBy(col("doc_id"), col("n_words"), col("n_distinct"), col("bg"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"), col("n_words"), col("n_distinct"))
+        .agg(max(when(col("bg").isNotNull, col("c"))).as("top_n"))
+        .select(col("doc_id"), col("n_words"),
+          round(when(col("n_words") > 0,
+            lit(1.0) - col("n_distinct").cast("double") / col("n_words")), 6)
+            .as("dup_word_frac"),
+          round(when(col("n_words") >= 2,
+            col("top_n").cast("double") / (col("n_words") - 1)), 6)
+            .as("top_bigram_frac"))
+    }),
+
     // Per-document quality signals: length, word shape, stopword ratio,
     // token density — pure projections, no shuffle at all.
     "q45_quality_score" -> ((s, d) => {
@@ -269,6 +299,26 @@ object TextAnalytics {
          |  CASE WHEN lang = 'en' THEN '${sampleThreshold(0.5)}'
          |       ELSE '${sampleThreshold(0.2)}' END
          |GROUP BY lang""".stripMargin,
+
+    "q75_repetition_stats" ->
+      s"""WITH t AS (SELECT doc_id, ${TextOps.wordsSql} AS ws FROM documents),
+         |b AS (
+         |  SELECT doc_id, len(ws) AS n_words, len(list_distinct(ws)) AS n_distinct,
+         |    unnest(CASE WHEN len(ws) >= 2
+         |      THEN list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])
+         |      ELSE [CAST(NULL AS VARCHAR)] END) AS bg
+         |  FROM t),
+         |c AS (SELECT doc_id, n_words, n_distinct, bg, count(*) AS c
+         |      FROM b GROUP BY 1, 2, 3, 4),
+         |p AS (SELECT doc_id, n_words, n_distinct,
+         |        max(CASE WHEN bg IS NOT NULL THEN c END) AS top_n
+         |      FROM c GROUP BY 1, 2, 3)
+         |SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+         |  round(CASE WHEN n_words > 0
+         |    THEN 1.0 - CAST(n_distinct AS DOUBLE) / n_words END, 6) AS dup_word_frac,
+         |  round(CASE WHEN n_words >= 2
+         |    THEN CAST(top_n AS DOUBLE) / (n_words - 1) END, 6) AS top_bigram_frac
+         |FROM p""".stripMargin,
 
     "q45_quality_score" -> {
       val stops = Stopwords.map(s => s"'$s'").mkString(", ")

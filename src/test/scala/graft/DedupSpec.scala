@@ -197,4 +197,39 @@ class DedupSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(pairs.toSeq == Seq((1L, 2L)))
   }
+
+  test("decontaminate flags the planted eval copy at contamination 1.0") {
+    val other = "completely unrelated words with zero gram overlap at all"
+    val docs = Seq(
+      (20L, base),          // eval doc (20 % 20 == 0)
+      (1L, base),           // contaminated training copy
+      (2L, other))          // clean training doc
+      .toDF("doc_id", "text")
+    val out = Dedup.decontaminate(docs, "doc_id", "text",
+        doc => doc % 20 === 0, minShared = 2L).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[Long]("train_doc") == 1L)
+    assert(r.getAs[Long]("eval_doc") == 20L)
+    assert(r.getAs[Double]("contamination") == 1.0)
+  }
+
+  test("boilerplate heavy-hitters are exact and partition-independent") {
+    val hot = "common header line repeated on every single page here"
+    val docs = (0L until 40L).map { i =>
+      (i, s"$hot unique tail $i marker ${i * 7} salt ${i * 13}")
+    }.toDF("doc_id", "text")
+    // expected = plain doc-frequency threshold, no pruning
+    val expected = Dedup.shingleTable(docs, "doc_id", "text")
+      .groupBy(col("shingle")).agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= 30)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(expected.nonEmpty) // the hot shingles really are hot
+    for (parts <- Seq(1, 3, 16)) {
+      val got = Dedup.boilerplateShingles(docs.repartition(parts),
+          "doc_id", "text", minDocs = 30L)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(got == expected, s"parts=$parts")
+    }
+  }
 }
