@@ -348,6 +348,34 @@ object Dedup {
       Seq(idCol), "left_semi")
   }
 
+  /** Order-insensitive content key: sha256 over the SORTED distinct
+    * word set, so word-order permutations and repetition changes hash
+    * identically — the "bag-of-words duplicate" a crawler refetch with
+    * reordered boilerplate produces. Sorting is byte-lexicographic in
+    * both engines (lowercased words), so the key is engine-portable.
+    */
+  def bagOfWordsKey(textCol: Column): Column =
+    sha2(concat_ws(" ",
+      array_sort(array_distinct(TextOps.wordsOf(textCol)))), 256)
+
+  /** Incremental corpus append: of a new batch, keep one survivor
+    * (min id) per bag-of-words key that is NOT already represented in
+    * the existing corpus — the daily-increment form of dedup, where
+    * yesterday's corpus is never rewritten. Only (id, key) projections
+    * ever shuffle: the batch side collapses to per-key survivors
+    * first, and the existing side joins as bare keys in a left_anti
+    * (duplicate existing keys are fine — anti-join semantics
+    * deduplicate implicitly, no distinct pass needed).
+    */
+  def appendDedup(existing: DataFrame, batch: DataFrame,
+                  idCol: String, textCol: String): DataFrame = {
+    val oldKeys = existing.select(bagOfWordsKey(col(textCol)).as("content_key"))
+    batch.select(col(idCol), bagOfWordsKey(col(textCol)).as("content_key"))
+      .groupBy(col("content_key")).agg(min(col(idCol)).as(idCol))
+      .join(oldKeys, Seq("content_key"), "left_anti")
+      .select(col(idCol), col("content_key"))
+  }
+
   /** Benchmark decontamination: which training docs share word-3-gram
     * shingles with the held-out eval slice? The eval side is tiny by
     * definition (a benchmark, not a corpus), so both the eval shingles
@@ -445,7 +473,16 @@ object Dedup {
       decontaminate(documents(s, d), "doc_id", "text",
         doc => doc % 20 === 0, minShared = 2L)),
     "q77_boilerplate" -> ((s, d) =>
-      boilerplateShingles(documents(s, d), "doc_id", "text", minDocs = 5L))
+      boilerplateShingles(documents(s, d), "doc_id", "text", minDocs = 5L)),
+    // "Yesterday's corpus" = 90% of docs, "today's batch" = the rest:
+    // deterministic modulo split, same pattern as q74's eval slice.
+    "q78_append_dedup" -> ((s, d) => {
+      val docs = documents(s, d)
+      appendDedup(
+        existing = docs.filter(!(col("doc_id") % 10 === 7)),
+        batch = docs.filter(col("doc_id") % 10 === 7),
+        "doc_id", "text")
+    })
   )
 
   /** Shared DuckDB CTE chain: words -> shingles -> minhashes -> bands
@@ -648,6 +685,20 @@ object Dedup {
     "q77_boilerplate" ->
       s"""$shingleCtes
          |SELECT shingle, count(*) AS n_docs
-         |FROM shingles GROUP BY 1 HAVING count(*) >= 5""".stripMargin
+         |FROM shingles GROUP BY 1 HAVING count(*) >= 5""".stripMargin,
+
+    "q78_append_dedup" ->
+      s"""WITH k AS (
+         |  SELECT doc_id,
+         |    sha256(array_to_string(list_sort(list_distinct(${TextOps.wordsSql})), ' '))
+         |      AS content_key
+         |  FROM documents),
+         |old AS (SELECT content_key FROM k WHERE NOT doc_id % 10 = 7),
+         |batch AS (SELECT doc_id, content_key FROM k WHERE doc_id % 10 = 7),
+         |surv AS (SELECT content_key, min(doc_id) AS doc_id
+         |         FROM batch GROUP BY 1)
+         |SELECT s.doc_id, s.content_key FROM surv s
+         |WHERE NOT EXISTS (
+         |  SELECT 1 FROM old o WHERE o.content_key = s.content_key)""".stripMargin
   )
 }

@@ -116,6 +116,51 @@ object EventsQueries {
       graft.streaming.StreamingJobs.attributionJoin(e, e)
     }),
 
+    // Cohort retention: users grouped by first-active day, activity
+    // counted at each day offset — the standard retention triangle.
+    // Everything shuffles by user_id (distinct days, first-day cohort,
+    // the join), then collapses to the tiny cohort x offset grid.
+    "q79_cohort_retention" -> ((s, d) => {
+      val active = events(s, d)
+        .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      val cohorts = active.groupBy(col("user_id"))
+        .agg(min(col("day")).as("cohort_day"))
+      active.join(cohorts, Seq("user_id"))
+        .groupBy(col("cohort_day"),
+          datediff(col("day"), col("cohort_day")).cast("long").as("day_offset"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+    }),
+
+    // Concurrent-session curve by sweep line: each session (q34's gap
+    // definition, closed interval [first event, last event]) emits
+    // +1/-1 deltas at its endpoints; the concurrency at each change
+    // instant is the global running sum of deltas in time order —
+    // computed with Chunker.runningSum, the two-phase distributed
+    // prefix sum (range partition -> per-partition totals -> offset
+    // broadcast), so no single-partition window exists even with
+    // billions of sessions.
+    "q80_session_concurrency" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val flagged = events(s, d)
+        .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+        .withColumn("new_session",
+          when(col("prev_us").isNull ||
+            unix_micros(col("ts")) - col("prev_us") > 1800L * 1000000L, 1L)
+            .otherwise(0L))
+        .withColumn("session_idx",
+          sum(col("new_session")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val sessions = flagged.groupBy(col("user_id"), col("session_idx"))
+        .agg(unix_micros(min(col("ts"))).as("start_us"),
+          unix_micros(max(col("ts"))).as("end_us"))
+      val deltas = sessions
+        .select(col("start_us").as("t_us"), lit(1L).as("delta"))
+        .unionAll(sessions
+          .select((col("end_us") + 1L).as("t_us"), lit(-1L).as("delta")))
+        .groupBy(col("t_us")).agg(sum(col("delta")).as("delta"))
+      graft.pipeline.Chunker.runningSum(deltas, "t_us", "delta", "n_active")
+    }),
+
     // Time-series gap-fill: dense hourly series per event type with
     // zero-filled missing hours (dashboards and anomaly detectors need
     // the gaps, not just the observed buckets). The spine is generated
@@ -214,6 +259,33 @@ object EventsQueries {
         |  ON p.user_id = v.user_id
         | AND p.event_type = 'purchase' AND v.event_type = 'view'
         | AND v.ts <= p.ts AND v.ts >= p.ts - INTERVAL 1 HOUR""".stripMargin,
+
+    "q79_cohort_retention" ->
+      """WITH a AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |c AS (SELECT user_id, min(day) AS cohort_day FROM a GROUP BY 1)
+        |SELECT c.cohort_day,
+        |  CAST(date_diff('day', c.cohort_day, a.day) AS BIGINT) AS day_offset,
+        |  count(DISTINCT a.user_id) AS n_users
+        |FROM a JOIN c USING (user_id)
+        |GROUP BY 1, 2""".stripMargin,
+
+    "q80_session_concurrency" ->
+      s"""$sessionsCte,
+         |s AS (
+         |  SELECT user_id, session_idx,
+         |    min(epoch_us(ts)) AS start_us, max(epoch_us(ts)) AS end_us
+         |  FROM sessions GROUP BY 1, 2),
+         |d AS (
+         |  SELECT start_us AS t_us, 1 AS delta FROM s
+         |  UNION ALL
+         |  SELECT end_us + 1, -1 FROM s),
+         |agg AS (SELECT t_us, CAST(sum(delta) AS BIGINT) AS delta
+         |        FROM d GROUP BY 1)
+         |SELECT t_us, delta,
+         |  CAST(sum(delta) OVER (ORDER BY t_us
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |    AS n_active
+         |FROM agg""".stripMargin,
 
     "q73_gapfill_hourly" ->
       """WITH e AS (SELECT date_trunc('hour', ts) AS h, event_type FROM events),

@@ -214,6 +214,19 @@ class DedupSpec extends AnyFunSuite {
     assert(r.getAs[Double]("contamination") == 1.0)
   }
 
+  test("appendDedup drops bag-of-words matches, keeps min-id novelties") {
+    val existing = Seq((1L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val batch = Seq(
+      (30L, "delta gamma beta alpha alpha"), // permutation + repeat of doc 1
+      (31L, "epsilon zeta eta"),             // novel, same set as 32
+      (32L, "zeta eta epsilon epsilon"),
+      (33L, "totally new words here"))       // novel singleton
+      .toDF("doc_id", "text")
+    val kept = Dedup.appendDedup(existing, batch, "doc_id", "text")
+      .collect().map(_.getAs[Long]("doc_id")).sorted
+    assert(kept.toSeq == Seq(31L, 33L))
+  }
+
   test("boilerplate heavy-hitters are exact and partition-independent") {
     val hot = "common header line repeated on every single page here"
     val docs = (0L until 40L).map { i =>
