@@ -131,6 +131,22 @@ object EventsQueries {
         .agg(countDistinct(col("user_id")).as("n_users"))
     }),
 
+    // 7-day rolling distinct active users. count(DISTINCT) cannot ride
+    // a sliding window, and per-day HLL merges would be approximate —
+    // the exact scalable form is a BOUNDED expansion: each (user, day)
+    // activity fact contributes to exactly 7 window-end days, so the
+    // shuffle grows 7x (a constant), never quadratically, and the
+    // final count-distinct shuffles by day.
+    "q82_rolling_dau" -> ((s, d) => {
+      val active = events(s, d)
+        .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      active
+        .select(col("user_id"),
+          explode(sequence(lit(0), lit(6))).as("k"), col("day"))
+        .groupBy(date_add(col("day"), col("k")).as("day"))
+        .agg(countDistinct(col("user_id")).as("dau_7d"))
+    }),
+
     // Concurrent-session curve by sweep line: each session (q34's gap
     // definition, closed interval [first event, last event]) emits
     // +1/-1 deltas at its endpoints; the concurrency at each change
@@ -268,6 +284,13 @@ object EventsQueries {
         |  count(DISTINCT a.user_id) AS n_users
         |FROM a JOIN c USING (user_id)
         |GROUP BY 1, 2""".stripMargin,
+
+    "q82_rolling_dau" ->
+      """WITH a AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events)
+        |SELECT a.day + CAST(k.k AS INT) AS day,
+        |  count(DISTINCT a.user_id) AS dau_7d
+        |FROM a CROSS JOIN (SELECT unnest(range(0, 7)) AS k) k
+        |GROUP BY 1""".stripMargin,
 
     "q80_session_concurrency" ->
       s"""$sessionsCte,

@@ -49,6 +49,28 @@ object Relational {
           col("group_n"))
     }),
 
+    // --- data-quality profiling ----------------------------------------
+    // Deequ-style column profile: one (n_rows, n_nulls, n_distinct) row
+    // per audited column — the pre-ingestion quality gate a pipeline
+    // runs before trusting a new drop. Deliberately one single-column
+    // aggregation per column (each scan prunes to that column in
+    // parquet) rather than one multi-countDistinct agg, which Catalyst
+    // expands into a row-multiplying Expand (the q11 lesson).
+    "q81_profile" -> ((s, d) => {
+      val li = lineitem(s, d)
+      Seq("l_returnflag", "l_linestatus", "l_quantity", "l_discount")
+        .map { c =>
+          li.agg(
+            count(lit(1)).as("n_rows"),
+            count(col(c)).as("n_present"),
+            countDistinct(col(c)).as("n_distinct"))
+            .select(lit(c).as("col_name"), col("n_rows"),
+              (col("n_rows") - col("n_present")).as("n_nulls"),
+              col("n_distinct"))
+        }
+        .reduce(_ unionAll _)
+    }),
+
     // --- aggregation ----------------------------------------------------
     // TPC-H Q1 shape: scan-side filter + 6-way aggregate. The filter and
     // the 8-column projection are pushed into the parquet scan.
@@ -453,6 +475,16 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q81_profile" -> {
+      val cols = Seq("l_returnflag", "l_linestatus", "l_quantity", "l_discount")
+      cols.map { c =>
+        s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+           |  count(*) - count($c) AS n_nulls,
+           |  count(DISTINCT $c) AS n_distinct
+           |FROM lineitem""".stripMargin
+      }.mkString("\nUNION ALL\n")
+    },
+
     "q76_anonymize" ->
       """WITH c AS (
         |  SELECT substring(sha256(c_name), 1, 16) AS pseudonym,
