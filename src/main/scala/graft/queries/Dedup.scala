@@ -482,6 +482,22 @@ object Dedup {
         existing = docs.filter(!(col("doc_id") % 10 === 7)),
         batch = docs.filter(col("doc_id") % 10 === 7),
         "doc_id", "text")
+    }),
+    // Leakage-safe train/val/test split (80/10/10): the split hash is
+    // taken over the near-dup CLUSTER id, not the doc id, so every
+    // member of a near-duplicate cluster lands in the SAME split —
+    // hashing doc ids would scatter near-copies of one page across
+    // train and test, the classic eval-contamination bug. Reuses the
+    // q57 label propagation; assignment itself is a pure projection.
+    "q84_leakage_safe_split" -> ((s, d) => {
+      val docs = documents(s, d)
+      val labels = neardupClusters(docs,
+        minhashCandidates(docs, "doc_id", "text"), "doc_id")
+      val h = substring(sha2(col("cluster_id").cast("string"), 256), 1, 8)
+      labels.select(col("doc_id"), col("cluster_id"),
+        when(h < lit(TextAnalytics.sampleThreshold(0.8)), "train")
+          .when(h < lit(TextAnalytics.sampleThreshold(0.9)), "val")
+          .otherwise("test").as("split"))
     })
   )
 
@@ -686,6 +702,31 @@ object Dedup {
       s"""$shingleCtes
          |SELECT shingle, count(*) AS n_docs
          |FROM shingles GROUP BY 1 HAVING count(*) >= 5""".stripMargin,
+
+    "q84_leakage_safe_split" ->
+      s"""WITH RECURSIVE ${minhashCtes.stripPrefix("WITH ")},
+         |cands AS (
+         |  SELECT a.doc AS doc_a, b.doc AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+         |    AND a.doc < b.doc
+         |  GROUP BY 1, 2),
+         |edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM cands
+         |  UNION SELECT doc_b, doc_a FROM cands),
+         |reach(doc, label) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.doc),
+         |labels AS (
+         |  SELECT doc AS doc_id, min(label) AS cluster_id FROM reach GROUP BY doc)
+         |SELECT doc_id, cluster_id,
+         |  CASE WHEN substring(sha256(CAST(cluster_id AS VARCHAR)), 1, 8)
+         |         < '${TextAnalytics.sampleThreshold(0.8)}' THEN 'train'
+         |       WHEN substring(sha256(CAST(cluster_id AS VARCHAR)), 1, 8)
+         |         < '${TextAnalytics.sampleThreshold(0.9)}' THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM labels""".stripMargin,
 
     "q78_append_dedup" ->
       s"""WITH k AS (

@@ -49,6 +49,20 @@ object Relational {
           col("group_n"))
     }),
 
+    // --- regex scalar family --------------------------------------------
+    // Spark regexp_* are Java-regex, the oracle's are RE2 — every
+    // pattern here sticks to the shared subset (character classes,
+    // groups, alternation; no lookaround, no \p classes). Spark
+    // regexp_replace replaces ALL matches, so the oracle passes 'g'.
+    "q83_regex_funcs" -> ((s, d) => {
+      documents(s, d).select(
+        col("doc_id"),
+        regexp_extract(col("text"), "(s[a-z]+)", 1).as("first_s_word"),
+        regexp_replace(col("text"), "[aeiou]+", "_").as("devoweled"),
+        col("text").rlike("stream [a-z]+ window").cast("long").as("has_pattern"),
+        regexp_count(col("text"), lit("(^| )b[a-z]*")).cast("long").as("n_b_words"))
+    }),
+
     // --- data-quality profiling ----------------------------------------
     // Deequ-style column profile: one (n_rows, n_nulls, n_distinct) row
     // per audited column — the pre-ingestion quality gate a pipeline
@@ -475,6 +489,16 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q83_regex_funcs" ->
+      """SELECT doc_id,
+        |  regexp_extract(text, '(s[a-z]+)', 1) AS first_s_word,
+        |  regexp_replace(text, '[aeiou]+', '_', 'g') AS devoweled,
+        |  CAST(regexp_matches(text, 'stream [a-z]+ window') AS BIGINT)
+        |    AS has_pattern,
+        |  CAST(len(regexp_extract_all(text, '(^| )b[a-z]*')) AS BIGINT)
+        |    AS n_b_words
+        |FROM documents""".stripMargin,
+
     "q81_profile" -> {
       val cols = Seq("l_returnflag", "l_linestatus", "l_quantity", "l_discount")
       cols.map { c =>
