@@ -50,6 +50,20 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(Dedup.simhash(tiny, "doc_id", "text").count() == 1)
   }
 
+  test("round-4 pipeline operators on an empty corpus") {
+    assert(Dedup.decontaminate(noDocs, "doc_id", "text",
+      doc => doc % 20 === 0, minShared = 2L).count() == 0)
+    assert(Dedup.boilerplateShingles(noDocs, "doc_id", "text", 5L).count() == 0)
+    assert(Dedup.appendDedup(noDocs, noDocs, "doc_id", "text").count() == 0)
+    // append of a non-empty batch onto an EMPTY corpus keeps survivors
+    val batch = Seq((1L, "alpha beta"), (2L, "beta alpha")).toDF("doc_id", "text")
+    assert(Dedup.appendDedup(noDocs, batch, "doc_id", "text").count() == 1)
+    // runningSum over an empty frame is empty, not a crash
+    val noDeltas = Seq.empty[(Long, Long)].toDF("t_us", "delta")
+    assert(graft.pipeline.Chunker.runningSum(
+      noDeltas, "t_us", "delta", "n_active").count() == 0)
+  }
+
   test("stateful sessionizer and ranks on empty input") {
     val noEvents = Seq.empty[graft.streaming.SessionEvent].toDS()
     assert(graft.streaming.StatefulSessions.sessionize(noEvents).count() == 0)
