@@ -387,7 +387,11 @@ object Dedup {
     */
   def decontaminate(docs: DataFrame, idCol: String, textCol: String,
                     isEvalDoc: Column => Column, minShared: Long): DataFrame = {
+    // three consumers (train side, eval side, eval totals) — persist so
+    // the tokenize+explode lineage runs once, per the bands convention
     val sh = shingleTable(docs, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    Chunker.registerForCleanup(sh)
     val ev = sh.filter(isEvalDoc(col("doc")))
       .select(col("doc").as("eval_doc"), col("shingle"))
     val tr = sh.filter(!isEvalDoc(col("doc")))
@@ -412,28 +416,39 @@ object Dedup {
     * whose LOCAL count reaches ceil(minDocs/numPartitions) — any
     * shingle with global count >= minDocs must clear that bar in some
     * partition, so the candidate set is a superset of the answer and
-    * the final filter makes the result independent of partitioning. At
-    * 100 TB the candidate set is tiny (threshold >> partitions) and
-    * only candidates ever shuffle; at test SFs the local bar degrades
-    * to 1 and the plan is an ordinary count — same answer either way.
+    * the final filter makes the result independent of partitioning.
+    * Pruning only pays when the local bar exceeds 1 (threshold >
+    * partition count — the boilerplate regime, where the threshold is
+    * a corpus fraction); when the bar degrades to 1 every shingle
+    * would be a "candidate", so the operator skips the pruning pass
+    * entirely and runs the direct count — same answer either way, and
+    * no risk of broadcasting the whole shingle universe.
     */
   def boilerplateShingles(docs: DataFrame, idCol: String, textCol: String,
                           minDocs: Long): DataFrame = {
     val sp = docs.sparkSession
     import sp.implicits._
-    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val sh = shingleTable(docs, idCol, textCol).persist(MEMORY_AND_DISK)
-    Chunker.registerForCleanup(sh)
+    def directCount(t: DataFrame): DataFrame =
+      t.groupBy(col("shingle")).agg(count(lit(1)).as("n_docs"))
+        .filter(col("n_docs") >= minDocs)
+    val sh = shingleTable(docs, idCol, textCol)
     val parts = math.max(sh.rdd.getNumPartitions, 1)
-    val localBar = math.max(1L, (minDocs + parts - 1) / parts)
-    val cands = sh.select(col("shingle")).as[String].mapPartitions { it =>
-      val m = scala.collection.mutable.HashMap.empty[String, Long]
-      it.foreach(s => m.update(s, m.getOrElse(s, 0L) + 1L))
-      m.iterator.collect { case (k, n) if n >= localBar => k }
-    }.toDF("shingle")
-    sh.join(broadcast(cands), Seq("shingle"), "left_semi")
-      .groupBy(col("shingle")).agg(count(lit(1)).as("n_docs"))
-      .filter(col("n_docs") >= minDocs)
+    val localBar = (minDocs + parts - 1) / parts
+    if (localBar <= 1L) directCount(sh)
+    else {
+      import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      val persisted = sh.persist(MEMORY_AND_DISK)
+      Chunker.registerForCleanup(persisted)
+      val cands = persisted.select(col("shingle")).as[String].mapPartitions { it =>
+        val m = scala.collection.mutable.HashMap.empty[String, Long]
+        it.foreach(s => m.update(s, m.getOrElse(s, 0L) + 1L))
+        m.iterator.collect { case (k, n) if n >= localBar => k }
+      }.toDF("shingle")
+      // no broadcast hint: the candidate set is usually tiny (AQE will
+      // broadcast it), but a skew-heavy corpus could make it large and
+      // a forced driver collect would be the failure mode
+      directCount(persisted.join(cands, Seq("shingle"), "left_semi"))
+    }
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -493,7 +508,7 @@ object Dedup {
       val docs = documents(s, d)
       val labels = neardupClusters(docs,
         minhashCandidates(docs, "doc_id", "text"), "doc_id")
-      val h = substring(sha2(col("cluster_id").cast("string"), 256), 1, 8)
+      val h = TextAnalytics.hashPrefix(col("cluster_id"))
       labels.select(col("doc_id"), col("cluster_id"),
         when(h < lit(TextAnalytics.sampleThreshold(0.8)), "train")
           .when(h < lit(TextAnalytics.sampleThreshold(0.9)), "val")

@@ -140,11 +140,16 @@ object EventsQueries {
     "q82_rolling_dau" -> ((s, d) => {
       val active = events(s, d)
         .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      val lastDay = active.agg(max(col("day")).as("max_day"))
       active
         .select(col("user_id"),
           explode(sequence(lit(0), lit(6))).as("k"), col("day"))
         .groupBy(date_add(col("day"), col("k")).as("day"))
         .agg(countDistinct(col("user_id")).as("dau_7d"))
+        // clamp the expansion's tail: no phantom rows past the last
+        // observed activity day (1-row bounds agg, broadcast)
+        .join(broadcast(lastDay), col("day") <= col("max_day"))
+        .select(col("day"), col("dau_7d"))
     }),
 
     // Concurrent-session curve by sweep line: each session (q34's gap
@@ -169,11 +174,15 @@ object EventsQueries {
       val sessions = flagged.groupBy(col("user_id"), col("session_idx"))
         .agg(unix_micros(min(col("ts"))).as("start_us"),
           unix_micros(max(col("ts"))).as("end_us"))
+      // both endpoint deltas explode out of ONE pass over sessions — a
+      // union of two selects would run the window+aggregate twice
       val deltas = sessions
-        .select(col("start_us").as("t_us"), lit(1L).as("delta"))
-        .unionAll(sessions
-          .select((col("end_us") + 1L).as("t_us"), lit(-1L).as("delta")))
-        .groupBy(col("t_us")).agg(sum(col("delta")).as("delta"))
+        .select(explode(array(
+          struct(col("start_us").as("t_us"), lit(1L).as("delta")),
+          struct((col("end_us") + 1L).as("t_us"), lit(-1L).as("delta"))))
+          .as("d"))
+        .groupBy(col("d.t_us").as("t_us"))
+        .agg(sum(col("d.delta")).as("delta"))
       graft.pipeline.Chunker.runningSum(deltas, "t_us", "delta", "n_active")
     }),
 
@@ -188,10 +197,12 @@ object EventsQueries {
         .select(date_trunc("hour", col("ts")).as("h"), col("event_type"))
       val counts = e.groupBy(col("h"), col("event_type"))
         .agg(count(lit(1)).as("n"))
-      val spine = e.agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+      // bounds and the type dim derive from the aggregated counts, not
+      // the raw events — one fact scan total, identical results
+      val spine = counts.agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
         .select(explode(sequence(col("h0"), col("h1"),
           expr("INTERVAL 1 HOUR"))).as("h"))
-      val types = e.select(col("event_type")).distinct()
+      val types = counts.select(col("event_type")).distinct()
       spine.crossJoin(broadcast(types))
         .join(counts, Seq("h", "event_type"), "left")
         .na.fill(0L, Seq("n"))
@@ -200,9 +211,13 @@ object EventsQueries {
   )
 
   /** Shared CTE: gap-based sessions, microsecond-exact. */
+  // Both windows order by (ts, event_id): the cumulative sum MUST use
+  // the same total order as the lag pass, or a tied-timestamp event
+  // could land on the wrong side of a session boundary in one engine
+  // but not the other (Spark pins the tiebreak; so must the oracle).
   private val sessionsCte =
     """WITH flagged AS (
-      |  SELECT user_id, ts, value,
+      |  SELECT user_id, ts, event_id, value,
       |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
       |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
       |         THEN 1 ELSE 0 END AS new_session
@@ -210,7 +225,7 @@ object EventsQueries {
       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
       |), sessions AS (
       |  SELECT user_id, ts, value,
-      |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+      |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
       |  FROM flagged
       |)""".stripMargin
@@ -286,10 +301,12 @@ object EventsQueries {
         |GROUP BY 1, 2""".stripMargin,
 
     "q82_rolling_dau" ->
-      """WITH a AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events)
+      """WITH a AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |b AS (SELECT max(day) AS max_day FROM a)
         |SELECT a.day + CAST(k.k AS INT) AS day,
         |  count(DISTINCT a.user_id) AS dau_7d
-        |FROM a CROSS JOIN (SELECT unnest(range(0, 7)) AS k) k
+        |FROM a CROSS JOIN (SELECT unnest(range(0, 7)) AS k) k CROSS JOIN b
+        |WHERE a.day + CAST(k.k AS INT) <= b.max_day
         |GROUP BY 1""".stripMargin,
 
     "q80_session_concurrency" ->

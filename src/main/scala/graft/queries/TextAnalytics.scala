@@ -80,6 +80,14 @@ object TextAnalytics {
     f"${math.min((fraction * (1L << 32)).toLong, (1L << 32) - 1)}%08x"
   }
 
+  /** The probe the [[sampleThreshold]] literals compare against: first
+    * 8 hex chars of sha256 of the stringified column. One definition
+    * for every hash-split consumer (sampling here, the q84
+    * leakage-safe split), so the idiom cannot drift.
+    */
+  def hashPrefix(c: Column): Column =
+    substring(sha2(c.cast("string"), 256), 1, 8)
+
   /** Deterministic hash-threshold sampling — the scalable "take p% of
     * the corpus" every training-data pipeline needs: membership depends
     * only on the row's id (stable across runs, clusters, engines), the
@@ -87,8 +95,7 @@ object TextAnalytics {
     * stratified rates fall out of a per-stratum threshold expression.
     */
   def sampleByHash(docs: DataFrame, idCol: String, thresholdHex: Column): DataFrame =
-    docs.filter(
-      substring(sha2(col(idCol).cast("string"), 256), 1, 8) < thresholdHex)
+    docs.filter(hashPrefix(col(idCol)) < thresholdHex)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
