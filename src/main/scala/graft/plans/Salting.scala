@@ -14,9 +14,11 @@ import org.apache.spark.sql.functions._
   * rand(): deterministic under retries and speculative execution —
   * rand() salting can double-count on task re-attempts.
   *
-  * (For JOIN skew the engine relies on AQE's skew-join splitting,
-  * enabled by default in Spark 4; this utility covers aggregation
-  * skew, which AQE does not rebalance.)
+  * Two forms: [[saltedCount]] for aggregation skew (which AQE does not
+  * rebalance) and [[saltedEquiJoin]] for join skew — AQE's skew-join
+  * splitting handles most sort-merge cases at runtime, but the manual
+  * salt is the portable form when AQE is off, when the skew is known
+  * up front, or when the join sits under an operator AQE won't split.
   */
 object Salting {
 
@@ -34,4 +36,29 @@ object Salting {
       .agg(count(lit(1)).as("_graft_partial"))
       .groupBy(col(keyName))
       .agg(sum(col("_graft_partial")).as(outCol))
+
+  /** Salted inner equi-join: the big (skewed) side gets a stable salt
+    * in [0, saltBuckets); the small side is replicated once per salt
+    * value (an explode — `saltBuckets`x the small side, which must
+    * therefore be dimension-sized); the join runs on (key, salt), so a
+    * hot key's rows spread over `saltBuckets` reducers instead of one.
+    * Result is EXACTLY the plain inner join — replication never
+    * duplicates output because each big-side row matches exactly its
+    * own salt's replica.
+    *
+    * `saltFrom` must be stable per big-side row (same retry-safety rule
+    * as [[saltedCount]]).
+    */
+  def saltedEquiJoin(big: DataFrame, small: DataFrame,
+                     bigKey: String, smallKey: String,
+                     saltFrom: Seq[Column], saltBuckets: Int = 16): DataFrame = {
+    val b = big.withColumn("_graft_salt",
+      pmod(hash(saltFrom: _*), lit(saltBuckets)))
+    val sm = small.withColumn("_graft_salt",
+      explode(sequence(lit(0), lit(saltBuckets - 1))))
+    b.join(sm,
+        b("_graft_salt") === sm("_graft_salt") &&
+          col(bigKey) === col(smallKey))
+      .drop("_graft_salt")
+  }
 }

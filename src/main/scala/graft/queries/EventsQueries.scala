@@ -207,6 +207,35 @@ object EventsQueries {
         .join(counts, Seq("h", "event_type"), "left")
         .na.fill(0L, Seq("n"))
         .select(col("h").as("hour_start"), col("event_type"), col("n"))
+    }),
+
+    // Event-rate anomaly detection: hourly counts per type, each hour
+    // z-scored against its trailing 24-observed-hours baseline (current
+    // hour EXCLUDED — the baseline must not contain the point it
+    // judges; < 12 baseline hours → NULL z, cold start). The window
+    // slides over the hours x types AGGREGATE, never raw events, so the
+    // wide work is one groupBy and the window input is tiny at any
+    // event volume. z is rounded at 4dp — the window mean is exact
+    // (integer counts), and the stddev agrees across engines well past
+    // 4dp (q54 precedent).
+    "q88_rate_anomaly" -> ((s, d) => {
+      val counts = events(s, d)
+        .groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("h"))
+        .rowsBetween(-24, -1)
+      counts
+        .withColumn("n_base", count(col("n")).over(w))
+        .withColumn("mu", avg(col("n")).over(w))
+        .withColumn("sd", stddev_samp(col("n")).over(w))
+        .select(col("h").as("hour_start"), col("event_type"), col("n"),
+          round(col("mu"), 4).as("mean_24h"),
+          round(col("sd"), 4).as("sd_24h"),
+          round(when(col("n_base") >= 12 && col("sd") > 0,
+            (col("n") - col("mu")) / col("sd")), 4).as("z"),
+          (col("n_base") >= 12 && col("sd") > 0 &&
+            abs((col("n") - col("mu")) / col("sd")) > 3).cast("long")
+            .as("is_anomaly"))
     })
   )
 
@@ -336,6 +365,27 @@ object EventsQueries {
         |types AS (SELECT DISTINCT event_type FROM e)
         |SELECT s.h AS hour_start, t.event_type, CAST(coalesce(c.n, 0) AS BIGINT) AS n
         |FROM spine s CROSS JOIN types t
-        |LEFT JOIN counts c ON c.h = s.h AND c.event_type = t.event_type""".stripMargin
+        |LEFT JOIN counts c ON c.h = s.h AND c.event_type = t.event_type""".stripMargin,
+
+    "q88_rate_anomaly" ->
+      """WITH c AS (
+        |  SELECT date_trunc('hour', ts) AS h, event_type, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |b AS (
+        |  SELECT h, event_type, n,
+        |    count(n) OVER w AS n_base,
+        |    avg(n) OVER w AS mu,
+        |    stddev_samp(n) OVER w AS sd
+        |  FROM c
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY h
+        |    ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+        |SELECT h AS hour_start, event_type, n,
+        |  round(mu, 4) AS mean_24h,
+        |  round(sd, 4) AS sd_24h,
+        |  round(CASE WHEN n_base >= 12 AND sd > 0 THEN (n - mu) / sd END, 4)
+        |    AS z,
+        |  CAST((n_base >= 12 AND sd > 0 AND abs((n - mu) / sd) > 3) AS BIGINT)
+        |    AS is_anomaly
+        |FROM b""".stripMargin
   )
 }

@@ -176,6 +176,20 @@ object Relational {
           round(coalesce(sum(col("o_totalprice")), lit(0.0)), 2).as("spend"))
     }),
 
+    // Salted skew JOIN (plans/Salting.saltedEquiJoin): lineitem joins
+    // its supplier dim on (suppkey, salt) with the 10-row dim replicated
+    // 16x — the manual hot-key spread for when AQE can't split the
+    // skewed partition. The oracle is the PLAIN join: salting must be
+    // invisible in the result.
+    "q87_salted_join" -> ((s, d) => {
+      graft.plans.Salting.saltedEquiJoin(
+          lineitem(s, d), supplier(s, d),
+          bigKey = "l_suppkey", smallKey = "s_suppkey",
+          saltFrom = Seq(col("l_orderkey"), col("l_linenumber")))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_suppkey"),
+          col("s_name"), round(col("l_extendedprice"), 2).as("price"))
+    }),
+
     // The SQL surface itself: same engine, same Catalyst plan, driven
     // through spark.sql over a temp view (TPC-H Q6 shape) — proves a
     // SQL-first user gets the identical declarative path as the Column
@@ -576,6 +590,12 @@ object Relational {
         |FROM orders RIGHT JOIN customer
         |  ON o_custkey = c_custkey AND o_orderstatus = 'F'
         |GROUP BY c_custkey, c_mktsegment""".stripMargin,
+
+    // The plain join — salting must be result-invisible.
+    "q87_salted_join" ->
+      """SELECT l_orderkey, l_linenumber, l_suppkey, s_name,
+        |  round(l_extendedprice, 2) AS price
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey""".stripMargin,
 
     "q66_sql_surface" ->
       """SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue_delta,

@@ -277,6 +277,36 @@ object Similarity {
         .select(col("label"), posexplode(col("centroid")).as(Seq("pos", "cval")))
         .select(col("label"), col("pos"),
           round(col("cval"), 6).as("centroid_val"))
+    }),
+
+    // Int8 scalar quantization of the embedding column — the storage op
+    // for 100 TB of vectors (4 bytes → 1 byte per dim + two doubles per
+    // row): per-vector affine map to 0..255, dequantize, reconstruction
+    // error envelope. A pure projection — zero shuffle at any scale.
+    // Parity: every element is cast to double BEFORE arithmetic, ops run
+    // in source order, round() operands are non-negative (HALF_UP and
+    // half-away-from-zero agree), and the mean-error fold is the same
+    // sequential left fold as the oracle's list_sum.
+    "q86_vec_quantize" -> ((s, d) => {
+      embeddings(s, d)
+        .withColumn("mn", array_min(col("embedding")).cast("double"))
+        .withColumn("mx", array_max(col("embedding")).cast("double"))
+        .withColumn("scale", (col("mx") - col("mn")) / 255.0)
+        .withColumn("qv", transform(col("embedding"), x =>
+          when(col("scale") > 0,
+            round((x.cast("double") - col("mn")) / col("scale")).cast("int"))
+            .otherwise(lit(0))))
+        .withColumn("deq", transform(col("qv"), q =>
+          col("mn") + q.cast("double") * col("scale")))
+        .withColumn("errs", zip_with(col("embedding"), col("deq"),
+          (a, b) => abs(a.cast("double") - b)))
+        .select(col("vec_id"),
+          size(col("embedding")).cast("long").as("n_dims"),
+          round(col("mn"), 6).as("v_min"),
+          round(col("mx"), 6).as("v_max"),
+          round(array_max(col("errs")), 6).as("max_err"),
+          round(aggregate(col("errs"), lit(0.0), (acc, e) => acc + e)
+            / size(col("embedding")), 6).as("mean_err"))
     })
   )
 
@@ -371,6 +401,35 @@ object Similarity {
          |         ${cosineSql("q.q_emb", "e.embedding")} AS cosine
          |  FROM sigs e JOIN q ON e.sig = q.sig
          |  WHERE e.vec_id <> q.q_id)
-         |${topKSql("cands", 3)}""".stripMargin
+         |${topKSql("cands", 3)}""".stripMargin,
+
+    "q86_vec_quantize" ->
+      """WITH t AS (
+        |  SELECT vec_id, embedding,
+        |    CAST(list_min(embedding) AS DOUBLE) AS mn,
+        |    CAST(list_max(embedding) AS DOUBLE) AS mx
+        |  FROM embeddings),
+        |s AS (SELECT vec_id, embedding, mn, mx, (mx - mn) / 255.0 AS scale
+        |      FROM t),
+        |q AS (
+        |  SELECT vec_id, embedding, mn, mx, scale,
+        |    list_transform(embedding, x -> CASE WHEN scale > 0
+        |      THEN CAST(round((CAST(x AS DOUBLE) - mn) / scale) AS INT)
+        |      ELSE 0 END) AS qv
+        |  FROM s),
+        |d AS (
+        |  SELECT vec_id, embedding, mn, mx, scale,
+        |    list_transform(qv, q -> mn + CAST(q AS DOUBLE) * scale) AS deq
+        |  FROM q),
+        |e AS (
+        |  SELECT vec_id, embedding, mn, mx,
+        |    list_transform(list_zip(embedding, deq),
+        |      p -> abs(CAST(p[1] AS DOUBLE) - p[2])) AS errs
+        |  FROM d)
+        |SELECT vec_id, CAST(len(embedding) AS BIGINT) AS n_dims,
+        |  round(mn, 6) AS v_min, round(mx, 6) AS v_max,
+        |  round(list_max(errs), 6) AS max_err,
+        |  round(list_sum(errs) / len(embedding), 6) AS mean_err
+        |FROM e""".stripMargin
   )
 }

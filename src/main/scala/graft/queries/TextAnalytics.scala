@@ -229,6 +229,37 @@ object TextAnalytics {
           round(when(col("n_chars") > 0,
             graft.functions.token_count(col("text")).cast("double") * 100.0
               / col("n_chars")), 6).as("tokens_per_100c"))
+    }),
+
+    // Quality GATE: keep only docs at/above their language's 25th
+    // percentile of avg word length — the "filter the corpus on a
+    // per-stratum score cutoff" op every pretraining pipeline runs.
+    // The cutoff table is langs-sized (broadcast at any corpus scale);
+    // the percentile itself is the one wide aggregation. Cutoffs are
+    // computed over the ROUNDED score and rounded to 4dp (the q53
+    // percentile_cont parity precedent) so the >= comparison can never
+    // ride on sub-ulp interpolation noise. Zero-word docs have NULL
+    // score: excluded from the percentile AND from the gate, both
+    // engines.
+    "q85_quality_gate" -> ((s, d) => {
+      val ws = TextOps.wordsOf(col("text"))
+      val scored = documents(s, d)
+        .withColumn("ws", ws)
+        .withColumn("n_words", size(col("ws")).cast("long"))
+        .withColumn("sum_wlen",
+          aggregate(col("ws"), lit(0L), (acc, w) => acc + length(w).cast("long")))
+        .select(col("doc_id"), col("lang"),
+          round(when(col("n_words") > 0,
+            col("sum_wlen").cast("double") / col("n_words")), 6).as("score"))
+      scored.createOrReplaceTempView("graft_q85_scored")
+      val cuts = s.sql(
+        """SELECT lang,
+          |  round(percentile_cont(0.25) WITHIN GROUP (ORDER BY score), 4)
+          |    AS cutoff
+          |FROM graft_q85_scored GROUP BY lang""".stripMargin)
+      scored.join(broadcast(cuts), Seq("lang"))
+        .filter(col("score") >= col("cutoff"))
+        .select(col("doc_id"), col("lang"), col("score"), col("cutoff"))
     })
   )
 
@@ -344,6 +375,24 @@ object TextAnalytics {
          |  round(CASE WHEN n_chars > 0 THEN
          |    CAST(n_tok AS DOUBLE) * 100.0 / n_chars END, 6) AS tokens_per_100c
          |FROM t""".stripMargin
-    }
+    },
+
+    "q85_quality_gate" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, lang, ${TextOps.wordsSql} AS ws FROM documents),
+         |scored AS (
+         |  SELECT doc_id, lang,
+         |    round(CASE WHEN len(ws) > 0 THEN
+         |      CAST(list_sum(list_transform(ws, w -> length(w))) AS DOUBLE)
+         |          / len(ws) END, 6) AS score
+         |  FROM t),
+         |cuts AS (
+         |  SELECT lang,
+         |    round(percentile_cont(0.25) WITHIN GROUP (ORDER BY score), 4)
+         |      AS cutoff
+         |  FROM scored GROUP BY lang)
+         |SELECT s.doc_id, s.lang, s.score, c.cutoff
+         |FROM scored s JOIN cuts c ON s.lang = c.lang
+         |WHERE s.score >= c.cutoff""".stripMargin
   )
 }
