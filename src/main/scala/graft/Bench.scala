@@ -25,7 +25,9 @@ object Bench {
     * work by design (proof harnesses, not plans) — timed and reported,
     * but outside the headline total.
     */
-  val SideEffectQueries: Set[String] = Set("ref_memo_resume")
+  val SideEffectQueries: Set[String] =
+    Set("ref_memo_resume", "q89_jsonl_roundtrip", "q90_csv_roundtrip",
+      "q91_clustered_write")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

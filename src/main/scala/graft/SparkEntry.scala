@@ -32,7 +32,8 @@ object SparkEntry {
       (graft.queries.Similarity.queries, graft.queries.Similarity.oracles),
       (graft.queries.Dedup.queries, graft.queries.Dedup.oracles),
       (graft.queries.TextAnalytics.queries, graft.queries.TextAnalytics.oracles),
-      (graft.queries.Multimodal.queries, graft.queries.Multimodal.oracles)
+      (graft.queries.Multimodal.queries, graft.queries.Multimodal.oracles),
+      (graft.queries.FileFormats.queries, graft.queries.FileFormats.oracles)
     )
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -1,0 +1,37 @@
+package graft.sinks
+
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Scan-pruning parquet layouts — at 100 TB the WRITE layout decides
+  * every later read's cost:
+  *
+  *  - [[writeRangeClustered]]: `repartitionByRange` on the cluster
+  *    keys + `sortWithinPartitions` before the write. Every output
+  *    file then owns a DISJOINT key range (range partitioning sends
+  *    equal keys to one partition), and inside a file the row groups
+  *    are sorted — so parquet min/max statistics actually prune: a
+  *    point or range predicate touches one file's row groups instead
+  *    of every file. Unsorted writes leave every file spanning the
+  *    whole key domain, and the same statistics prune nothing.
+  *
+  *  - [[writeHivePartitioned]]: directory partitioning for LOW
+  *    cardinality keys (date, source, lang …). Partition pruning then
+  *    removes whole directories at PLAN time — before any footer is
+  *    read. Never partition by a high-cardinality key: millions of
+  *    tiny files is the classic small-files failure.
+  *
+  * Compose them: partitionBy(date) + range-cluster(id) within is the
+  * standard fact-table layout.
+  */
+object LayoutWriter {
+
+  def writeRangeClustered(df: DataFrame, path: String, numFiles: Int,
+                          keys: Column*): Unit =
+    df.repartitionByRange(numFiles, keys: _*)
+      .sortWithinPartitions(keys: _*)
+      .write.mode("overwrite").parquet(path)
+
+  def writeHivePartitioned(df: DataFrame, path: String,
+                           partitionCols: String*): Unit =
+    df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
+}
