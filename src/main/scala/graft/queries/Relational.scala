@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables._
@@ -188,6 +189,50 @@ object Relational {
           saltFrom = Seq(col("l_orderkey"), col("l_linenumber")))
         .select(col("l_orderkey"), col("l_linenumber"), col("l_suppkey"),
           col("s_name"), round(col("l_extendedprice"), 2).as("price"))
+    }),
+
+    // Lakehouse-style upsert (SCD1 / MERGE INTO semantics without a
+    // table format): apply an updates batch to a base table, latest
+    // version per key wins. The updates batch is derived in-plan (10%
+    // of orders with a price revision) so the oracle sees the
+    // identical merge. ONE shuffle on the key; the deterministic
+    // (version desc) tie-break makes replaying the same batch
+    // idempotent.
+    "q93_upsert_latest" -> ((s, d) => {
+      val base = orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+        round(col("o_totalprice"), 2).as("price"), lit(1L).as("version"))
+      // additive revision, not a multiplier: price * 1.1 mints 3-dp
+      // half-way values (x.xx5) where Spark's decimal-string HALF_UP
+      // and the oracle's binary-double rounding disagree; +100.0 adds
+      // no fractional digits, so round(_, 2) stays engine-portable
+      val updates = orders(s, d).filter(col("o_orderkey") % 10 === 0)
+        .select(col("o_orderkey"), col("o_custkey"),
+          round(col("o_totalprice") + 100.0, 2).as("price"),
+          lit(2L).as("version"))
+      val w = Window.partitionBy(col("o_orderkey")).orderBy(col("version").desc)
+      base.unionByName(updates)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1).drop("rn")
+    }),
+
+    // Equal-width histogram (20 bins) of order totals: the
+    // distribution-profiling op behind every "what does this column
+    // look like" question. Bounds come from a 1-row aggregate
+    // broadcast; binning is a pure projection; the wide work is the
+    // 20-group count. Bin edges are computed with IDENTICAL double
+    // arithmetic in both engines, so floor() can never straddle.
+    "q94_histogram" -> ((s, d) => {
+      val b = orders(s, d).agg(min(col("o_totalprice")).as("mn"),
+        max(col("o_totalprice")).as("mx"))
+      val width = (col("mx") - col("mn")) / 20.0
+      orders(s, d).crossJoin(broadcast(b))
+        .withColumn("bin",
+          least(floor((col("o_totalprice") - col("mn")) / width), lit(19.0))
+            .cast("long"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n"),
+          round(min(col("o_totalprice")), 2).as("bin_min"),
+          round(max(col("o_totalprice")), 2).as("bin_max"))
     }),
 
     // The SQL surface itself: same engine, same Catalyst plan, driven
@@ -590,6 +635,33 @@ object Relational {
         |FROM orders RIGHT JOIN customer
         |  ON o_custkey = c_custkey AND o_orderstatus = 'F'
         |GROUP BY c_custkey, c_mktsegment""".stripMargin,
+
+    "q93_upsert_latest" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS price,
+        |    1 AS version
+        |  FROM orders),
+        |upd AS (
+        |  SELECT o_orderkey, o_custkey, round(o_totalprice + 100.0, 2) AS price,
+        |    2 AS version
+        |  FROM orders WHERE o_orderkey % 10 = 0),
+        |u AS (SELECT * FROM base UNION ALL SELECT * FROM upd)
+        |SELECT o_orderkey, o_custkey, price, CAST(version AS BIGINT) AS version
+        |FROM (SELECT *, row_number() OVER (PARTITION BY o_orderkey
+        |        ORDER BY version DESC) AS rn
+        |      FROM u)
+        |WHERE rn = 1""".stripMargin,
+
+    "q94_histogram" ->
+      """WITH b AS (SELECT min(o_totalprice) AS mn, max(o_totalprice) AS mx
+        |           FROM orders)
+        |SELECT CAST(least(floor((o_totalprice - mn) / ((mx - mn) / 20.0)), 19.0)
+        |         AS BIGINT) AS bin,
+        |  count(*) AS n,
+        |  round(min(o_totalprice), 2) AS bin_min,
+        |  round(max(o_totalprice), 2) AS bin_max
+        |FROM orders CROSS JOIN b
+        |GROUP BY 1""".stripMargin,
 
     // The plain join — salting must be result-invisible.
     "q87_salted_join" ->

@@ -260,6 +260,38 @@ object TextAnalytics {
       scored.join(broadcast(cuts), Seq("lang"))
         .filter(col("score") >= col("cutoff"))
         .select(col("doc_id"), col("lang"), col("score"), col("cutoff"))
+    }),
+
+    // PII scrub — the redaction pass every corpus runs before release.
+    // The fixture text is synthetic and PII-free, so the op first
+    // PLANTS deterministic PII derived from doc_id (constructed
+    // identically in both engines; the construction is part of the
+    // plan under test), then scrubs it with patterns from the Java∩RE2
+    // shared subset (the q83 rule) and reports per-doc match counts,
+    // the scrubbed digest, and a residual count the oracle pins to
+    // zero — "no PII survives the scrub" is hash-checked, not assumed.
+    // Pure projection: zero shuffle at any corpus size.
+    "q92_pii_redact" -> ((s, d) => {
+      val emailPat = "[a-z0-9._]+@[a-z0-9.]+"
+      val phonePat = "555-[0-9]{4}"
+      val ipPat = "10\\.[0-9]{1,3}\\.0\\.1"
+      val planted = documents(s, d).select(col("doc_id"),
+        concat(col("text"),
+          lit(" contact user"), col("doc_id"), lit("@mail.example"),
+          lit(" phone 555-"),
+          lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"),
+          lit(" ip 10."), pmod(col("doc_id"), lit(256)), lit(".0.1"))
+          .as("text"))
+      val scrub = regexp_replace(regexp_replace(regexp_replace(col("text"),
+        emailPat, "<EMAIL>"), phonePat, "<PHONE>"), ipPat, "<IP>")
+      planted.select(
+        col("doc_id"),
+        regexp_count(col("text"), lit(emailPat)).cast("long").as("n_emails"),
+        regexp_count(col("text"), lit(phonePat)).cast("long").as("n_phones"),
+        regexp_count(col("text"), lit(ipPat)).cast("long").as("n_ips"),
+        (regexp_count(scrub, lit(emailPat)) + regexp_count(scrub, lit(phonePat))
+          + regexp_count(scrub, lit(ipPat))).cast("long").as("n_residual"),
+        sha2(scrub, 256).as("scrubbed_hash"))
     })
   )
 
@@ -393,6 +425,34 @@ object TextAnalytics {
          |  FROM scored GROUP BY lang)
          |SELECT s.doc_id, s.lang, s.score, c.cutoff
          |FROM scored s JOIN cuts c ON s.lang = c.lang
-         |WHERE s.score >= c.cutoff""".stripMargin
+         |WHERE s.score >= c.cutoff""".stripMargin,
+
+    "q92_pii_redact" ->
+      """WITH planted AS (
+        |  SELECT doc_id,
+        |    text || ' contact user' || doc_id || '@mail.example' ||
+        |    ' phone 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+        |    ' ip 10.' || (doc_id % 256) || '.0.1' AS text
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, text,
+        |    regexp_replace(regexp_replace(regexp_replace(text,
+        |      '[a-z0-9._]+@[a-z0-9.]+', '<EMAIL>', 'g'),
+        |      '555-[0-9]{4}', '<PHONE>', 'g'),
+        |      '10\.[0-9]{1,3}\.0\.1', '<IP>', 'g') AS scrub
+        |  FROM planted)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[a-z0-9._]+@[a-z0-9.]+'))
+        |    AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(text, '555-[0-9]{4}')) AS BIGINT)
+        |    AS n_phones,
+        |  CAST(len(regexp_extract_all(text, '10\.[0-9]{1,3}\.0\.1'))
+        |    AS BIGINT) AS n_ips,
+        |  CAST(len(regexp_extract_all(scrub, '[a-z0-9._]+@[a-z0-9.]+'))
+        |     + len(regexp_extract_all(scrub, '555-[0-9]{4}'))
+        |     + len(regexp_extract_all(scrub, '10\.[0-9]{1,3}\.0\.1'))
+        |    AS BIGINT) AS n_residual,
+        |  sha256(scrub) AS scrubbed_hash
+        |FROM s""".stripMargin
   )
 }
