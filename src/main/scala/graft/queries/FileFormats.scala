@@ -74,6 +74,25 @@ object FileFormats {
           round(sum(col("l_extendedprice")), 2).as("sum_price"))
     }),
 
+    // Small-files compaction round trip: fragment the documents table
+    // into many tiny files (the streaming-append failure mode), compact
+    // to ~256 KiB targets, digest the compacted copy. File-count
+    // behavior is asserted in LayoutWriterSpec; this entry hash-checks
+    // that compaction never alters a row.
+    "q96_compacted_rewrite" -> ((s, d) => {
+      val frag = scratch(d, "docs_fragmented")
+      val comp = scratch(d, "docs_compacted")
+      Tables.documents(s, d).repartition(32)
+        .write.mode("overwrite").parquet(frag)
+      graft.sinks.LayoutWriter.compact(s, frag, comp, 256L * 1024)
+      s.read.parquet(comp)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          min(sha2(col("text"), 256)).as("min_hash"),
+          max(sha2(col("text"), 256)).as("max_hash"))
+    }),
+
     "q90_csv_roundtrip" -> ((s, d) => {
       val docs = Tables.documents(s, d)
         .select(col("doc_id"), col("source"), col("lang"), col("n_chars"))
@@ -105,6 +124,12 @@ object FileFormats {
         |  round(sum(l_quantity), 2) AS sum_qty,
         |  round(sum(l_extendedprice), 2) AS sum_price
         |FROM lineitem GROUP BY 1""".stripMargin,
+
+    "q96_compacted_rewrite" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  min(sha256(text)) AS min_hash, max(sha256(text)) AS max_hash
+        |FROM documents GROUP BY lang""".stripMargin,
 
     "q90_csv_roundtrip" ->
       """SELECT source, count(*) AS n_docs,

@@ -215,6 +215,35 @@ object Relational {
         .filter(col("rn") === 1).drop("rn")
     }),
 
+    // Snapshot diff (CDC between two table versions): rows added,
+    // removed, or changed, classified with ONE full-outer join on the
+    // key. Version 2 is derived in-plan (deletions at keys %97, price
+    // revisions at keys %10, additions as key-shifted copies) so the
+    // oracle sees the identical pair; 'same' rows are filtered out so
+    // the output is change-sized, not table-sized — at 100 TB the diff
+    // moves one row per key and emits only the delta.
+    "q95_snapshot_diff" -> ((s, d) => {
+      val v1 = orders(s, d).select(col("o_orderkey"),
+        round(col("o_totalprice"), 2).as("price"))
+      val v2 = v1.filter(col("o_orderkey") % 97 =!= 0)
+        .withColumn("price", when(col("o_orderkey") % 10 === 0,
+          round(col("price") + 100.0, 2)).otherwise(col("price")))
+        .unionByName(v1.filter(col("o_orderkey") % 50 === 0)
+          .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+            col("price")))
+      v1.select(col("o_orderkey"), col("price").as("old_price"))
+        .join(v2.select(col("o_orderkey"), col("price").as("new_price")),
+          Seq("o_orderkey"), "full_outer")
+        .withColumn("status",
+          when(col("new_price").isNull, "removed")
+            .when(col("old_price").isNull, "added")
+            .when(col("old_price") =!= col("new_price"), "changed")
+            .otherwise("same"))
+        .filter(col("status") =!= "same")
+        .select(col("o_orderkey"), col("status"),
+          col("old_price"), col("new_price"))
+    }),
+
     // Equal-width histogram (20 bins) of order totals: the
     // distribution-profiling op behind every "what does this column
     // look like" question. Bounds come from a 1-row aggregate
@@ -651,6 +680,30 @@ object Relational {
         |        ORDER BY version DESC) AS rn
         |      FROM u)
         |WHERE rn = 1""".stripMargin,
+
+    "q95_snapshot_diff" ->
+      """WITH v1 AS (
+        |  SELECT o_orderkey, round(o_totalprice, 2) AS price FROM orders),
+        |v2 AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 10 = 0 THEN round(price + 100.0, 2)
+        |         ELSE price END AS price
+        |  FROM v1 WHERE o_orderkey % 97 <> 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000 AS o_orderkey, price
+        |  FROM v1 WHERE o_orderkey % 50 = 0),
+        |j AS (
+        |  SELECT coalesce(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+        |    a.price AS old_price, b.price AS new_price
+        |  FROM v1 a FULL OUTER JOIN v2 b ON a.o_orderkey = b.o_orderkey)
+        |SELECT o_orderkey,
+        |  CASE WHEN new_price IS NULL THEN 'removed'
+        |       WHEN old_price IS NULL THEN 'added'
+        |       ELSE 'changed' END AS status,
+        |  old_price, new_price
+        |FROM j
+        |WHERE new_price IS NULL OR old_price IS NULL
+        |   OR old_price <> new_price""".stripMargin,
 
     "q94_histogram" ->
       """WITH b AS (SELECT min(o_totalprice) AS mn, max(o_totalprice) AS mx

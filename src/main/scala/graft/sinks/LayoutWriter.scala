@@ -34,4 +34,25 @@ object LayoutWriter {
   def writeHivePartitioned(df: DataFrame, path: String,
                            partitionCols: String*): Unit =
     df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
+
+  /** Small-files compaction — the maintenance op every incremental
+    * pipeline needs: streaming/append jobs leave thousands of tiny
+    * files whose per-file open/footer cost dominates scans and whose
+    * count melts driver listings. Rewrites `src` into
+    * ceil(bytes / targetFileBytes) files at `dst` (size measured from
+    * the source listing, so the target tracks the data), returning the
+    * file count chosen. Contents are untouched — only the layout
+    * changes (q96 hash-checks losslessness).
+    */
+  def compact(spark: org.apache.spark.sql.SparkSession, src: String,
+              dst: String, targetFileBytes: Long): Int = {
+    val p = new org.apache.hadoop.fs.Path(src)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.listStatus(p).filter(_.isFile)
+      .filter(_.getPath.getName.endsWith(".parquet")).map(_.getLen).sum
+    val nFiles = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
+    spark.read.parquet(src).repartition(nFiles)
+      .write.mode("overwrite").parquet(dst)
+    nFiles
+  }
 }

@@ -53,6 +53,30 @@ class LayoutWriterSpec extends AnyFunSuite {
       plan.take(800))
   }
 
+  test("compaction collapses fragmented files without changing rows") {
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+    val base = tmp("graft-compact")
+    docs.repartition(24).write.mode("overwrite").parquet(s"$base/frag")
+    def parquetFiles(dir: String) =
+      new java.io.File(dir).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(parquetFiles(s"$base/frag") == 24)
+
+    // generous target → everything fits in one file
+    val n = LayoutWriter.compact(spark, s"$base/frag", s"$base/comp",
+      targetFileBytes = 64L * 1024 * 1024)
+    assert(n == 1 && parquetFiles(s"$base/comp") == 1)
+    val a = docs.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+    val b = spark.read.parquet(s"$base/comp").select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+    assert(a == b)
+
+    // tight target → multiple files, sized from the source listing
+    val n2 = LayoutWriter.compact(spark, s"$base/frag", s"$base/comp2",
+      targetFileBytes = 16L * 1024)
+    assert(n2 > 1 && parquetFiles(s"$base/comp2") == n2)
+  }
+
   test("hive-partitioned write prunes directories at plan time") {
     val docs = Tables.documents(spark, TestSpark.sf0001)
     val out = tmp("graft-layout-h") + "/docs_by_lang"
