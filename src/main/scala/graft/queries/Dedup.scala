@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables._
@@ -451,9 +452,27 @@ object Dedup {
     }
   }
 
+  /** Frequency-capped dedup: keep at most `k` copies per normalized
+    * content key — the middle ground between "dedup everything" and
+    * "keep everything" that pretraining mixtures actually use
+    * (over-represented boilerplate is DOWN-weighted, not erased).
+    * Deterministic survivors (lowest ids win); one shuffle on the
+    * content key.
+    */
+  def capDuplicates(docs: DataFrame, idCol: String, textCol: String,
+                    k: Int): DataFrame = {
+    val w = Window.partitionBy(col("content_key")).orderBy(col(idCol))
+    docs.select(col(idCol),
+        sha2(lower(trim(col(textCol))), 256).as("content_key"))
+      .withColumn("copy_rank", row_number().over(w))
+      .filter(col("copy_rank") <= k)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_dedup_exact" -> ((s, d) =>
       exactDedup(documents(s, d), "doc_id", "text")),
+    "q97_dedup_cap" -> ((s, d) =>
+      capDuplicates(documents(s, d), "doc_id", "text", k = 2)),
     "q41_dedup_near" -> ((s, d) =>
       minhashCandidates(documents(s, d), "doc_id", "text")),
     "q46_simhash" -> ((s, d) =>
@@ -554,6 +573,15 @@ object Dedup {
       """SELECT sha256(lower(trim(text))) AS content_key,
         |  min(doc_id) AS survivor_id, count(*) AS n_copies
         |FROM documents GROUP BY 1""".stripMargin,
+
+    "q97_dedup_cap" ->
+      """SELECT doc_id, content_key, copy_rank FROM (
+        |  SELECT doc_id, sha256(lower(trim(text))) AS content_key,
+        |    CAST(row_number() OVER (
+        |      PARTITION BY sha256(lower(trim(text))) ORDER BY doc_id)
+        |      AS INT) AS copy_rank
+        |  FROM documents)
+        |WHERE copy_rank <= 2""".stripMargin,
 
     "q41_dedup_near" ->
       s"""$minhashCtes

@@ -262,6 +262,29 @@ object TextAnalytics {
         .select(col("doc_id"), col("lang"), col("score"), col("cutoff"))
     }),
 
+    // Unigram surprisal scoring: mean -ln corpus-probability of each
+    // doc's words — the statistical-LM quality signal (templated spam
+    // scores low, noise scores high). One corpus word-count aggregate,
+    // a 1-row total broadcast, probabilities joined back to the
+    // exploded words. Parity: each per-word surprisal is rounded at
+    // 6dp BEFORE the per-doc mean (so the unordered double sum runs
+    // over identical multisets in both engines) and the mean is
+    // rounded at 4dp — orders of magnitude of headroom over the
+    // summation's ulp noise.
+    "q98_surprisal" -> ((s, d) => {
+      val words = documents(s, d)
+        .select(col("doc_id"), explode(TextOps.wordsOf(col("text"))).as("word"))
+      val counts = words.groupBy(col("word")).agg(count(lit(1)).as("c"))
+      val total = counts.agg(sum(col("c")).as("total"))
+      val probs = counts.crossJoin(broadcast(total))
+        .select(col("word"), (col("c").cast("double") / col("total")).as("p"))
+      words.join(probs, Seq("word"))
+        .select(col("doc_id"), round(-log(col("p")), 6).as("surprisal"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_words"),
+          round(avg(col("surprisal")), 4).as("mean_surprisal"))
+    }),
+
     // PII scrub — the redaction pass every corpus runs before release.
     // The fixture text is synthetic and PII-free, so the op first
     // PLANTS deterministic PII derived from doc_id (constructed
@@ -426,6 +449,19 @@ object TextAnalytics {
          |SELECT s.doc_id, s.lang, s.score, c.cutoff
          |FROM scored s JOIN cuts c ON s.lang = c.lang
          |WHERE s.score >= c.cutoff""".stripMargin,
+
+    "q98_surprisal" ->
+      s"""WITH words AS (
+         |  SELECT doc_id, unnest(${TextOps.wordsSql}) AS word FROM documents),
+         |counts AS (SELECT word, count(*) AS c FROM words GROUP BY 1),
+         |t AS (SELECT CAST(sum(c) AS DOUBLE) AS total FROM counts),
+         |probs AS (SELECT word, c / total AS p FROM counts CROSS JOIN t),
+         |scored AS (
+         |  SELECT doc_id, round(-ln(p), 6) AS surprisal
+         |  FROM words JOIN probs USING (word))
+         |SELECT doc_id, count(*) AS n_words,
+         |  round(avg(surprisal), 4) AS mean_surprisal
+         |FROM scored GROUP BY doc_id""".stripMargin,
 
     "q92_pii_redact" ->
       """WITH planted AS (
