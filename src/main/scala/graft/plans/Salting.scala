@@ -56,9 +56,11 @@ object Salting {
       pmod(hash(saltFrom: _*), lit(saltBuckets)))
     val sm = small.withColumn("_graft_salt",
       explode(sequence(lit(0), lit(saltBuckets - 1))))
+    // qualified key refs: col(...) would be AMBIGUOUS_REFERENCE the
+    // moment both sides share the key name (the natural fact⋈dim call)
     b.join(sm,
         b("_graft_salt") === sm("_graft_salt") &&
-          col(bigKey) === col(smallKey))
+          b(bigKey) === sm(smallKey))
       .drop("_graft_salt")
   }
 }

@@ -209,22 +209,33 @@ object EventsQueries {
         .select(col("h").as("hour_start"), col("event_type"), col("n"))
     }),
 
-    // Event-rate anomaly detection: hourly counts per type, each hour
-    // z-scored against its trailing 24-observed-hours baseline (current
-    // hour EXCLUDED — the baseline must not contain the point it
-    // judges; < 12 baseline hours → NULL z, cold start). The window
-    // slides over the hours x types AGGREGATE, never raw events, so the
-    // wide work is one groupBy and the window input is tiny at any
-    // event volume. z is rounded at 4dp — the window mean is exact
+    // Event-rate anomaly detection: hourly counts per type over a
+    // DENSE gap-filled spine (q73's construction — a baseline over
+    // observed hours only could never score an outage, the most severe
+    // rate anomaly, and would silently stitch its "24 h" across gaps),
+    // each hour z-scored against its trailing-24-hours baseline
+    // (current hour EXCLUDED — the baseline must not contain the point
+    // it judges; < 12 baseline hours → NULL z, cold start). The window
+    // slides over the dense hours x types aggregate, never raw events,
+    // so the wide work is one groupBy and the window input is tiny at
+    // any event volume. z is rounded at 4dp — the window mean is exact
     // (integer counts), and the stddev agrees across engines well past
     // 4dp (q54 precedent).
     "q88_rate_anomaly" -> ((s, d) => {
-      val counts = events(s, d)
-        .groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+      val e = events(s, d)
+        .select(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+      val counts = e.groupBy(col("h"), col("event_type"))
         .agg(count(lit(1)).as("n"))
+      val spine = counts.agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+        .select(explode(sequence(col("h0"), col("h1"),
+          expr("INTERVAL 1 HOUR"))).as("h"))
+      val types = counts.select(col("event_type")).distinct()
+      val dense = spine.crossJoin(broadcast(types))
+        .join(counts, Seq("h", "event_type"), "left")
+        .na.fill(0L, Seq("n"))
       val w = Window.partitionBy(col("event_type")).orderBy(col("h"))
         .rowsBetween(-24, -1)
-      counts
+      dense
         .withColumn("n_base", count(col("n")).over(w))
         .withColumn("mu", avg(col("n")).over(w))
         .withColumn("sd", stddev_samp(col("n")).over(w))
@@ -371,12 +382,20 @@ object EventsQueries {
       """WITH c AS (
         |  SELECT date_trunc('hour', ts) AS h, event_type, count(*) AS n
         |  FROM events GROUP BY 1, 2),
+        |bounds AS (SELECT min(h) AS h0, max(h) AS h1 FROM c),
+        |spine AS (SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+        |          FROM bounds),
+        |types AS (SELECT DISTINCT event_type FROM c),
+        |dense AS (
+        |  SELECT s.h, t.event_type, CAST(coalesce(c.n, 0) AS BIGINT) AS n
+        |  FROM spine s CROSS JOIN types t
+        |  LEFT JOIN c ON c.h = s.h AND c.event_type = t.event_type),
         |b AS (
         |  SELECT h, event_type, n,
         |    count(n) OVER w AS n_base,
         |    avg(n) OVER w AS mu,
         |    stddev_samp(n) OVER w AS sd
-        |  FROM c
+        |  FROM dense
         |  WINDOW w AS (PARTITION BY event_type ORDER BY h
         |    ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
         |SELECT h AS hour_start, event_type, n,

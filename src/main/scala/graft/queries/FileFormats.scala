@@ -13,9 +13,18 @@ import graft.sources.FileSources
   * read-side corruption (mis-escaped text, dropped rows, type drift,
   * quarantined lines) breaks the hash match.
   *
-  * Both entries do eager file writes per evaluation (the round trip IS
-  * the operator), so they are registered in `Bench.SideEffectQueries`
-  * and excluded from the headline plan total, like `ref_memo_resume`.
+  * The digest is MULTISET-sensitive: rows are bucketed by the first
+  * two hex chars of their content hash (256 buckets), with per-bucket
+  * counts, distinct-hash counts, and min/max hashes. A single altered
+  * row moves to a different bucket with probability 255/256 (changing
+  * two bucket counts), and a within-bucket duplicate swap drops the
+  * distinct count — unlike a plain per-group min/max digest, which a
+  * mid-distribution alteration can slip past.
+  *
+  * The round-trip entries do eager file writes per evaluation (the
+  * round trip IS the operator), so they are registered in
+  * `Bench.SideEffectQueries` and excluded from the headline plan
+  * total, like `ref_memo_resume`.
   *
   * JSONL carries the full rows including raw text (escaped newlines);
   * the CSV entry round-trips the scalar columns only — the splittable
@@ -31,17 +40,36 @@ object FileFormats {
     s"${sys.props("java.io.tmpdir")}/graft_roundtrip_$key/$leaf"
   }
 
-  /** Per-lang corpus digest with a quarantine counter: any lost or
-    * altered row changes a hash; any unparseable line raises n_corrupt
-    * above the oracle's pinned 0.
+  /** Hash-bucketed text digest (see object doc). `withCorrupt` adds the
+    * quarantine counter the oracle pins to 0.
     */
-  private def digestByLang(back: DataFrame): DataFrame =
-    back.groupBy(col("lang"))
-      .agg(count(lit(1)).as("n_docs"),
-        sum(col("n_chars")).as("sum_chars"),
-        min(sha2(col("text"), 256)).as("min_hash"),
-        max(sha2(col("text"), 256)).as("max_hash"),
-        sum(col(FileSources.CorruptCol).isNotNull.cast("long")).as("n_corrupt"))
+  private def textDigest(back: DataFrame, withCorrupt: Boolean): DataFrame = {
+    val h = sha2(col("text"), 256)
+    val aggs = Seq(
+      count(lit(1)).as("n_docs"),
+      sum(col("n_chars")).as("sum_chars"),
+      countDistinct(h).as("n_distinct"),
+      min(h).as("min_hash"),
+      max(h).as("max_hash")) ++
+      (if (withCorrupt)
+        Seq(sum(col(FileSources.CorruptCol).isNotNull.cast("long"))
+          .as("n_corrupt"))
+      else Nil)
+    back.groupBy(substring(h, 1, 2).as("bucket"))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  private def textDigestSql(withCorrupt: Boolean): String = {
+    val corrupt =
+      if (withCorrupt) ",\n  CAST(0 AS BIGINT) AS n_corrupt" else ""
+    s"""SELECT substring(sha256(text), 1, 2) AS bucket,
+       |  count(*) AS n_docs,
+       |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       |  count(DISTINCT sha256(text)) AS n_distinct,
+       |  min(sha256(text)) AS min_hash,
+       |  max(sha256(text)) AS max_hash$corrupt
+       |FROM documents GROUP BY 1""".stripMargin
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -51,7 +79,8 @@ object FileFormats {
           col("n_chars"), col("text"))
       val out = scratch(d, "docs_jsonl")
       FileSources.writeJsonLines(docs, out)
-      digestByLang(FileSources.readJsonLines(s, out, docs.schema))
+      textDigest(FileSources.readJsonLines(s, out, docs.schema),
+        withCorrupt = true)
     }),
 
     // Range-clustered parquet write (sinks/LayoutWriter) round trip:
@@ -85,38 +114,33 @@ object FileFormats {
       Tables.documents(s, d).repartition(32)
         .write.mode("overwrite").parquet(frag)
       graft.sinks.LayoutWriter.compact(s, frag, comp, 256L * 1024)
-      s.read.parquet(comp)
-        .groupBy(col("lang"))
-        .agg(count(lit(1)).as("n_docs"),
-          sum(col("n_chars")).as("sum_chars"),
-          min(sha2(col("text"), 256)).as("min_hash"),
-          max(sha2(col("text"), 256)).as("max_hash"))
+      textDigest(s.read.parquet(comp), withCorrupt = false)
     }),
 
+    // CSV carries no text column, so its digest buckets on the hash of
+    // the FULL scalar tuple (id|source|lang) — any altered field moves
+    // the row's bucket — with sum(doc_id)/sum(n_chars) as the numeric
+    // cross-checks.
     "q90_csv_roundtrip" -> ((s, d) => {
       val docs = Tables.documents(s, d)
         .select(col("doc_id"), col("source"), col("lang"), col("n_chars"))
       val out = scratch(d, "docs_csv")
       FileSources.writeCsv(docs, out)
+      val tuple = concat_ws("|",
+        col("doc_id").cast("string"), col("source"), col("lang"))
       FileSources.readCsv(s, out, docs.schema)
-        .groupBy(col("source"))
+        .groupBy(substring(sha2(tuple, 256), 1, 2).as("bucket"))
         .agg(count(lit(1)).as("n_docs"),
+          sum(col("doc_id")).as("sum_ids"),
           sum(col("n_chars")).as("sum_chars"),
-          countDistinct(col("lang")).as("n_langs"),
-          min(col("doc_id")).as("min_doc"),
-          max(col("doc_id")).as("max_doc"),
-          sum(col(FileSources.CorruptCol).isNotNull.cast("long")).as("n_corrupt"))
+          sum(col(FileSources.CorruptCol).isNotNull.cast("long"))
+            .as("n_corrupt"))
     })
   )
 
   // The oracles aggregate the ORIGINAL parquet — n_corrupt pinned to 0.
   val oracles: Map[String, String] = Map(
-    "q89_jsonl_roundtrip" ->
-      """SELECT lang, count(*) AS n_docs,
-        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
-        |  min(sha256(text)) AS min_hash, max(sha256(text)) AS max_hash,
-        |  CAST(0 AS BIGINT) AS n_corrupt
-        |FROM documents GROUP BY lang""".stripMargin,
+    "q89_jsonl_roundtrip" -> textDigestSql(withCorrupt = true),
 
     "q91_clustered_write" ->
       """SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS ship_month,
@@ -125,18 +149,16 @@ object FileFormats {
         |  round(sum(l_extendedprice), 2) AS sum_price
         |FROM lineitem GROUP BY 1""".stripMargin,
 
-    "q96_compacted_rewrite" ->
-      """SELECT lang, count(*) AS n_docs,
-        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
-        |  min(sha256(text)) AS min_hash, max(sha256(text)) AS max_hash
-        |FROM documents GROUP BY lang""".stripMargin,
+    "q96_compacted_rewrite" -> textDigestSql(withCorrupt = false),
 
     "q90_csv_roundtrip" ->
-      """SELECT source, count(*) AS n_docs,
+      """SELECT substring(sha256(
+        |    CAST(doc_id AS VARCHAR) || '|' || source || '|' || lang), 1, 2)
+        |    AS bucket,
+        |  count(*) AS n_docs,
+        |  CAST(sum(doc_id) AS BIGINT) AS sum_ids,
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
-        |  count(DISTINCT lang) AS n_langs,
-        |  min(doc_id) AS min_doc, max(doc_id) AS max_doc,
         |  CAST(0 AS BIGINT) AS n_corrupt
-        |FROM documents GROUP BY source""".stripMargin
+        |FROM documents GROUP BY 1""".stripMargin
   )
 }

@@ -228,8 +228,11 @@ object Relational {
       val v2 = v1.filter(col("o_orderkey") % 97 =!= 0)
         .withColumn("price", when(col("o_orderkey") % 10 === 0,
           round(col("price") + 100.0, 2)).otherwise(col("price")))
+        // additions live in negative key space (-k - 1): structurally
+        // collision-free with real orderkeys at ANY scale factor (a
+        // fixed +10M shift would collide once orderkey exceeds it)
         .unionByName(v1.filter(col("o_orderkey") % 50 === 0)
-          .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+          .select((-col("o_orderkey") - 1L).as("o_orderkey"),
             col("price")))
       v1.select(col("o_orderkey"), col("price").as("old_price"))
         .join(v2.select(col("o_orderkey"), col("price").as("new_price")),
@@ -690,7 +693,7 @@ object Relational {
         |         ELSE price END AS price
         |  FROM v1 WHERE o_orderkey % 97 <> 0
         |  UNION ALL
-        |  SELECT o_orderkey + 10000000 AS o_orderkey, price
+        |  SELECT -o_orderkey - 1 AS o_orderkey, price
         |  FROM v1 WHERE o_orderkey % 50 = 0),
         |j AS (
         |  SELECT coalesce(a.o_orderkey, b.o_orderkey) AS o_orderkey,

@@ -40,16 +40,26 @@ object LayoutWriter {
     * files whose per-file open/footer cost dominates scans and whose
     * count melts driver listings. Rewrites `src` into
     * ceil(bytes / targetFileBytes) files at `dst` (size measured from
-    * the source listing, so the target tracks the data), returning the
-    * file count chosen. Contents are untouched — only the layout
-    * changes (q96 hash-checks losslessness).
+    * a recursive source listing, so partitioned layouts size
+    * correctly), returning the file count chosen. Contents are
+    * untouched — only the layout changes (q96 hash-checks
+    * losslessness). The OUTPUT is a flat directory: partition columns
+    * survive as data, but re-apply [[writeHivePartitioned]] on the
+    * result if the directory layout must be preserved.
     */
   def compact(spark: org.apache.spark.sql.SparkSession, src: String,
               dst: String, targetFileBytes: Long): Int = {
     val p = new org.apache.hadoop.fs.Path(src)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val bytes = fs.listStatus(p).filter(_.isFile)
-      .filter(_.getPath.getName.endsWith(".parquet")).map(_.getLen).sum
+    // RECURSIVE listing: hive-partitioned sources keep their parquet
+    // under key=value subdirectories — a flat listStatus would see 0
+    // bytes and silently funnel the whole dataset into one file
+    var bytes = 0L
+    val it = fs.listFiles(p, true)
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.getPath.getName.endsWith(".parquet")) bytes += f.getLen
+    }
     val nFiles = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
     spark.read.parquet(src).repartition(nFiles)
       .write.mode("overwrite").parquet(dst)

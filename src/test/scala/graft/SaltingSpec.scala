@@ -36,6 +36,15 @@ class SaltingSpec extends AnyFunSuite {
     assert(salted.count() == skewed.filter(col("key") === 42L).count())
   }
 
+  test("saltedEquiJoin resolves when both sides name the key identically") {
+    val dim = (0L to 50L).map(k => (k, s"name_$k")).toDF("key", "dim_name")
+    val salted = Salting.saltedEquiJoin(skewed, dim, "key", "key",
+      saltFrom = Seq(col("row_id")))
+    val plain = skewed.join(dim.withColumnRenamed("key", "k2"),
+      col("key") === col("k2"))
+    assert(salted.count() == plain.count())
+  }
+
   test("saltedCount equals the plain groupBy count") {
     val salted = Salting.saltedCount(skewed, col("key"), "key",
       saltFrom = Seq(col("row_id"), col("key")))
