@@ -97,6 +97,39 @@ object TextAnalytics {
   def sampleByHash(docs: DataFrame, idCol: String, thresholdHex: Column): DataFrame =
     docs.filter(hashPrefix(col(idCol)) < thresholdHex)
 
+  /** The [[hashPrefix]] probe as a uniform double in [0, 1): each hex
+    * digit decodes via its ascii code (engine-portable, unlike
+    * hex→int conversion builtins), the 8-digit fold is exact integer
+    * arithmetic, and /2^32 is an exact power-of-two division — so the
+    * fraction is bit-identical across engines and comparable against
+    * DATA-DERIVED rates (which a baked hex-literal threshold cannot
+    * express).
+    */
+  def hashFraction(c: Column): Column = {
+    val h = hashPrefix(c)
+    val v = (0 until 8).map { i =>
+      val d = ascii(substring(h, i + 1, 1))
+      when(d <= 57, d - 48).otherwise(d - 87).cast("long") *
+        (1L << (4 * (7 - i)))
+    }.reduce(_ + _)
+    v.cast("double") / 4294967296.0
+  }
+
+  /** DuckDB mirror of [[hashFraction]] over `inner` (a SQL expression
+    * for the hashed value; stringified exactly like hashPrefix).
+    */
+  def hashFractionSql(inner: String): String = {
+    val h = s"substring(sha256(CAST($inner AS VARCHAR)), 1, 8)"
+    val terms = (0 until 8).map { i =>
+      val c = s"ascii(substring($h, ${i + 1}, 1))"
+      // BIGINT cast: DuckDB literal arithmetic is INT32 and the high
+      // digit's 16^7 multiplier overflows it
+      s"CAST(CASE WHEN $c <= 57 THEN $c - 48 ELSE $c - 87 END AS BIGINT)" +
+        s" * ${1L << (4 * (7 - i))}"
+    }.mkString("(", " + ", ")")
+    s"(CAST($terms AS DOUBLE) / 4294967296.0)"
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Per-language corpus stats: wakes up the `lang`/`source`/`n_chars`
@@ -260,6 +293,28 @@ object TextAnalytics {
       scored.join(broadcast(cuts), Seq("lang"))
         .filter(col("score") >= col("cutoff"))
         .select(col("doc_id"), col("lang"), col("score"), col("cutoff"))
+    }),
+
+    // Mixture rebalancing: downsample every source to the SMALLEST
+    // source's size (equal mixture) with rates computed IN-PLAN from
+    // the per-source counts — no baked thresholds, so the op adapts to
+    // whatever mixture arrives. Membership = hashFraction(doc_id) <
+    // target/n_src: deterministic, engine-portable, and a pure
+    // projection per row after the langs-sized rate broadcast. The
+    // canonical "flatten the source distribution" curation op.
+    "q99_mixture_rebalance" -> ((s, d) => {
+      val docs = documents(s, d)
+      val counts = docs.groupBy(col("source")).agg(count(lit(1)).as("n_src"))
+      val target = counts.agg(min(col("n_src")).as("target_n"))
+      val rates = counts.crossJoin(broadcast(target))
+        .select(col("source"),
+          (col("target_n").cast("double") / col("n_src")).as("rate"))
+      docs.join(broadcast(rates), Seq("source"))
+        .filter(hashFraction(col("doc_id")) < col("rate"))
+        .groupBy(col("source"), round(col("rate"), 6).as("rate"))
+        .agg(count(lit(1)).as("n_kept"),
+          min(col("doc_id")).as("min_doc"),
+          max(col("doc_id")).as("max_doc"))
     }),
 
     // Unigram surprisal scoring: mean -ln corpus-probability of each
@@ -449,6 +504,20 @@ object TextAnalytics {
          |SELECT s.doc_id, s.lang, s.score, c.cutoff
          |FROM scored s JOIN cuts c ON s.lang = c.lang
          |WHERE s.score >= c.cutoff""".stripMargin,
+
+    "q99_mixture_rebalance" ->
+      s"""WITH counts AS (
+         |  SELECT source, count(*) AS n_src FROM documents GROUP BY 1),
+         |t AS (SELECT min(n_src) AS target_n FROM counts),
+         |rates AS (
+         |  SELECT source, CAST(target_n AS DOUBLE) / n_src AS rate
+         |  FROM counts CROSS JOIN t)
+         |SELECT d.source, round(r.rate, 6) AS rate,
+         |  count(*) AS n_kept,
+         |  min(d.doc_id) AS min_doc, max(d.doc_id) AS max_doc
+         |FROM documents d JOIN rates r ON d.source = r.source
+         |WHERE ${hashFractionSql("d.doc_id")} < r.rate
+         |GROUP BY 1, 2""".stripMargin,
 
     "q98_surprisal" ->
       s"""WITH words AS (
