@@ -1,6 +1,7 @@
 package graft.sinks
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
 
 /** Scan-pruning parquet layouts — at 100 TB the WRITE layout decides
   * every later read's cost:
@@ -34,6 +35,43 @@ object LayoutWriter {
   def writeHivePartitioned(df: DataFrame, path: String,
                            partitionCols: String*): Unit =
     df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
+
+  /** Bit-interleaved Z-order value of two non-negative integer keys,
+    * each first SCALED to the full `bits`-wide domain via its maximum
+    * (`aMax`/`bMax`, from static knowledge or a cheap agg). Without
+    * the scaling a narrow key's bits all sit below the wide key's high
+    * bits and the "curve" degenerates into a single-key sort — equal
+    * bit widths are what make the interleave alternate. Sorting by
+    * the result walks a space-filling curve, so consecutive rows are
+    * close in BOTH dimensions at once.
+    */
+  def zValue(a: Column, b: Column, aMax: Long, bMax: Long,
+             bits: Int = 16): Column = {
+    val scale = (1L << bits).toDouble
+    // doubles are exact here: key * 2^16 stays far under 2^53
+    val sa = floor(a.cast("long") * scale / (aMax + 1).toDouble).cast("long")
+    val sb = floor(b.cast("long") * scale / (bMax + 1).toDouble).cast("long")
+    (0 until bits).map { i =>
+      shiftright(sa, i).bitwiseAND(lit(1L)) * (1L << (2 * i)) +
+        shiftright(sb, i).bitwiseAND(lit(1L)) * (1L << (2 * i + 1))
+    }.reduce(_ + _)
+  }
+
+  /** Z-order clustered write: range-partition + sort on [[zValue]], so
+    * every file's min/max statistics are tight in BOTH key dimensions
+    * and a predicate on EITHER key prunes files. [[writeRangeClustered]]
+    * on one key leaves the other key's per-file range spanning the
+    * whole domain — the single-key layout's blind spot; Z-order trades
+    * a little pruning power on the primary key for pruning on both.
+    */
+  def writeZOrdered(df: DataFrame, path: String, numFiles: Int,
+                    a: Column, b: Column, aMax: Long, bMax: Long): Unit = {
+    df.withColumn("_graft_z", zValue(a, b, aMax, bMax))
+      .repartitionByRange(numFiles, col("_graft_z"))
+      .sortWithinPartitions(col("_graft_z"))
+      .drop("_graft_z")
+      .write.mode("overwrite").parquet(path)
+  }
 
   /** Small-files compaction — the maintenance op every incremental
     * pipeline needs: streaming/append jobs leave thousands of tiny

@@ -53,6 +53,34 @@ class LayoutWriterSpec extends AnyFunSuite {
       plan.take(800))
   }
 
+  test("z-order write constrains per-file ranges in BOTH dimensions") {
+    val li = Tables.lineitem(spark, TestSpark.sf0001)
+      .select(col("l_partkey"), col("l_suppkey"), col("l_orderkey"))
+    val out = tmp("graft-zorder") + "/li_z"
+    val maxes = li.agg(max(col("l_partkey")), max(col("l_suppkey"))).collect()(0)
+    sinks.LayoutWriter.writeZOrdered(li, out, numFiles = 16,
+      col("l_partkey"), col("l_suppkey"), maxes.getLong(0), maxes.getLong(1))
+
+    val back = spark.read.parquet(out)
+    assert(back.count() == li.count())
+    val global = li.agg(
+      (max(col("l_partkey")) - min(col("l_partkey"))).as("ps"),
+      (max(col("l_suppkey")) - min(col("l_suppkey"))).as("ss")).collect()(0)
+    val (gp, gs) = (global.getLong(0).toDouble, global.getLong(1).toDouble)
+    val spans = back.groupBy(input_file_name())
+      .agg((max(col("l_partkey")) - min(col("l_partkey"))).as("ps"),
+        (max(col("l_suppkey")) - min(col("l_suppkey"))).as("ss"))
+      .collect().map(r => (r.getLong(1).toDouble, r.getLong(2).toDouble))
+    assert(spans.length > 4, s"expected many files, got ${spans.length}")
+    // a single-key sort leaves the OTHER key spanning ~the full domain
+    // per file; the z-curve keeps the AVERAGE span well below it in
+    // both dimensions at once
+    val avgP = spans.map(_._1).sum / spans.length / gp
+    val avgS = spans.map(_._2).sum / spans.length / gs
+    assert(avgP < 0.75, s"partkey spans not constrained: $avgP")
+    assert(avgS < 0.75, s"suppkey spans not constrained: $avgS")
+  }
+
   test("compaction collapses fragmented files without changing rows") {
     val docs = Tables.documents(spark, TestSpark.sf0001)
     val base = tmp("graft-compact")
