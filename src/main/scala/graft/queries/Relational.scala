@@ -191,6 +191,37 @@ object Relational {
           col("s_name"), round(col("l_extendedprice"), 2).as("price"))
     }),
 
+    // Null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL keys
+    // MATCH each other, where plain `=` silently drops every
+    // NULL-keyed row — the correctness trap in joining nullable
+    // dimension keys. Keys are nullified in-plan (%7) so both engines
+    // derive identical NULL sets.
+    "q100_nullsafe_join" -> ((s, d) => {
+      val c = customer(s, d).select(col("c_custkey"),
+        when(col("c_custkey") % 7 === 0, lit(null).cast("long"))
+          .otherwise(col("c_nationkey")).as("c_nk"))
+      val n = nation(s, d).select(
+        when(col("n_nationkey") % 7 === 0, lit(null).cast("long"))
+          .otherwise(col("n_nationkey")).as("n_nk"), col("n_name"))
+      c.join(n, col("c_nk") <=> col("n_nk"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_cust"),
+          sum(col("c_nk").isNull.cast("long")).as("n_null_matched"))
+    }),
+
+    // UNPIVOT (melt) — the inverse of q32's pivot: wide per-flag
+    // metrics to long (flag, metric, value) rows. Runs on the tiny
+    // aggregate, so the reshape is free at any scale.
+    "q101_unpivot" -> ((s, d) => {
+      val m = lineitem(s, d).groupBy(col("l_returnflag"))
+        .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_price"),
+          count(lit(1)).cast("double").as("n_lines"))
+      m.unpivot(Array(col("l_returnflag")),
+        Array(col("sum_qty"), col("sum_price"), col("n_lines")),
+        "metric", "value")
+    }),
+
     // Lakehouse-style upsert (SCD1 / MERGE INTO semantics without a
     // table format): apply an updates batch to a base table, latest
     // version per key wins. The updates batch is derived in-plan (10%
@@ -667,6 +698,31 @@ object Relational {
         |FROM orders RIGHT JOIN customer
         |  ON o_custkey = c_custkey AND o_orderstatus = 'F'
         |GROUP BY c_custkey, c_mktsegment""".stripMargin,
+
+    "q100_nullsafe_join" ->
+      """WITH c AS (
+        |  SELECT c_custkey,
+        |    CASE WHEN c_custkey % 7 = 0 THEN NULL ELSE c_nationkey END AS c_nk
+        |  FROM customer),
+        |n AS (
+        |  SELECT CASE WHEN n_nationkey % 7 = 0 THEN NULL
+        |              ELSE n_nationkey END AS n_nk,
+        |    n_name
+        |  FROM nation)
+        |SELECT n.n_name, count(*) AS n_cust,
+        |  CAST(sum(CASE WHEN c.c_nk IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_null_matched
+        |FROM c JOIN n ON c.c_nk IS NOT DISTINCT FROM n.n_nk
+        |GROUP BY 1""".stripMargin,
+
+    "q101_unpivot" ->
+      """WITH m AS (
+        |  SELECT l_returnflag, round(sum(l_quantity), 2) AS sum_qty,
+        |    round(sum(l_extendedprice), 2) AS sum_price,
+        |    CAST(count(*) AS DOUBLE) AS n_lines
+        |  FROM lineitem GROUP BY 1)
+        |UNPIVOT m ON sum_qty, sum_price, n_lines
+        |INTO NAME metric VALUE value""".stripMargin,
 
     "q93_upsert_latest" ->
       """WITH base AS (
