@@ -209,6 +209,32 @@ object EventsQueries {
         .select(col("h").as("hour_start"), col("event_type"), col("n"))
     }),
 
+    // Session transition matrix: event-type bigram counts WITHIN gap
+    // sessions (q34's definition) — the Markov structure behind "what
+    // do users do after a view". Transitions never cross a session
+    // boundary (the lead window is keyed by session), and the output
+    // is types², independent of event volume.
+    "q102_event_transitions" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val flagged = events(s, d)
+        .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+        .withColumn("new_session",
+          when(col("prev_us").isNull ||
+            unix_micros(col("ts")) - col("prev_us") > 1800L * 1000000L, 1L)
+            .otherwise(0L))
+        .withColumn("session_idx",
+          sum(col("new_session")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val ws = Window.partitionBy(col("user_id"), col("session_idx"))
+        .orderBy(col("ts"), col("event_id"))
+      flagged
+        .withColumn("next_type", lead(col("event_type"), 1).over(ws))
+        .filter(col("next_type").isNotNull)
+        .groupBy(col("event_type").as("from_type"),
+          col("next_type").as("to_type"))
+        .agg(count(lit(1)).as("n"))
+    }),
+
     // Event-rate anomaly detection: hourly counts per type over a
     // DENSE gap-filled spine (q73's construction — a baseline over
     // observed hours only could never score an outage, the most severe
@@ -377,6 +403,29 @@ object EventsQueries {
         |SELECT s.h AS hour_start, t.event_type, CAST(coalesce(c.n, 0) AS BIGINT) AS n
         |FROM spine s CROSS JOIN types t
         |LEFT JOIN counts c ON c.h = s.h AND c.event_type = t.event_type""".stripMargin,
+
+    // Same session construction as sessionsCte, widened with
+    // event_type (the shared CTE projects it away).
+    "q102_event_transitions" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sess AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+        |  FROM flagged),
+        |t AS (
+        |  SELECT event_type AS from_type,
+        |    lead(event_type) OVER (PARTITION BY user_id, session_idx
+        |      ORDER BY ts, event_id) AS to_type
+        |  FROM sess)
+        |SELECT from_type, to_type, count(*) AS n
+        |FROM t WHERE to_type IS NOT NULL GROUP BY 1, 2""".stripMargin,
 
     "q88_rate_anomaly" ->
       """WITH c AS (

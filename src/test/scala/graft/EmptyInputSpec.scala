@@ -64,6 +64,18 @@ class EmptyInputSpec extends AnyFunSuite {
       noDeltas, "t_us", "delta", "n_active").count() == 0)
   }
 
+  test("late round-4 operators on empty input") {
+    assert(Dedup.capDuplicates(noDocs, "doc_id", "text", k = 2).count() == 0)
+    val noIds = Seq.empty[(Long, String)].toDF("doc_id", "source")
+    // hashFraction on an empty frame plans and evaluates to no rows
+    assert(noIds.select(graft.queries.TextAnalytics
+      .hashFraction(col("doc_id")).as("f")).count() == 0)
+    val out = java.nio.file.Files.createTempDirectory("graft-empty").toString
+    graft.sinks.LayoutWriter.writeRangeClustered(
+      noDocs, s"$out/rc", numFiles = 4, col("doc_id"))
+    assert(spark.read.parquet(s"$out/rc").count() == 0)
+  }
+
   test("stateful sessionizer and ranks on empty input") {
     val noEvents = Seq.empty[graft.streaming.SessionEvent].toDS()
     assert(graft.streaming.StatefulSessions.sessionize(noEvents).count() == 0)
