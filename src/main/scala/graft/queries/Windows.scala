@@ -76,6 +76,22 @@ object Windows {
         .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("o_totalprice"))
     }),
 
+    // RANGE frame (value-based, not row-based): trailing 1 wall-clock
+    // hour per user — a ROWS frame counts neighbors, a RANGE frame
+    // covers an interval regardless of how many events landed in it,
+    // and all peers of a tied timestamp are in-frame by definition
+    // (set semantics, so ties cannot make it nondeterministic). Frame
+    // bounds compare exact integer microseconds in both engines.
+    "q103_range_frame" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(unix_micros(col("ts")))
+        .rangeBetween(-3600L * 1000000L, 0)
+      events(s, d)
+        .select(col("event_id"), col("user_id"),
+          count(lit(1)).over(w).as("n_1h"),
+          round(sum(col("value")).over(w), 2).as("value_1h"))
+    }),
+
     // Distribution/analytic window family: ntile, percent_rank,
     // cume_dist over the ranking order; first/nth/last over an explicit
     // whole-partition ROWS frame (the default RANGE frame stops at the
@@ -135,6 +151,14 @@ object Windows {
     "q20_sort_limit" ->
       """SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice
         |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+
+    "q103_range_frame" ->
+      """SELECT event_id, user_id,
+        |  count(*) OVER w AS n_1h,
+        |  round(sum(value) OVER w, 2) AS value_1h
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""".stripMargin,
 
     "q67_analytic_funcs" ->
       """SELECT c_custkey, c_nationkey,
