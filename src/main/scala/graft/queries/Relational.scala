@@ -500,6 +500,22 @@ object Relational {
             (acc, x) => acc + x.cast("double") * x.cast("double")), 6).as("sq_norm"))
     }),
 
+    // Higher-order predicate family over arrays: filter / exists /
+    // forall plus a fold over the filtered subset — the lambda surface
+    // q27's numeric folds don't touch. All pure projections; integer
+    // outputs so no float parity care is needed. forall on an empty
+    // array is vacuously true in both engines (len(filter)=0 mirror).
+    "q104_hof_predicates" -> ((s, d) => {
+      val ws = TextOps.wordsOf(col("text"))
+      documents(s, d).select(
+        col("doc_id"),
+        size(filter(ws, w => length(w) >= 6)).cast("long").as("n_long_words"),
+        exists(ws, w => w === "merge").cast("long").as("has_merge"),
+        forall(ws, w => length(w) <= 12).cast("long").as("all_short"),
+        aggregate(filter(ws, w => length(w) >= 6), lit(0L),
+          (acc, w) => acc + length(w).cast("long")).as("long_chars"))
+    }),
+
     "q28_json_funcs" -> ((s, d) => {
       events(s, d)
         .select(col("event_type"),
@@ -916,6 +932,21 @@ object Relational {
         |  round(CAST(list_min(embedding) AS DOUBLE), 6) AS vmin,
         |  round(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 6) AS sq_norm
         |FROM embeddings WHERE vec_id < 100""".stripMargin,
+
+    "q104_hof_predicates" ->
+      s"""WITH t AS (SELECT doc_id, ${graft.queries.TextOps.wordsSql} AS ws
+         |           FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(list_filter(ws, w -> length(w) >= 6)) AS BIGINT)
+         |    AS n_long_words,
+         |  CAST(len(list_filter(ws, w -> w = 'merge')) > 0 AS BIGINT)
+         |    AS has_merge,
+         |  CAST(len(list_filter(ws, w -> length(w) > 12)) = 0 AS BIGINT)
+         |    AS all_short,
+         |  CAST(coalesce(list_sum(list_transform(
+         |    list_filter(ws, w -> length(w) >= 6), w -> length(w))), 0)
+         |    AS BIGINT) AS long_chars
+         |FROM t""".stripMargin,
 
     "q28_json_funcs" ->
       """SELECT event_type,
