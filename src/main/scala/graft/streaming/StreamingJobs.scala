@@ -106,6 +106,21 @@ object StreamingJobs {
         round(col("value"), 2).as("value"))
   }
 
+  /** Stream–static enrichment join: the unbounded event stream joined
+    * to a bounded reference dimension — the "attach reference data at
+    * ingest" shape. No watermark and NO STATE: a static table is
+    * re-readable, so the join is stateless per micro-batch (the dim is
+    * broadcast under every trigger, and dim updates between triggers
+    * are picked up on the next batch). On batch inputs the identical
+    * definition is an ordinary broadcast join — the parity spec
+    * asserts equal rows.
+    */
+  def enrichStream(events: DataFrame, dim: DataFrame): DataFrame =
+    events.join(broadcast(dim), Seq("event_type"))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("category"),
+        round(col("value") * col("weight"), 2).as("weighted_value"))
+
   /** Run a streaming plan with `append` output to completion (the only
     * mode stream-stream joins support) and return the emitted rows.
     */

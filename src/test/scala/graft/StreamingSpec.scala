@@ -34,6 +34,21 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.count() > 0)
   }
 
+  test("stream-static enrichment join == batch broadcast join") {
+    import spark.implicits._
+    val dim = Seq(
+      ("view", "browse", 1.0), ("click", "browse", 2.0),
+      ("purchase", "buy", 10.0), ("error", "ops", 0.5))
+      .toDF("event_type", "category", "weight")
+    val stream = StreamingJobs.eventsStream(spark, TestSpark.sf0001)
+    val got = StreamingJobs.runAppend(spark,
+      StreamingJobs.enrichStream(stream, dim), "t_enrich")
+    val want = StreamingJobs.enrichStream(
+      Tables.events(spark, TestSpark.sf0001), dim)
+    assert(canon(got) == canon(want))
+    assert(got.count() > 0)
+  }
+
   test("typed flatMapGroupsWithState sessionizer == batch q34") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
