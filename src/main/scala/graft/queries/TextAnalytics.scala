@@ -317,6 +317,24 @@ object TextAnalytics {
           max(col("doc_id")).as("max_doc"))
     }),
 
+    // Weighted deterministic sampling: keep probability proportional
+    // to document length (weight / max weight), decided by the same
+    // portable hash fraction as q99 — longer docs oversampled, short
+    // boilerplate thinned, reproducible across runs and engines. The
+    // per-source kept average length (vs q42's corpus averages) shows
+    // the intended bias; the 1-row max broadcast is the only
+    // non-projection work.
+    "q105_weighted_sample" -> ((s, d) => {
+      val docs = documents(s, d)
+      val mx = docs.agg(max(col("n_chars")).as("max_chars"))
+      docs.crossJoin(broadcast(mx))
+        .filter(hashFraction(col("doc_id")) <
+          col("n_chars").cast("double") / col("max_chars"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_kept"),
+          round(avg(col("n_chars")), 4).as("avg_kept_chars"))
+    }),
+
     // Unigram surprisal scoring: mean -ln corpus-probability of each
     // doc's words — the statistical-LM quality signal (templated spam
     // scores low, noise scores high). One corpus word-count aggregate,
@@ -504,6 +522,15 @@ object TextAnalytics {
          |SELECT s.doc_id, s.lang, s.score, c.cutoff
          |FROM scored s JOIN cuts c ON s.lang = c.lang
          |WHERE s.score >= c.cutoff""".stripMargin,
+
+    "q105_weighted_sample" ->
+      s"""WITH m AS (SELECT max(n_chars) AS max_chars FROM documents)
+         |SELECT source, count(*) AS n_kept,
+         |  round(avg(n_chars), 4) AS avg_kept_chars
+         |FROM documents CROSS JOIN m
+         |WHERE ${hashFractionSql("doc_id")} <
+         |  CAST(n_chars AS DOUBLE) / max_chars
+         |GROUP BY 1""".stripMargin,
 
     "q99_mixture_rebalance" ->
       s"""WITH counts AS (
