@@ -42,6 +42,35 @@ object EventsQueries {
           round(col("asof_value"), 2).as("asof_value"))
     }),
 
+    // As-of with a staleness TOLERANCE: like q33, but a purchase older
+    // than 1 hour is too stale to attribute — the bounded-staleness
+    // lookup real feature-serving uses (an unbounded as-of happily
+    // joins a year-old record). Same single-shuffle union+window plan;
+    // the tolerance is a post-window null-out, equivalent to bounding
+    // the search window itself.
+    "q106_asof_tolerance" -> ((s, d) => {
+      val e = events(s, d)
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), lit(0).as("kind"), col("event_id"),
+          col("event_id").as("p_id"), unix_micros(col("ts")).as("p_us"))
+      val errors = e.filter(col("event_type") === "error")
+        .select(col("user_id"), col("ts"), lit(1).as("kind"), col("event_id"),
+          lit(null).cast("long").as("p_id"), lit(null).cast("long").as("p_us"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("kind"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val fresh =
+        unix_micros(col("ts")) - col("last_p_us") <= 3600L * 1000000L
+      purchases.unionByName(errors)
+        .withColumn("last_p_id", last(col("p_id"), ignoreNulls = true).over(w))
+        .withColumn("last_p_us", last(col("p_us"), ignoreNulls = true).over(w))
+        .filter(col("kind") === 1)
+        .select(col("event_id"), col("user_id"),
+          when(fresh, col("last_p_id")).as("asof_purchase_id"),
+          when(fresh, floor((unix_micros(col("ts")) - col("last_p_us"))
+            / 1000000.0).cast("long")).as("gap_s"))
+    }),
+
     // Gap sessionization (30-min inactivity): lag + cumulative new-session
     // flags. Gap math in integer microseconds on both engines.
     "q34_sessionize" -> ((s, d) => {
@@ -307,6 +336,22 @@ object EventsQueries {
         |   WHERE p.event_type = 'purchase' AND p.user_id = e.user_id
         |     AND p.ts <= e.ts
         |   ORDER BY p.ts DESC, p.event_id DESC LIMIT 1), 2) AS asof_value
+        |FROM events e WHERE e.event_type = 'error'""".stripMargin,
+
+    // Latest purchase WITHIN the hour — equivalent to null-out-if-
+    // stale: if the overall latest purchase is older than 1h, none
+    // exists inside the window either.
+    "q106_asof_tolerance" ->
+      """SELECT e.event_id, e.user_id,
+        |  (SELECT p.event_id FROM events p
+        |   WHERE p.event_type = 'purchase' AND p.user_id = e.user_id
+        |     AND p.ts <= e.ts AND p.ts >= e.ts - INTERVAL 1 HOUR
+        |   ORDER BY p.ts DESC, p.event_id DESC LIMIT 1) AS asof_purchase_id,
+        |  CAST((epoch_us(e.ts) - (SELECT epoch_us(p.ts) FROM events p
+        |   WHERE p.event_type = 'purchase' AND p.user_id = e.user_id
+        |     AND p.ts <= e.ts AND p.ts >= e.ts - INTERVAL 1 HOUR
+        |   ORDER BY p.ts DESC, p.event_id DESC LIMIT 1)) // 1000000
+        |   AS BIGINT) AS gap_s
         |FROM events e WHERE e.event_type = 'error'""".stripMargin,
 
     "q34_sessionize" ->
