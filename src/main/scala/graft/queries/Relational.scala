@@ -191,6 +191,25 @@ object Relational {
           col("s_name"), round(col("l_extendedprice"), 2).as("price"))
     }),
 
+    // Gaps-and-islands over the sparse orderkey sequence (TPC-H keys
+    // skip ranges by design): contiguous runs found via the classic
+    // key − row_number() constant-per-island trick, with the global
+    // numbering done by the two-phase range-partitioned Ranks plan —
+    // no single-partition window at any table size.
+    "q107_gaps_islands" -> ((s, d) => {
+      val ranked = graft.plans.Ranks.withGlobalRanks(
+        orders(s, d).select(col("o_orderkey")),
+        sortCols = Seq(col("o_orderkey")),
+        keyCols = Seq(col("o_orderkey")),
+        rankCol = "rn")
+      ranked.withColumn("grp", col("o_orderkey") - col("rn"))
+        .groupBy(col("grp"))
+        .agg(min(col("o_orderkey")).as("island_start"),
+          max(col("o_orderkey")).as("island_end"),
+          count(lit(1)).as("n"))
+        .select(col("island_start"), col("island_end"), col("n"))
+    }),
+
     // Null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL keys
     // MATCH each other, where plain `=` silently drops every
     // NULL-keyed row — the correctness trap in joining nullable
@@ -714,6 +733,16 @@ object Relational {
         |FROM orders RIGHT JOIN customer
         |  ON o_custkey = c_custkey AND o_orderstatus = 'F'
         |GROUP BY c_custkey, c_mktsegment""".stripMargin,
+
+    "q107_gaps_islands" ->
+      """WITH r AS (
+        |  SELECT o_orderkey,
+        |    row_number() OVER (ORDER BY o_orderkey) AS rn
+        |  FROM orders)
+        |SELECT min(o_orderkey) AS island_start,
+        |  max(o_orderkey) AS island_end, count(*) AS n
+        |FROM (SELECT o_orderkey, o_orderkey - rn AS grp FROM r)
+        |GROUP BY grp""".stripMargin,
 
     "q100_nullsafe_join" ->
       """WITH c AS (
