@@ -191,6 +191,22 @@ object Relational {
           col("s_name"), round(col("l_extendedprice"), 2).as("price"))
     }),
 
+    // Conditional aggregate family: count_if / bool_or / bool_and and
+    // a DETERMINISTIC argmax — max over a (value, unique-key) struct,
+    // so ties on the value can never make the winning row
+    // engine-dependent (bare max_by ties are unspecified in both
+    // engines; the struct tie-break closes that hole).
+    "q108_conditional_aggs" -> ((s, d) => {
+      val top = max(struct(round(col("o_totalprice"), 2).as("p"),
+        col("o_orderkey").as("k")))
+      orders(s, d).groupBy(col("o_orderstatus"))
+        .agg(count_if(col("o_totalprice") > 200000).as("n_big"),
+          bool_or(col("o_totalprice") > 400000).as("any_huge"),
+          bool_and(col("o_totalprice") > 0).as("all_positive"),
+          top.getField("k").as("top_order"),
+          top.getField("p").as("top_price"))
+    }),
+
     // Gaps-and-islands over the sparse orderkey sequence (TPC-H keys
     // skip ranges by design): contiguous runs found via the classic
     // key − row_number() constant-per-island trick, with the global
@@ -733,6 +749,17 @@ object Relational {
         |FROM orders RIGHT JOIN customer
         |  ON o_custkey = c_custkey AND o_orderstatus = 'F'
         |GROUP BY c_custkey, c_mktsegment""".stripMargin,
+
+    "q108_conditional_aggs" ->
+      """SELECT o_orderstatus,
+        |  CAST(count_if(o_totalprice > 200000) AS BIGINT) AS n_big,
+        |  bool_or(o_totalprice > 400000) AS any_huge,
+        |  bool_and(o_totalprice > 0) AS all_positive,
+        |  (max(struct_pack(p := round(o_totalprice, 2), k := o_orderkey))).k
+        |    AS top_order,
+        |  (max(struct_pack(p := round(o_totalprice, 2), k := o_orderkey))).p
+        |    AS top_price
+        |FROM orders GROUP BY 1""".stripMargin,
 
     "q107_gaps_islands" ->
       """WITH r AS (
