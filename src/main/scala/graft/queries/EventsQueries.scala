@@ -238,6 +238,25 @@ object EventsQueries {
         .select(col("h").as("hour_start"), col("event_type"), col("n"))
     }),
 
+    // Per-user ordered event sequences — the "build journey paths /
+    // sequence-model inputs" op. collect_list order is UNDEFINED under
+    // distributed aggregation, so the deterministic form is the sorted
+    // struct array: sort_array over (ts, event_id, type) tuples, then
+    // project the type path. One shuffle on user_id; the path is
+    // truncated to the first 5 events so output rows stay small.
+    "q109_event_paths" -> ((s, d) => {
+      val seqs = events(s, d).groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          sort_array(collect_list(struct(
+            unix_micros(col("ts")).as("t"),
+            col("event_id").as("id"),
+            col("event_type").as("et")))).as("seq"))
+      seqs.select(col("user_id"), col("n_events"),
+        concat_ws(">",
+          slice(transform(col("seq"), s => s.getField("et")), 1, 5))
+          .as("path5"))
+    }),
+
     // Session transition matrix: event-type bigram counts WITHIN gap
     // sessions (q34's definition) — the Markov structure behind "what
     // do users do after a view". Transitions never cross a session
@@ -448,6 +467,12 @@ object EventsQueries {
         |SELECT s.h AS hour_start, t.event_type, CAST(coalesce(c.n, 0) AS BIGINT) AS n
         |FROM spine s CROSS JOIN types t
         |LEFT JOIN counts c ON c.h = s.h AND c.event_type = t.event_type""".stripMargin,
+
+    "q109_event_paths" ->
+      """SELECT user_id, count(*) AS n_events,
+        |  array_to_string(list(event_type ORDER BY ts, event_id)[1:5], '>')
+        |    AS path5
+        |FROM events GROUP BY user_id""".stripMargin,
 
     // Same session construction as sessionsCte, widened with
     // event_type (the shared CTE projects it away).
