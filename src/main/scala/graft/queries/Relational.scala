@@ -191,6 +191,42 @@ object Relational {
           col("s_name"), round(col("l_extendedprice"), 2).as("price"))
     }),
 
+    // String aggregation (listagg/string_agg): names concatenated per
+    // group — deterministic only in the SORTED form (same lesson as
+    // q109's arrays; unordered string_agg output is engine- and
+    // partitioning-dependent).
+    "q110_string_agg" -> ((s, d) => {
+      supplier(s, d).groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("n_supp"),
+          concat_ws(",", sort_array(collect_list(col("s_name"))))
+            .as("names"))
+    }),
+
+    // Robust statistics: (median, median-absolute-deviation) per group
+    // — the outlier-resistant replacement for (mean, stddev) on
+    // heavy-tailed data. Two ordered-set aggregation passes; the
+    // per-group median (a groups-sized dim) joins back for the
+    // deviation pass. percentile_cont parity at 4dp (q53 precedent);
+    // sub-ulp deviation noise is swallowed by the rounding.
+    "q111_robust_stats" -> ((s, d) => {
+      orders(s, d).createOrReplaceTempView("graft_q111_orders")
+      s.sql("""WITH med AS (
+              |  SELECT o_orderstatus,
+              |    percentile_cont(0.5) WITHIN GROUP (ORDER BY o_totalprice)
+              |      AS med
+              |  FROM graft_q111_orders GROUP BY o_orderstatus),
+              |dev AS (
+              |  SELECT o.o_orderstatus, m.med,
+              |    abs(o.o_totalprice - m.med) AS adev
+              |  FROM graft_q111_orders o
+              |  JOIN med m ON o.o_orderstatus = m.o_orderstatus)
+              |SELECT o_orderstatus,
+              |  round(min(med), 4) AS median_price,
+              |  round(percentile_cont(0.5) WITHIN GROUP (ORDER BY adev), 4)
+              |    AS mad
+              |FROM dev GROUP BY o_orderstatus""".stripMargin)
+    }),
+
     // Conditional aggregate family: count_if / bool_or / bool_and and
     // a DETERMINISTIC argmax — max over a (value, unique-key) struct,
     // so ties on the value can never make the winning row
@@ -749,6 +785,25 @@ object Relational {
         |FROM orders RIGHT JOIN customer
         |  ON o_custkey = c_custkey AND o_orderstatus = 'F'
         |GROUP BY c_custkey, c_mktsegment""".stripMargin,
+
+    "q111_robust_stats" ->
+      """WITH med AS (
+        |  SELECT o_orderstatus,
+        |    percentile_cont(0.5) WITHIN GROUP (ORDER BY o_totalprice) AS med
+        |  FROM orders GROUP BY o_orderstatus),
+        |dev AS (
+        |  SELECT o.o_orderstatus, m.med,
+        |    abs(o.o_totalprice - m.med) AS adev
+        |  FROM orders o JOIN med m ON o.o_orderstatus = m.o_orderstatus)
+        |SELECT o_orderstatus,
+        |  round(min(med), 4) AS median_price,
+        |  round(percentile_cont(0.5) WITHIN GROUP (ORDER BY adev), 4) AS mad
+        |FROM dev GROUP BY o_orderstatus""".stripMargin,
+
+    "q110_string_agg" ->
+      """SELECT s_nationkey, count(*) AS n_supp,
+        |  string_agg(s_name, ',' ORDER BY s_name) AS names
+        |FROM supplier GROUP BY 1""".stripMargin,
 
     "q108_conditional_aggs" ->
       """SELECT o_orderstatus,
