@@ -191,6 +191,22 @@ object Relational {
           col("s_name"), round(col("l_extendedprice"), 2).as("price"))
     }),
 
+    // Linear-regression aggregate family (least-squares over
+    // (quantity, price) pairs per flag): slope/intercept/r² complete
+    // the statistical aggregates next to q54's corr/covar. Rounded at
+    // 4dp — the sums behind the moments are the same unordered-double
+    // precedent as q54's corr at 6dp.
+    "q112_regression_aggs" -> ((s, d) => {
+      lineitem(s, d).groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          round(regr_slope(col("l_extendedprice"), col("l_quantity")), 4)
+            .as("slope"),
+          round(regr_intercept(col("l_extendedprice"), col("l_quantity")), 4)
+            .as("intercept"),
+          round(regr_r2(col("l_extendedprice"), col("l_quantity")), 6)
+            .as("r2"))
+    }),
+
     // String aggregation (listagg/string_agg): names concatenated per
     // group — deterministic only in the SORTED form (same lesson as
     // q109's arrays; unordered string_agg output is engine- and
@@ -785,6 +801,13 @@ object Relational {
         |FROM orders RIGHT JOIN customer
         |  ON o_custkey = c_custkey AND o_orderstatus = 'F'
         |GROUP BY c_custkey, c_mktsegment""".stripMargin,
+
+    "q112_regression_aggs" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |  round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+        |  round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+        |  round(regr_r2(l_extendedprice, l_quantity), 6) AS r2
+        |FROM lineitem GROUP BY 1""".stripMargin,
 
     "q111_robust_stats" ->
       """WITH med AS (
