@@ -33,7 +33,8 @@ object SparkEntry {
       (graft.queries.Dedup.queries, graft.queries.Dedup.oracles),
       (graft.queries.TextAnalytics.queries, graft.queries.TextAnalytics.oracles),
       (graft.queries.Multimodal.queries, graft.queries.Multimodal.oracles),
-      (graft.queries.FileFormats.queries, graft.queries.FileFormats.oracles)
+      (graft.queries.FileFormats.queries, graft.queries.FileFormats.oracles),
+      (graft.queries.Warehouse.queries, graft.queries.Warehouse.oracles)
     )
 
   /** One entry per implemented operator from SURVEY.md §2. */

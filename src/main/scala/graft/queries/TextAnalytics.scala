@@ -130,7 +130,143 @@ object TextAnalytics {
     s"(CAST($terms AS DOUBLE) / 4294967296.0)"
   }
 
+  /** BM25 query terms — a fixed literal query, baked into plan AND
+    * oracle like the ANN hyperplanes. Okapi constants k1/b are the
+    * standard values from the public BM25 literature.
+    */
+  val Bm25Terms: Seq[String] = Seq("merge", "sort", "window")
+  val Bm25K1 = 1.2
+  val Bm25B = 0.75
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // BM25 lexical retrieval — the classic keyword-search scorer, the
+    // sparse counterpart to the dense ANN family (q38/q39/q52/q62):
+    // score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1-b+b·dl/avgdl)).
+    // Scale shape: the explode is filtered to the 3 query terms BEFORE
+    // any shuffle (a map-side isin), so the per-(doc,term) aggregate
+    // and the doc-length aggregate are the only fact-sized shuffles;
+    // df/N/avgdl are term- and 1-row aggregates, broadcast back.
+    // Parity: idf and each per-term score are rounded at 6dp, then the
+    // per-doc sum runs in EXACT micro-units (round(term·1e6) → bigint,
+    // summed as integers) — order-independent by construction, unlike
+    // a double sum whose last-ulp noise can straddle the final
+    // rounding boundary (observed on q115 before this rule). The final
+    // 4dp round is ALSO integer math ((micro+50) div 100): a micro sum
+    // ≡ 50 (mod 100) is a true rounding tie, and Spark (BigDecimal
+    // HALF_UP on the printed double) and DuckDB (scaled-double
+    // half-away) resolve ties differently ~1% of rows.
+    "q114_bm25" -> ((s, d) => {
+      val words = documents(s, d)
+        .select(col("doc_id"), explode(TextOps.wordsOf(col("text"))).as("word"))
+      val dl = words.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+      val stats = dl.agg(count(lit(1)).as("n_docs"),
+        (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+      val tf = words.filter(col("word").isin(Bm25Terms: _*))
+        .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
+      val idf = tf.groupBy(col("word")).agg(countDistinct(col("doc_id")).as("df"))
+        .crossJoin(broadcast(stats))
+        .select(col("word"),
+          round(log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0), 6)
+            .as("idf"),
+          col("avgdl"))
+      tf.join(broadcast(idf), Seq("word"))
+        .join(dl, Seq("doc_id"))
+        .select(col("doc_id"),
+          round(col("idf") * (col("tf") * (Bm25K1 + 1.0)) /
+            (col("tf") + lit(Bm25K1) * (lit(1.0 - Bm25B) +
+              lit(Bm25B) * col("dl").cast("double") / col("avgdl"))), 6)
+            .as("term_score"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_hit_terms"),
+          (floor((sum(round(col("term_score") * 1e6).cast("long")) + 50L)
+            / 100.0) / 10000.0).as("bm25"))
+    }),
+
+    // Per-document Shannon word entropy (nats) — the distributional
+    // quality signal next to q98's corpus surprisal: low entropy =
+    // templated/repetitive, high = diverse. One (doc,word) aggregate,
+    // one per-doc aggregate; each -p·ln(p) term is rounded at 6dp and
+    // summed in exact integer micro-units (the q114 parity rule —
+    // plain double summation flipped 2/500 docs at a 4dp boundary).
+    "q115_word_entropy" -> ((s, d) => {
+      val tf = documents(s, d)
+        .select(col("doc_id"), explode(TextOps.wordsOf(col("text"))).as("word"))
+        .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
+      val dl = tf.groupBy(col("doc_id"))
+        .agg(sum(col("tf")).as("dl"), count(lit(1)).as("n_distinct"))
+      tf.join(dl, Seq("doc_id"))
+        .select(col("doc_id"), col("dl"), col("n_distinct"),
+          round(-(col("tf").cast("double") / col("dl")) *
+            log(col("tf").cast("double") / col("dl")), 6).as("term"))
+        .groupBy(col("doc_id"), col("dl"), col("n_distinct"))
+        .agg((floor((sum(round(col("term") * 1e6).cast("long")) + 50L)
+          / 100.0) / 10000.0).as("entropy"))
+        .select(col("doc_id"), col("dl").as("n_words"),
+          col("n_distinct"), col("entropy"))
+    }),
+
+    // Per-source KL divergence from the corpus word distribution —
+    // the domain-shift / mixture-curation signal: KL(source ‖ corpus)
+    // = Σ_w q_w·ln(q_w/p_w), terms absent from the source contribute 0.
+    // Everything after the two word-count aggregates is vocab-sized;
+    // the corpus distribution joins by word (an equi-join, NOT a
+    // broadcast — a free-text vocabulary is tens of millions of
+    // terms). Same 6dp-term / exact-micro-unit-sum parity rule.
+    "q117_source_divergence" -> ((s, d) => {
+      val words = documents(s, d)
+        .select(col("source"), explode(TextOps.wordsOf(col("text"))).as("word"))
+      val corpus = words.groupBy(col("word")).agg(count(lit(1)).as("c"))
+      val total = corpus.agg(sum(col("c")).as("total"))
+      val p = corpus.crossJoin(broadcast(total))
+        .select(col("word"), (col("c").cast("double") / col("total")).as("p"))
+      val src = words.groupBy(col("source"), col("word")).agg(count(lit(1)).as("sc"))
+      val srcTotal = src.groupBy(col("source")).agg(sum(col("sc")).as("stotal"))
+      src.join(srcTotal, Seq("source"))
+        .join(p, Seq("word"))
+        .select(col("source"), col("stotal"),
+          round((col("sc").cast("double") / col("stotal")) *
+            log((col("sc").cast("double") / col("stotal")) / col("p")), 6)
+            .as("term"))
+        .groupBy(col("source"), col("stotal"))
+        .agg((floor((sum(round(col("term") * 1e6).cast("long")) + 50L)
+          / 100.0) / 10000.0).as("kl_nats"))
+        .select(col("source"), col("stotal").as("n_words"), col("kl_nats"))
+    }),
+
+    // PMI word co-occurrence — pointwise mutual information over word
+    // pairs co-occurring in a document (the word2vec-era association
+    // score): pmi = ln(N·c_ab / (c_a·c_b)) over document PRESENCE
+    // counts. The pair generator is a self-join on doc_id over the
+    // DISTINCT (doc, word) set, so its fan-out is bounded by the
+    // per-doc distinct vocabulary squared (cap the vocabulary per doc
+    // upstream for free-text corpora), never by corpus size; the w1<w2
+    // constraint halves it. ln over exact integer ratios, rounded 6dp.
+    "q118_word_pmi" -> ((s, d) => {
+      val wd = documents(s, d)
+        .select(col("doc_id"), explode(array_distinct(TextOps.wordsOf(col("text"))))
+          .as("word"))
+      val n = documents(s, d).agg(count(lit(1)).as("n_docs"))
+      val cw = wd.groupBy(col("word")).agg(count(lit(1)).as("cw"))
+      val pairs = wd.as("a")
+        .join(wd.as("b"), col("a.doc_id") === col("b.doc_id") &&
+          col("a.word") < col("b.word"))
+        .groupBy(col("a.word").as("w1"), col("b.word").as("w2"))
+        .agg(count(lit(1)).as("c_ab"))
+        .filter(col("c_ab") >= 5)
+      // cw is vocab-sized — NOT broadcast (a free-text vocabulary can
+      // be tens of millions of terms); both lookups are equi-joins over
+      // the already-aggregated pair table.
+      pairs
+        .join(cw.withColumnRenamed("word", "w1")
+          .withColumnRenamed("cw", "c_a"), Seq("w1"))
+        .join(cw.withColumnRenamed("word", "w2")
+          .withColumnRenamed("cw", "c_b"), Seq("w2"))
+        .crossJoin(broadcast(n))
+        .select(col("w1"), col("w2"), col("c_ab"),
+          round(log(col("n_docs").cast("double") * col("c_ab") /
+            (col("c_a") * col("c_b")).cast("double")), 6).as("pmi"))
+    }),
 
     // Per-language corpus stats: wakes up the `lang`/`source`/`n_chars`
     // fixture columns. One shuffle (groupBy lang); token counts via the
@@ -340,10 +476,10 @@ object TextAnalytics {
     // scores low, noise scores high). One corpus word-count aggregate,
     // a 1-row total broadcast, probabilities joined back to the
     // exploded words. Parity: each per-word surprisal is rounded at
-    // 6dp BEFORE the per-doc mean (so the unordered double sum runs
-    // over identical multisets in both engines) and the mean is
-    // rounded at 4dp — orders of magnitude of headroom over the
-    // summation's ulp noise.
+    // 6dp, then the per-doc mean runs over EXACT integer micro-units
+    // (round(x·1e6) → bigint sum, divided back at the end) — an
+    // unordered double sum can straddle the final rounding boundary
+    // (observed on q115), the integer sum cannot.
     "q98_surprisal" -> ((s, d) => {
       val words = documents(s, d)
         .select(col("doc_id"), explode(TextOps.wordsOf(col("text"))).as("word"))
@@ -355,7 +491,8 @@ object TextAnalytics {
         .select(col("doc_id"), round(-log(col("p")), 6).as("surprisal"))
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_words"),
-          round(avg(col("surprisal")), 4).as("mean_surprisal"))
+          round(sum(round(col("surprisal") * 1e6).cast("long")) / 1e6
+            / count(lit(1)), 4).as("mean_surprisal"))
     }),
 
     // PII scrub — the redaction pass every corpus runs before release.
@@ -392,6 +529,89 @@ object TextAnalytics {
   )
 
   val oracles: Map[String, String] = Map(
+    "q114_bm25" ->
+      s"""WITH words AS (
+         |  SELECT doc_id, unnest(${TextOps.wordsSql}) AS word FROM documents),
+         |dl AS (SELECT doc_id, count(*) AS dl FROM words GROUP BY 1),
+         |stats AS (SELECT count(*) AS n_docs,
+         |                 CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+         |          FROM dl),
+         |tf AS (SELECT doc_id, word, count(*) AS tf FROM words
+         |       WHERE word IN (${Bm25Terms.map(t => s"'$t'").mkString(", ")})
+         |       GROUP BY 1, 2),
+         |idf AS (
+         |  SELECT word,
+         |    round(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0), 6) AS idf,
+         |    avgdl
+         |  FROM (SELECT word, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1)
+         |  CROSS JOIN stats),
+         |scored AS (
+         |  SELECT tf.doc_id,
+         |    round(idf.idf * (tf.tf * ($Bm25K1 + 1.0)) /
+         |      (tf.tf + $Bm25K1 * (1.0 - $Bm25B +
+         |        $Bm25B * CAST(dl.dl AS DOUBLE) / idf.avgdl)), 6) AS term_score
+         |  FROM tf JOIN idf USING (word) JOIN dl USING (doc_id))
+         |SELECT doc_id, count(*) AS n_hit_terms,
+         |  floor((CAST(sum(CAST(round(term_score * 1000000.0) AS BIGINT))
+         |         AS BIGINT) + 50) / 100.0) / 10000.0 AS bm25
+         |FROM scored GROUP BY doc_id""".stripMargin,
+
+    "q115_word_entropy" ->
+      s"""WITH words AS (
+         |  SELECT doc_id, unnest(${TextOps.wordsSql}) AS word FROM documents),
+         |tf AS (SELECT doc_id, word, count(*) AS tf FROM words GROUP BY 1, 2),
+         |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl,
+         |              count(*) AS n_distinct
+         |       FROM tf GROUP BY 1),
+         |terms AS (
+         |  SELECT tf.doc_id, dl.dl, dl.n_distinct,
+         |    round(-(CAST(tf.tf AS DOUBLE) / dl.dl) *
+         |          ln(CAST(tf.tf AS DOUBLE) / dl.dl), 6) AS term
+         |  FROM tf JOIN dl USING (doc_id))
+         |SELECT doc_id, dl AS n_words, n_distinct,
+         |  floor((CAST(sum(CAST(round(term * 1000000.0) AS BIGINT))
+         |         AS BIGINT) + 50) / 100.0) / 10000.0 AS entropy
+         |FROM terms GROUP BY doc_id, dl, n_distinct""".stripMargin,
+
+    "q117_source_divergence" ->
+      s"""WITH words AS (
+         |  SELECT source, unnest(${TextOps.wordsSql}) AS word FROM documents),
+         |corpus AS (SELECT word, count(*) AS c FROM words GROUP BY 1),
+         |t AS (SELECT CAST(sum(c) AS BIGINT) AS total FROM corpus),
+         |p AS (SELECT word, CAST(c AS DOUBLE) / total AS p
+         |      FROM corpus CROSS JOIN t),
+         |src AS (SELECT source, word, count(*) AS sc FROM words GROUP BY 1, 2),
+         |st AS (SELECT source, CAST(sum(sc) AS BIGINT) AS stotal
+         |       FROM src GROUP BY 1),
+         |terms AS (
+         |  SELECT src.source, st.stotal,
+         |    round((CAST(src.sc AS DOUBLE) / st.stotal) *
+         |          ln((CAST(src.sc AS DOUBLE) / st.stotal) / p.p), 6) AS term
+         |  FROM src JOIN st USING (source) JOIN p USING (word))
+         |SELECT source, stotal AS n_words,
+         |  floor((CAST(sum(CAST(round(term * 1000000.0) AS BIGINT))
+         |         AS BIGINT) + 50) / 100.0) / 10000.0 AS kl_nats
+         |FROM terms GROUP BY source, stotal""".stripMargin,
+
+    "q118_word_pmi" ->
+      s"""WITH wd AS (
+         |  SELECT DISTINCT doc_id, word FROM (
+         |    SELECT doc_id, unnest(${TextOps.wordsSql}) AS word FROM documents)),
+         |n AS (SELECT count(*) AS n_docs FROM documents),
+         |cw AS (SELECT word, count(*) AS cw FROM wd GROUP BY 1),
+         |pairs AS (
+         |  SELECT a.word AS w1, b.word AS w2, count(*) AS c_ab
+         |  FROM wd a JOIN wd b ON a.doc_id = b.doc_id AND a.word < b.word
+         |  GROUP BY 1, 2
+         |  HAVING count(*) >= 5)
+         |SELECT w1, w2, c_ab,
+         |  round(ln(CAST(n_docs AS DOUBLE) * c_ab /
+         |           CAST(ca.cw * cb.cw AS DOUBLE)), 6) AS pmi
+         |FROM pairs
+         |JOIN cw ca ON ca.word = w1
+         |JOIN cw cb ON cb.word = w2
+         |CROSS JOIN n""".stripMargin,
+
     "q42_lang_stats" ->
       s"""WITH t AS (SELECT lang, source, n_chars,
          |             ${RefPipeline.tokenCountSql("text")} AS n_tok
@@ -556,7 +776,8 @@ object TextAnalytics {
          |  SELECT doc_id, round(-ln(p), 6) AS surprisal
          |  FROM words JOIN probs USING (word))
          |SELECT doc_id, count(*) AS n_words,
-         |  round(avg(surprisal), 4) AS mean_surprisal
+         |  round(sum(CAST(round(surprisal * 1000000.0) AS BIGINT))
+         |        / 1000000.0 / count(*), 4) AS mean_surprisal
          |FROM scored GROUP BY doc_id""".stripMargin,
 
     "q92_pii_redact" ->
