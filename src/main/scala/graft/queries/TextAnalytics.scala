@@ -159,7 +159,12 @@ object TextAnalytics {
     "q114_bm25" -> ((s, d) => {
       val words = documents(s, d)
         .select(col("doc_id"), explode(TextOps.wordsOf(col("text"))).as("word"))
+      // dl feeds BOTH the corpus stats and the final score join —
+      // persisted, or the corpus is re-scanned and re-exploded for
+      // each consumer (plan audit showed 4 scans without this).
       val dl = words.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      graft.pipeline.Chunker.registerForCleanup(dl)
       val stats = dl.agg(count(lit(1)).as("n_docs"),
         (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
       val tf = words.filter(col("word").isin(Bm25Terms: _*))
@@ -190,9 +195,13 @@ object TextAnalytics {
     // summed in exact integer micro-units (the q114 parity rule —
     // plain double summation flipped 2/500 docs at a 4dp boundary).
     "q115_word_entropy" -> ((s, d) => {
+      // tf feeds the per-doc rollup AND the probability join — persist,
+      // or the corpus is scanned/exploded/aggregated twice.
       val tf = documents(s, d)
         .select(col("doc_id"), explode(TextOps.wordsOf(col("text"))).as("word"))
         .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      graft.pipeline.Chunker.registerForCleanup(tf)
       val dl = tf.groupBy(col("doc_id"))
         .agg(sum(col("tf")).as("dl"), count(lit(1)).as("n_distinct"))
       tf.join(dl, Seq("doc_id"))
@@ -216,11 +225,17 @@ object TextAnalytics {
     "q117_source_divergence" -> ((s, d) => {
       val words = documents(s, d)
         .select(col("source"), explode(TextOps.wordsOf(col("text"))).as("word"))
-      val corpus = words.groupBy(col("word")).agg(count(lit(1)).as("c"))
+      // One corpus pass: the (source, word) counts are the finest
+      // grain, persisted; the corpus distribution, its total, and the
+      // per-source totals are all rollups of it — without this the
+      // corpus is scanned and exploded four times.
+      val src = words.groupBy(col("source"), col("word")).agg(count(lit(1)).as("sc"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      graft.pipeline.Chunker.registerForCleanup(src)
+      val corpus = src.groupBy(col("word")).agg(sum(col("sc")).as("c"))
       val total = corpus.agg(sum(col("c")).as("total"))
       val p = corpus.crossJoin(broadcast(total))
         .select(col("word"), (col("c").cast("double") / col("total")).as("p"))
-      val src = words.groupBy(col("source"), col("word")).agg(count(lit(1)).as("sc"))
       val srcTotal = src.groupBy(col("source")).agg(sum(col("sc")).as("stotal"))
       src.join(srcTotal, Seq("source"))
         .join(p, Seq("word"))
@@ -243,9 +258,14 @@ object TextAnalytics {
     // upstream for free-text corpora), never by corpus size; the w1<w2
     // constraint halves it. ln over exact integer ratios, rounded 6dp.
     "q118_word_pmi" -> ((s, d) => {
+      // wd feeds the word counts AND both sides of the pair self-join —
+      // persist, or the corpus is scanned and exploded three times
+      // (and the self-join's two lineages could even diverge).
       val wd = documents(s, d)
         .select(col("doc_id"), explode(array_distinct(TextOps.wordsOf(col("text"))))
           .as("word"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      graft.pipeline.Chunker.registerForCleanup(wd)
       val n = documents(s, d).agg(count(lit(1)).as("n_docs"))
       val cw = wd.groupBy(col("word")).agg(count(lit(1)).as("cw"))
       val pairs = wd.as("a")
