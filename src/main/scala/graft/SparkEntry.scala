@@ -34,7 +34,8 @@ object SparkEntry {
       (graft.queries.TextAnalytics.queries, graft.queries.TextAnalytics.oracles),
       (graft.queries.Multimodal.queries, graft.queries.Multimodal.oracles),
       (graft.queries.FileFormats.queries, graft.queries.FileFormats.oracles),
-      (graft.queries.Warehouse.queries, graft.queries.Warehouse.oracles)
+      (graft.queries.Warehouse.queries, graft.queries.Warehouse.oracles),
+      (graft.queries.Graph.queries, graft.queries.Graph.oracles)
     )
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -1,0 +1,140 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables._
+
+/** Iterative graph computation — the operator family behind link
+  * analysis and influence scoring. PageRank here runs over the
+  * supplier-nation → customer-nation trade graph derived from the
+  * TPC-H facts (who ships to whom, edge weight = shipment count).
+  *
+  * The iteration is BIT-EXACT across engines: ranks are carried as
+  * integer micro-units (1e-8), transition probabilities as 1e-6
+  * units, and each edge contribution is the INTEGER division
+  * (pr·85·trans) div 1e8 — no floating point exists anywhere in the
+  * loop, so Spark and the unrolled-CTE DuckDB oracle agree to the
+  * last unit at any iteration count. (Float
+  * PageRank accumulates summation-order noise per iteration; integer
+  * units make the fixpoint reproducible, which a dedup/authority
+  * pipeline wants anyway.)
+  *
+  * Scale shape: the edge build is two fact⋈dim joins meeting on
+  * orderkey (standard star-join shuffles), aggregated to a
+  * nations²-bounded edge table that is persisted ONCE and reused by
+  * every iteration. The rank vector is node-sized: broadcast here
+  * (nation dim); for a web-scale graph swap the broadcast for a
+  * shuffle join on src — the per-iteration plan is one join + one
+  * aggregate either way.
+  */
+object Graph {
+
+  /** Damping = 85/100, teleport = 0.15/N, all in exact 1e-8 units. */
+  val PrIters = 3
+  val PrScale = 100000000L // 1e8 micro-units
+
+  /** Edges (src, dst, w, out_w): supplier nation ships to customer
+    * nation, weight = lineitem count over the joined facts.
+    */
+  def tradeEdges(s: SparkSession, d: String): DataFrame = {
+    val co = orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+      .join(customer(s, d).select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("c_nationkey").as("dst"))
+    val ls = lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
+      .join(broadcast(supplier(s, d).select(col("s_suppkey"), col("s_nationkey"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("l_orderkey"), col("s_nationkey").as("src"))
+    val edges = ls.join(co, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
+    val outw = edges.groupBy(col("src")).agg(sum(col("w")).as("out_w"))
+    // Transition probability quantized ONCE per edge to exact 1e-6
+    // units: the per-iteration product pr·85·t is then bounded by
+    // 1e8·85·1e6 ≈ 8.5e15 — no long overflow no matter how large the
+    // raw edge weights grow (pr·85·w would overflow at web scale).
+    edges.join(broadcast(outw), Seq("src"))
+      .select(col("src"), col("dst"),
+        expr("(w * 1000000) div out_w").as("trans_micro"))
+  }
+
+  /** `iters` exact-integer PageRank sweeps; returns (node, pr_micro,
+    * pr). Nodes with no inbound edges keep the bare teleport mass.
+    * `nodeCount` is supplied by the caller (a known dim cardinality or
+    * one count() over the node dim — never the fact side).
+    */
+  def pageRank(nodes: DataFrame, edges: DataFrame, iters: Int,
+               nodeCount: Long): DataFrame = {
+    val init = PrScale / nodeCount
+    val teleport = (PrScale * 15L / 100L) / nodeCount
+    val e = edges.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.pipeline.Chunker.registerForCleanup(e)
+    var pr = nodes.select(col("node"), lit(init).as("pr_micro"))
+    for (_ <- 1 to iters) {
+      val contrib = e.join(broadcast(pr), col("src") === col("node"))
+        .select(col("dst"),
+          expr("(pr_micro * 85 * trans_micro) div 100000000").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("in_sum"))
+      pr = nodes.join(contrib, nodes("node") === contrib("dst"), "left")
+        .select(col("node"),
+          (lit(teleport) + coalesce(col("in_sum"), lit(0L))).as("pr_micro"))
+    }
+    pr.select(col("node"), col("pr_micro"),
+      (col("pr_micro").cast("double") / PrScale).as("pr"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q119_pagerank" -> ((s, d) => {
+      val nodes = nation(s, d).select(col("n_nationkey").as("node"))
+      // 25 nations, fixed by the TPC-H spec at every scale factor.
+      pageRank(nodes, tradeEdges(s, d), PrIters, nodeCount = 25L)
+    })
+  )
+
+  /** One unrolled iteration of the integer sweep (DuckDB `//` is the
+    * same floor division as Spark's `div` on non-negative operands).
+    */
+  private def iterSql(prev: String, cur: String, teleport: Long): String =
+    s"""$cur AS (
+       |  SELECT n.node,
+       |    $teleport + COALESCE(
+       |      CAST(sum((p.pr_micro * 85 * e.trans_micro) // 100000000)
+       |           AS BIGINT), 0)
+       |      AS pr_micro
+       |  FROM nodes n
+       |  LEFT JOIN e ON e.dst = n.node
+       |  LEFT JOIN $prev p ON p.node = e.src
+       |  GROUP BY n.node)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q119_pagerank" -> {
+      val n = 25L
+      val init = PrScale / n
+      val teleport = (PrScale * 15L / 100L) / n
+      val iters = (1 to PrIters)
+        .map(i => iterSql(s"pr${i - 1}", s"pr$i", teleport))
+        .mkString(",\n")
+      s"""WITH co AS (
+         |  SELECT o.o_orderkey, c.c_nationkey AS dst
+         |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+         |ls AS (
+         |  SELECT l.l_orderkey, s.s_nationkey AS src
+         |  FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey),
+         |edges AS (
+         |  SELECT src, dst, count(*) AS w
+         |  FROM ls JOIN co ON ls.l_orderkey = co.o_orderkey
+         |  GROUP BY 1, 2),
+         |outw AS (SELECT src, CAST(sum(w) AS BIGINT) AS out_w
+         |         FROM edges GROUP BY 1),
+         |e AS (SELECT edges.src, edges.dst,
+         |        (edges.w * 1000000) // outw.out_w AS trans_micro
+         |      FROM edges JOIN outw USING (src)),
+         |nodes AS (SELECT n_nationkey AS node FROM nation),
+         |pr0 AS (SELECT node, CAST($init AS BIGINT) AS pr_micro FROM nodes),
+         |$iters
+         |SELECT node, pr_micro,
+         |  CAST(pr_micro AS DOUBLE) / $PrScale AS pr
+         |FROM pr$PrIters""".stripMargin
+    }
+  )
+}

@@ -68,6 +68,43 @@ object Warehouse {
         .agg(count(lit(1)).as("n"),
           round(min(col("o_totalprice")), 2).as("bin_min"),
           round(max(col("o_totalprice")), 2).as("bin_max"))
+    }),
+
+    // Chi-square test of independence (lang × source over documents) —
+    // the drift/correlation detector a curation pipeline runs on its
+    // metadata: χ² = Σ (obs − exp)²/exp over the FULL contingency grid
+    // (zero cells included via a dims cross join — dropping them
+    // understates the statistic). One corpus shuffle builds the
+    // contingency table; everything after is grid-sized. Parity: each
+    // cell term is rounded at 6dp and summed in exact integer
+    // micro-units with integer half-up rounding (the q114 rule).
+    "q120_chi_square" -> ((s, d) => {
+      val counts = documents(s, d)
+        .groupBy(col("lang"), col("source")).agg(count(lit(1)).as("obs"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      graft.pipeline.Chunker.registerForCleanup(counts)
+      val rows = counts.groupBy(col("lang")).agg(sum(col("obs")).as("n_l"))
+      val cols = counts.groupBy(col("source")).agg(sum(col("obs")).as("n_s"))
+      val tot = counts.agg(sum(col("obs")).as("n_tot"))
+      // delta·delta, NOT pow(delta, 2): multiplication is correctly
+      // rounded by IEEE and identical in both engines; pow is a libm
+      // call with no such guarantee.
+      val grid = rows.crossJoin(cols).crossJoin(broadcast(tot))
+        .join(counts, Seq("lang", "source"), "left")
+        .na.fill(0L, Seq("obs"))
+        .withColumn("exp",
+          (col("n_l") * col("n_s")) / col("n_tot").cast("double"))
+        .withColumn("delta", col("obs") - col("exp"))
+        .select(col("lang"), col("source"), col("n_tot"),
+          round(col("delta") * col("delta") / col("exp"), 6).as("term"))
+      grid.groupBy(col("n_tot"))
+        .agg(countDistinct(col("lang")).as("n_langs"),
+          countDistinct(col("source")).as("n_sources"),
+          (floor((sum(round(col("term") * 1e6).cast("long")) + 50L)
+            / 100.0) / 10000.0).as("chi2"))
+        .select(col("n_langs"), col("n_sources"),
+          ((col("n_langs") - 1) * (col("n_sources") - 1)).as("dof"),
+          col("chi2"))
     })
   )
 
@@ -102,6 +139,32 @@ object Warehouse {
         |  count(*) AS n,
         |  round(min(o_totalprice), 2) AS bin_min,
         |  round(max(o_totalprice), 2) AS bin_max
-        |FROM r GROUP BY 1""".stripMargin
+        |FROM r GROUP BY 1""".stripMargin,
+
+    "q120_chi_square" ->
+      """WITH counts AS (
+        |  SELECT lang, source, count(*) AS obs
+        |  FROM documents GROUP BY 1, 2),
+        |rows_t AS (SELECT lang, CAST(sum(obs) AS BIGINT) AS n_l
+        |           FROM counts GROUP BY 1),
+        |cols_t AS (SELECT source, CAST(sum(obs) AS BIGINT) AS n_s
+        |           FROM counts GROUP BY 1),
+        |tot AS (SELECT CAST(sum(obs) AS BIGINT) AS n_tot FROM counts),
+        |grid AS (
+        |  SELECT r.lang, c.source, t.n_tot,
+        |    COALESCE(k.obs, 0) AS obs,
+        |    (r.n_l * c.n_s) / CAST(t.n_tot AS DOUBLE) AS exp
+        |  FROM rows_t r CROSS JOIN cols_t c CROSS JOIN tot t
+        |  LEFT JOIN counts k ON k.lang = r.lang AND k.source = c.source),
+        |terms AS (
+        |  SELECT lang, source, n_tot,
+        |    round((obs - exp) * (obs - exp) / exp, 6) AS term
+        |  FROM grid)
+        |SELECT count(DISTINCT lang) AS n_langs,
+        |  count(DISTINCT source) AS n_sources,
+        |  (count(DISTINCT lang) - 1) * (count(DISTINCT source) - 1) AS dof,
+        |  floor((CAST(sum(CAST(round(term * 1000000.0) AS BIGINT))
+        |         AS BIGINT) + 50) / 100.0) / 10000.0 AS chi2
+        |FROM terms GROUP BY n_tot""".stripMargin
   )
 }

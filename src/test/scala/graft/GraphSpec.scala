@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.queries.Graph
+
+/** Behavioral proofs for the integer PageRank on planted graphs, plus
+  * the chi-square zero/association anchors on planted contingency
+  * tables (fixture data can only prove oracle parity; the analytic
+  * values need graphs whose fixpoint is known).
+  */
+class GraphSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  /** edges already in transition micro-units, like tradeEdges emits */
+  private def edges(e: Seq[(Long, Long, Long)]) =
+    e.toDF("src", "dst", "trans_micro")
+
+  private def nodes(n: Long) = (0L until n).toDF("node")
+
+  test("pagerank: symmetric ring stays uniform at every iteration") {
+    val n = 5L
+    val ring = edges((0L until n).map(i => (i, (i + 1) % n, 1000000L)))
+    val pr = Graph.pageRank(nodes(n), ring, 4, n).collect()
+    val ranks = pr.map(_.getAs[Long]("pr_micro")).distinct
+    assert(ranks.length == 1, s"ring must stay uniform, got ${ranks.toSeq}")
+    assert(ranks(0) == Graph.PrScale / n)
+  }
+
+  test("pagerank: a hub every node links to accumulates the most mass") {
+    val n = 6L
+    // spokes 1..5 all point at node 0; node 0 spreads back uniformly
+    val star = edges(
+      (1L until n).map(i => (i, 0L, 1000000L)) ++
+        (1L until n).map(i => (0L, i, 1000000L / (n - 1))))
+    val pr = Graph.pageRank(nodes(n), star, 3, n).collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("pr_micro")).toMap
+    assert((1L until n).forall(i => pr(0L) > pr(i)),
+      s"hub must dominate: $pr")
+    // spokes are symmetric — identical mass
+    assert((1L until n).map(pr).distinct.size == 1)
+  }
+
+  test("pagerank: total mass stays within integer floor loss of 1.0") {
+    val n = 5L
+    val ring = edges((0L until n).map(i => (i, (i + 1) % n, 1000000L)))
+    val pr = Graph.pageRank(nodes(n), ring, 4, n).collect()
+    val total = pr.map(_.getAs[Long]("pr_micro")).sum
+    // each of the 4 sweeps can floor away at most a few units per edge
+    assert(total <= Graph.PrScale)
+    assert(total > Graph.PrScale - 1000L, s"mass leaked: $total")
+  }
+
+  private def stageDocs(rows: Seq[(Long, String, String)]): String = {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_chisq").toString
+    rows.map { case (id, lang, source) => (id, "x", lang, source, 1L) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("chi-square: independent grid scores exactly 0") {
+    // every (lang, source) cell = 5 -> obs == exp everywhere
+    val rows = for {
+      l <- Seq("a", "b"); s <- Seq("x", "y"); i <- 0 until 5
+    } yield (s"$l$s$i".hashCode.toLong, l, s)
+    val out = SparkEntry.queries("q120_chi_square")(spark, stageDocs(rows))
+      .collect()(0)
+    assert(out.getAs[Long]("dof") == 1L)
+    assert(out.getAs[Double]("chi2") == 0.0)
+  }
+
+  test("chi-square: perfect 2x2 association scores N") {
+    // lang a only in source x, lang b only in source y -> chi2 = N
+    val rows = (0 until 5).map(i => (i.toLong, "a", "x")) ++
+      (0 until 5).map(i => (100L + i, "b", "y"))
+    val out = SparkEntry.queries("q120_chi_square")(spark, stageDocs(rows))
+      .collect()(0)
+    assert(out.getAs[Double]("chi2") == 10.0,
+      s"perfect association must score N=10, got ${out.getAs[Double]("chi2")}")
+  }
+}
