@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.expressions.{TokenCount, VecDot, WinnowFps}
+import graft.expressions.{NfcNormalize, TokenCount, VecDot, WinnowFps}
 
 /** Session extensions: registers graft's native expressions as SQL
   * functions, so `spark.sql("SELECT token_count(text) ...")` works for
@@ -36,6 +36,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.size == 2, "vec_dot takes exactly 2 arguments")
         VecDot(children(0), children(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("nfc_normalize"),
+      info("nfc_normalize", "nfc_normalize(str) - Unicode NFC canonical normalization (see graft.expressions.NfcNormalize)"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1, "nfc_normalize takes exactly 1 argument")
+        NfcNormalize(children.head)
       }))
     ext.injectFunction((
       FunctionIdentifier("winnow_fps"),

@@ -16,6 +16,13 @@ object functions {
     ExprBridge.column(expressions.VecDot(
       ExprBridge.expression(a), ExprBridge.expression(b)))
 
+  /** Unicode NFC canonical normalization (see
+    * [[expressions.NfcNormalize]]); value-equal to DuckDB's
+    * nfc_normalize.
+    */
+  def nfc_normalize(c: Column): Column =
+    ExprBridge.column(expressions.NfcNormalize(ExprBridge.expression(c)))
+
   /** Winnowing fingerprint set of a string (see
     * [[expressions.WinnowFps]]); value-equal to the array-HOF
     * formulation it replaces.

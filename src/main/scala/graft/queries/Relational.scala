@@ -86,6 +86,77 @@ object Relational {
         .reduce(_ unionAll _)
     }),
 
+    // Deequ-style constraint VALIDATION (the enforcement half of q81's
+    // profiling): declared expectations — completeness, key uniqueness,
+    // value range, set membership, minimum size — evaluated in ONE
+    // aggregation pass over the table, emitted as a (check, metric,
+    // passed) verdict table a pipeline gates ingestion on. The single
+    // countDistinct keeps the Expand at 2 groups (vs the row-
+    // multiplying multi-countDistinct q81 avoids); everything else is
+    // a conditional sum, fully map-reducible at any scale.
+    "q123_constraints" -> ((s, d) => {
+      val m = orders(s, d).agg(
+        count(lit(1)).as("n_rows"),
+        count(col("o_custkey")).as("n_cust"),
+        countDistinct(col("o_orderkey")).as("n_keys"),
+        sum(when(col("o_totalprice") > 0 && col("o_totalprice") < 1000000, 1L)
+          .otherwise(0L)).as("n_price_ok"),
+        sum(when(col("o_orderstatus").isin("O", "F", "P"), 1L)
+          .otherwise(0L)).as("n_status_ok"))
+      def check(name: String, num: org.apache.spark.sql.Column,
+                pass: org.apache.spark.sql.Column) =
+        struct(lit(name).as("check_name"),
+          round(num.cast("double") / col("n_rows"), 6).as("metric"),
+          pass.cast("long").as("passed"))
+      m.select(explode(array(
+          check("completeness_custkey", col("n_cust"),
+            col("n_cust") === col("n_rows")),
+          check("uniqueness_orderkey", col("n_keys"),
+            col("n_keys") === col("n_rows")),
+          check("range_totalprice", col("n_price_ok"),
+            col("n_price_ok") === col("n_rows")),
+          check("set_orderstatus", col("n_status_ok"),
+            col("n_status_ok") === col("n_rows")),
+          struct(lit("min_size_1").as("check_name"),
+            col("n_rows").cast("double").as("metric"),
+            (col("n_rows") >= 1).cast("long").as("passed")))).as("c"))
+        .select(col("c.check_name"), col("c.metric"), col("c.passed"))
+    }),
+
+    // Percentile winsorization — the robust-statistics data-cleaning op
+    // (clip each group's tail values to its own p05/p95 instead of
+    // dropping rows): cutoffs are one ordered-set aggregate (a
+    // groups-sized dimension, broadcast back), the clip is a pure
+    // projection, and the winsorized mean runs in EXACT integer cents
+    // (2-decimal prices scale losslessly; a distributed double sum's
+    // order-dependent ulp noise cannot). Cutoffs rounded 4dp — the q53
+    // percentile_cont parity rule — so comparisons never ride on
+    // sub-ulp interpolation noise.
+    "q124_winsorize" -> ((s, d) => {
+      lineitem(s, d).createOrReplaceTempView("graft_li_wins")
+      s.sql(
+        """WITH cuts AS (
+          |  SELECT l_returnflag,
+          |    round(percentile_cont(0.05) WITHIN GROUP
+          |      (ORDER BY l_extendedprice), 4) AS lo,
+          |    round(percentile_cont(0.95) WITHIN GROUP
+          |      (ORDER BY l_extendedprice), 4) AS hi
+          |  FROM graft_li_wins GROUP BY l_returnflag),
+          |w AS (
+          |  SELECT l.l_returnflag, c.lo, c.hi,
+          |    CASE WHEN l.l_extendedprice < c.lo THEN 1 ELSE 0 END AS is_lo,
+          |    CASE WHEN l.l_extendedprice > c.hi THEN 1 ELSE 0 END AS is_hi,
+          |    CAST(round(CASE WHEN l.l_extendedprice < c.lo THEN c.lo
+          |               WHEN l.l_extendedprice > c.hi THEN c.hi
+          |               ELSE l.l_extendedprice END * 100) AS BIGINT) AS cents
+          |  FROM graft_li_wins l JOIN cuts c USING (l_returnflag))
+          |SELECT l_returnflag, lo, hi,
+          |  CAST(sum(is_lo) AS BIGINT) AS n_clipped_lo,
+          |  CAST(sum(is_hi) AS BIGINT) AS n_clipped_hi,
+          |  round(sum(cents) / 100.0 / count(*), 4) AS winsorized_mean
+          |FROM w GROUP BY l_returnflag, lo, hi""".stripMargin)
+    }),
+
     // --- aggregation ----------------------------------------------------
     // TPC-H Q1 shape: scan-side filter + 6-way aggregate. The filter and
     // the 8-column projection are pushed into the parquet scan.
@@ -714,6 +785,57 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q123_constraints" ->
+      """WITH a AS (
+        |  SELECT count(*) AS n_rows,
+        |    count(o_custkey) AS n_cust,
+        |    count(DISTINCT o_orderkey) AS n_keys,
+        |    sum(CASE WHEN o_totalprice > 0 AND o_totalprice < 1000000
+        |        THEN 1 ELSE 0 END) AS n_price_ok,
+        |    sum(CASE WHEN o_orderstatus IN ('O','F','P')
+        |        THEN 1 ELSE 0 END) AS n_status_ok
+        |  FROM orders)
+        |SELECT 'completeness_custkey' AS check_name,
+        |  round(CAST(n_cust AS DOUBLE) / n_rows, 6) AS metric,
+        |  CAST(n_cust = n_rows AS BIGINT) AS passed FROM a
+        |UNION ALL
+        |SELECT 'uniqueness_orderkey',
+        |  round(CAST(n_keys AS DOUBLE) / n_rows, 6),
+        |  CAST(n_keys = n_rows AS BIGINT) FROM a
+        |UNION ALL
+        |SELECT 'range_totalprice',
+        |  round(CAST(n_price_ok AS DOUBLE) / n_rows, 6),
+        |  CAST(n_price_ok = n_rows AS BIGINT) FROM a
+        |UNION ALL
+        |SELECT 'set_orderstatus',
+        |  round(CAST(n_status_ok AS DOUBLE) / n_rows, 6),
+        |  CAST(n_status_ok = n_rows AS BIGINT) FROM a
+        |UNION ALL
+        |SELECT 'min_size_1', CAST(n_rows AS DOUBLE),
+        |  CAST(n_rows >= 1 AS BIGINT) FROM a""".stripMargin,
+
+    "q124_winsorize" ->
+      """WITH cuts AS (
+        |  SELECT l_returnflag,
+        |    round(percentile_cont(0.05) WITHIN GROUP
+        |      (ORDER BY l_extendedprice), 4) AS lo,
+        |    round(percentile_cont(0.95) WITHIN GROUP
+        |      (ORDER BY l_extendedprice), 4) AS hi
+        |  FROM lineitem GROUP BY l_returnflag),
+        |w AS (
+        |  SELECT l.l_returnflag, c.lo, c.hi,
+        |    CASE WHEN l.l_extendedprice < c.lo THEN 1 ELSE 0 END AS is_lo,
+        |    CASE WHEN l.l_extendedprice > c.hi THEN 1 ELSE 0 END AS is_hi,
+        |    CAST(round(CASE WHEN l.l_extendedprice < c.lo THEN c.lo
+        |               WHEN l.l_extendedprice > c.hi THEN c.hi
+        |               ELSE l.l_extendedprice END * 100) AS BIGINT) AS cents
+        |  FROM lineitem l JOIN cuts c USING (l_returnflag))
+        |SELECT l_returnflag, lo, hi,
+        |  CAST(sum(is_lo) AS BIGINT) AS n_clipped_lo,
+        |  CAST(sum(is_hi) AS BIGINT) AS n_clipped_hi,
+        |  round(sum(cents) / 100.0 / count(*), 4) AS winsorized_mean
+        |FROM w GROUP BY l_returnflag, lo, hi""".stripMargin,
+
     "q83_regex_funcs" ->
       """SELECT doc_id,
         |  regexp_extract(text, '(s[a-z]+)', 1) AS first_s_word,

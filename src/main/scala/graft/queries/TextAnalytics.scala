@@ -138,7 +138,71 @@ object TextAnalytics {
   val Bm25K1 = 1.2
   val Bm25B = 0.75
 
+  /** Sliding-window chunk geometry (q121): window of [[ChunkW]] words
+    * advancing by [[ChunkS]] — 25% overlap, the RAG/pretraining default
+    * shape. Chunk i covers words [i·S+1, i·S+W]; chunk count =
+    * floor((max(n−W,0)+S−1)/S)+1, so every word is covered and only the
+    * last chunk may be short.
+    */
+  val ChunkW = 32
+  val ChunkS = 24
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Sliding-window document chunking with overlap — the RAG/indexing
+    // counterpart to the corpus-packing chunker (C3, which packs WHOLE
+    // docs into token budgets): each document independently yields
+    // overlapping fixed-width word windows, so a retriever never loses
+    // context at a hard boundary. Pure per-row generator (sequence +
+    // explode + slice): zero shuffle at any corpus size, and the
+    // fan-out is n_words/stride per doc — linear in corpus size by
+    // construction. Token counts via the native TokenCount expression.
+    "q121_overlap_chunks" -> ((s, d) => {
+      val (wN, sN) = (ChunkW, ChunkS)
+      documents(s, d)
+        .select(col("doc_id"), TextOps.wordsOf(col("text")).as("ws"))
+        .withColumn("n", size(col("ws")).cast("long"))
+        .filter(col("n") > 0)
+        .select(col("doc_id"), col("ws"),
+          explode(sequence(lit(0L),
+            floor((greatest(col("n") - wN, lit(0L)) + (sN - 1)) / sN)
+              .cast("long"))).as("chunk_idx"))
+        .select(col("doc_id"), col("chunk_idx"),
+          (col("chunk_idx") * sN + 1).as("start_word"),
+          concat_ws(" ",
+            slice(col("ws"), (col("chunk_idx") * sN + 1).cast("int"), lit(wN)))
+            .as("chunk_text"))
+        .select(col("doc_id"), col("chunk_idx"), col("start_word"),
+          size(TextOps.wordsOf(col("chunk_text"))).cast("long").as("n_words"),
+          graft.functions.token_count(col("chunk_text")).cast("long")
+            .as("n_tokens"),
+          col("chunk_text"))
+    }),
+
+    // Unicode NFC canonicalization — the step BEFORE every content-
+    // keyed operator (exact dedup q40, memo keys C6, shingle hashes
+    // q41): decomposed and precomposed spellings of the same text hash
+    // differently until normalized. The fixture is pure ASCII, so the
+    // op PLANTS a deterministic suffix — decomposed (e + combining
+    // acute) on even doc_ids, precomposed (U+00E9) on odd — and the
+    // oracle proves both converge to one normal form: even rows show
+    // changed=1 and shrink by one codepoint, and the nfc_hash of a
+    // planted-equal text pair is identical across forms. Native
+    // codegen'd expression (graft.functions.nfc_normalize), pure
+    // projection, zero shuffle.
+    "q122_nfc_normalize" -> ((s, d) => {
+      val nfc = graft.functions.nfc_normalize(col("t"))
+      documents(s, d)
+        .select(col("doc_id"),
+          concat(col("text"),
+            when(pmod(col("doc_id"), lit(2)) === 0, lit(" cafe\u0301"))
+              .otherwise(lit(" caf\u00e9"))).as("t"))
+        .select(col("doc_id"),
+          length(col("t")).cast("long").as("n_raw"),
+          length(nfc).cast("long").as("n_nfc"),
+          (col("t") =!= nfc).cast("long").as("changed"),
+          sha2(nfc, 256).as("nfc_hash"))
+    }),
 
     // BM25 lexical retrieval — the classic keyword-search scorer, the
     // sparse counterpart to the dense ANN family (q38/q39/q52/q62):
@@ -549,6 +613,41 @@ object TextAnalytics {
   )
 
   val oracles: Map[String, String] = Map(
+    "q121_overlap_chunks" ->
+      s"""WITH t AS (SELECT doc_id, ${TextOps.wordsSql} AS ws FROM documents),
+         |b AS (SELECT doc_id, ws, len(ws) AS n FROM t WHERE len(ws) > 0),
+         |c AS (
+         |  SELECT doc_id, ws, n,
+         |    unnest(range(0, (greatest(n - $ChunkW, 0) + ${ChunkS - 1})
+         |                    // $ChunkS + 1)) AS chunk_idx
+         |  FROM b),
+         |s AS (
+         |  SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+         |    CAST(chunk_idx * $ChunkS + 1 AS BIGINT) AS start_word,
+         |    array_to_string(list_slice(ws, chunk_idx * $ChunkS + 1,
+         |      chunk_idx * $ChunkS + $ChunkW), ' ') AS chunk_text
+         |  FROM c)
+         |SELECT doc_id, chunk_idx, start_word,
+         |  CAST(len(list_filter(regexp_split_to_array(chunk_text,
+         |    '[ \\t\\n\\r\\f\\x0B]+'), w -> length(w) > 0)) AS BIGINT) AS n_words,
+         |  ${RefPipeline.tokenCountSql("chunk_text")} AS n_tokens,
+         |  chunk_text
+         |FROM s""".stripMargin,
+
+    "q122_nfc_normalize" ->
+      """WITH planted AS (
+        |  SELECT doc_id,
+        |    text || CASE WHEN doc_id % 2 = 0
+        |      THEN ' caf' || chr(101) || chr(769)
+        |      ELSE ' caf' || chr(233) END AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(length(t) AS BIGINT) AS n_raw,
+        |  CAST(length(nfc_normalize(t)) AS BIGINT) AS n_nfc,
+        |  CAST(t <> nfc_normalize(t) AS BIGINT) AS changed,
+        |  sha256(nfc_normalize(t)) AS nfc_hash
+        |FROM planted""".stripMargin,
+
     "q114_bm25" ->
       s"""WITH words AS (
          |  SELECT doc_id, unnest(${TextOps.wordsSql}) AS word FROM documents),
