@@ -153,7 +153,7 @@ object Relational {
           |SELECT l_returnflag, lo, hi,
           |  CAST(sum(is_lo) AS BIGINT) AS n_clipped_lo,
           |  CAST(sum(is_hi) AS BIGINT) AS n_clipped_hi,
-          |  round(sum(cents) / 100.0 / count(*), 4) AS winsorized_mean
+          |  round(CAST(sum(cents) AS DOUBLE) / 100.0 / count(*), 4) AS winsorized_mean
           |FROM w GROUP BY l_returnflag, lo, hi""".stripMargin)
     }),
 
@@ -833,7 +833,7 @@ object Relational {
         |SELECT l_returnflag, lo, hi,
         |  CAST(sum(is_lo) AS BIGINT) AS n_clipped_lo,
         |  CAST(sum(is_hi) AS BIGINT) AS n_clipped_hi,
-        |  round(sum(cents) / 100.0 / count(*), 4) AS winsorized_mean
+        |  round(CAST(sum(cents) AS DOUBLE) / 100.0 / count(*), 4) AS winsorized_mean
         |FROM w GROUP BY l_returnflag, lo, hi""".stripMargin,
 
     "q83_regex_funcs" ->

@@ -178,35 +178,51 @@ object Similarity {
     rerank(sigs, q, k)
   }
 
-  /** IVF stride: centroids = vectors with vec_id % stride == 0, so the
-    * cell COUNT is ~N/stride and grows with the corpus (the IVF analog
-    * of the hyperplane width rule); avg cell size stays ~stride.
+  /** IVF centroid set: a deterministic hash sample of the corpus at
+    * rate ceil(sqrt(N))/N, where N comes from an IN-PLAN 1-row count
+    * broadcast to every row — so the cell count is ~sqrt(N) (the
+    * textbook IVF balance point: assignment cost N*sqrt(N), probe cost
+    * nprobe*sqrt(N) per query) and, critically, the broadcast centroid
+    * set is SUBLINEAR in the corpus: at 10^9 vectors it is ~31.6k rows
+    * (~8 MB of 64-float embeddings), not N/stride (the round-4 design,
+    * whose broadcast grew linearly and whose assignment was quadratic).
+    * Membership via [[TextAnalytics.hashFraction]] needs no training
+    * step, is stable across runs/engines, and the rate expression
+    * (count -> sqrt -> ceil -> divide, all IEEE-exact-or-correctly-
+    * rounded) is bit-identical in Spark and DuckDB.
     */
-  val IvfStride = 16
+  def ivfCentroids(e: DataFrame): DataFrame = {
+    val rate = e.agg(count(lit(1)).cast("double").as("n_vecs"))
+      .select((ceil(sqrt(col("n_vecs"))).cast("double") / col("n_vecs"))
+        .as("cent_rate"))
+    e.crossJoin(broadcast(rate))
+      .filter(TextAnalytics.hashFraction(col("vec_id")) < col("cent_rate"))
+      .select(col("vec_id").as("cent_id"), col("embedding").as("c_emb"),
+        col("nrm").as("c_nrm"))
+  }
 
   /** IVF (inverted-file) ANN — the second classic ANN family next to
     * LSH: every vector is assigned to its nearest "centroid" (a
-    * deterministic sample of the corpus: vec_id % stride == 0, so the
-    * partitioning needs no training step and is oracle-reproducible);
+    * deterministic ~sqrt(N) hash sample of the corpus, see
+    * [[ivfCentroids]] — no training step, oracle-reproducible);
     * a query probes its `nprobe` nearest cells and re-ranks exactly
     * inside them.
     *
     * Scale shape: the assignment is a map-side broadcast cross of each
-    * row against ~N/stride centroids (the IVF build cost), the probe
-    * join is an equi-join on cell id, and the quadratic re-rank is
-    * confined to nprobe cells of ~stride vectors each. The scored
+    * row against ~sqrt(N) centroids (the IVF build cost — the broadcast
+    * is bounded sublinearly, never N/const), the probe join is an
+    * equi-join on cell id, and the quadratic re-rank is confined to
+    * nprobe cells of ~sqrt(N) vectors each. The scored
     * (vector x centroid) intermediate feeds both the cell assignment
     * and the query probes — persisted, or the crossJoin lineage runs
     * twice.
     */
-  def annIvf(emb: DataFrame, stride: Int, nprobe: Int, k: Int): DataFrame = {
+  def annIvf(emb: DataFrame, nprobe: Int, k: Int): DataFrame = {
     val e = emb.select(col("vec_id"), col("embedding"), col("label"),
         norm(col("embedding")).as("nrm"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     graft.pipeline.Chunker.registerForCleanup(e)
-    val cents = e.filter(col("vec_id") % stride === 0)
-      .select(col("vec_id").as("cent_id"), col("embedding").as("c_emb"),
-        col("nrm").as("c_nrm"))
+    val cents = ivfCentroids(e)
     // Rank NARROW rows: the (vector x centroid) table carries only ids
     // and the cosine through the per-vector rank window — dragging the
     // 64-float embedding through that sort shuffle multiplies the bytes
@@ -263,7 +279,7 @@ object Similarity {
     "q38_cosine_topk" -> ((s, d) => bruteTopK(embeddings(s, d), 5)),
     "q39_ann_buckets" -> ((s, d) => annBuckets(embeddings(s, d), Q39Bits, 3)),
     "q52_ann_multiprobe" -> ((s, d) => annMultiprobe(embeddings(s, d), Q52Bits, 3)),
-    "q62_ann_ivf" -> ((s, d) => annIvf(embeddings(s, d), IvfStride, 2, 3)),
+    "q62_ann_ivf" -> ((s, d) => annIvf(embeddings(s, d), 2, 3)),
 
     // Per-label centroid via the typed VecCentroid Aggregator (UDAF
     // surface): one hash aggregate with a fixed 8*dim buffer — no
@@ -363,9 +379,13 @@ object Similarity {
 
     "q62_ann_ivf" ->
       s"""WITH e AS (SELECT vec_id, embedding, label FROM embeddings),
+         |r AS (
+         |  SELECT ceil(sqrt(CAST(count(*) AS DOUBLE)))
+         |           / CAST(count(*) AS DOUBLE) AS cent_rate
+         |  FROM e),
          |cents AS (
-         |  SELECT vec_id AS cent_id, embedding AS c_emb FROM e
-         |  WHERE vec_id % $IvfStride = 0),
+         |  SELECT vec_id AS cent_id, embedding AS c_emb FROM e, r
+         |  WHERE ${TextAnalytics.hashFractionSql("vec_id")} < r.cent_rate),
          |scored AS (
          |  SELECT e.vec_id, e.embedding, e.label, c.cent_id,
          |    ${cosineSql("e.embedding", "c.c_emb")} AS c_cos

@@ -168,20 +168,7 @@ object StreamingJobs {
     import java.nio.file.Files
     val dir = Files.createTempDirectory("graft-inc-src")
     val schema = batches.head.schema
-    batches.zipWithIndex.foreach { case (b, i) =>
-      val tmp = Files.createTempDirectory("graft-inc-stage")
-      b.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-      val listing = Files.list(tmp)
-      val part =
-        try listing.filter(p =>
-          p.getFileName.toString.startsWith("part-")).findFirst.get
-        finally listing.close()
-      val dest = dir.resolve(f"batch-$i%05d.parquet")
-      Files.move(part, dest)
-      Files.setLastModifiedTime(dest,
-        java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 60000L))
-      deleteRecursively(tmp)
-    }
+    batches.zipWithIndex.foreach { case (b, i) => stageBatch(dir, b, i) }
     val q = try {
       val src = spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1).parquet(dir.toString)
@@ -195,6 +182,79 @@ object StreamingJobs {
       spark.table(queryName)
     } finally deleteRecursively(dir) // memory sink holds the result; the
     q                                // staged source is no longer needed
+  }
+
+  /** Stage one batch DataFrame as a single parquet file in `dir`, with a
+    * deterministic monotone mtime so the file source processes batches
+    * in sequence order (its listing order is mtime).
+    */
+  private def stageBatch(dir: java.nio.file.Path, b: DataFrame, i: Int): Unit = {
+    import java.nio.file.Files
+    val tmp = Files.createTempDirectory("graft-inc-stage")
+    b.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val listing = Files.list(tmp)
+    val part =
+      try listing.filter(p =>
+        p.getFileName.toString.startsWith("part-")).findFirst.get
+      finally listing.close()
+    val dest = dir.resolve(f"batch-$i%05d.parquet")
+    Files.move(part, dest)
+    Files.setLastModifiedTime(dest,
+      java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 60000L))
+    deleteRecursively(tmp)
+  }
+
+  /** Checkpoint-restart recovery — the streaming twin of the batch memo
+    * resume (C6; ref `/root/reference/internal/cli/mapreduce.go:76-87`,
+    * where a re-run skips chunks whose results are already on disk):
+    * run the first `splitAt` batches into a PARQUET sink under a real
+    * `checkpointLocation`, let AvailableNow STOP the query, stage the
+    * remaining batches, then start a NEW query from the same checkpoint.
+    *
+    * The restart resumes from persisted offsets + state store +
+    * watermark: files committed before the stop are never re-read,
+    * in-flight window state survives, the watermark keeps dropping
+    * pre-stop late rows, and the file sink's transaction log makes the
+    * output exactly-once across the two runs — so the final table must
+    * EQUAL the uninterrupted single-run result (StreamingSpec asserts
+    * exactly that, plus a planted late event dropped by the RESTORED
+    * watermark).
+    */
+  def runWithRestart(spark: SparkSession, batches: Seq[DataFrame],
+                     mkAgg: DataFrame => DataFrame, splitAt: Int): DataFrame = {
+    import java.nio.file.Files
+    require(splitAt > 0 && splitAt < batches.size,
+      s"splitAt=$splitAt must leave batches on both sides of the restart")
+    val srcDir = Files.createTempDirectory("graft-ckpt-src")
+    val ckpt = Files.createTempDirectory("graft-ckpt-meta")
+    val outDir = Files.createTempDirectory("graft-ckpt-out")
+    val schema = batches.head.schema
+    def mkSrc() = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir.toString)
+    def runOnce(): Unit = {
+      val q = mkAgg(mkSrc()).writeStream
+        .format("parquet")
+        .option("path", outDir.toString)
+        .option("checkpointLocation", ckpt.toString)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    batches.take(splitAt).zipWithIndex
+      .foreach { case (b, i) => stageBatch(srcDir, b, i) }
+    runOnce() // first run: splitAt micro-batches, then a clean STOP
+    batches.drop(splitAt).zipWithIndex
+      .foreach { case (b, i) => stageBatch(srcDir, b, splitAt + i) }
+    runOnce() // restart from the checkpoint: only the new files run
+    // explicit schema: a run whose windows never finalize writes no
+    // data files, and schema inference would fail on the bare sink dir
+    val out = spark.read.schema(mkAgg(mkSrc()).schema)
+      .parquet(outDir.toString)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count() // materialize before the staging dirs are deleted
+    Seq(srcDir, ckpt).foreach(deleteRecursively)
+    out
   }
 
   private def deleteRecursively(root: java.nio.file.Path): Unit = {

@@ -33,7 +33,7 @@ class EmptyInputSpec extends AnyFunSuite {
       .toDF("vec_id", "embedding", "label")
     assert(graft.queries.Similarity.bruteTopK(noLabeled, 3).count() == 0)
     assert(graft.queries.Similarity.annMultiprobe(noLabeled, 10, 3).count() == 0)
-    assert(graft.queries.Similarity.annIvf(noLabeled, 16, 2, 3).count() == 0)
+    assert(graft.queries.Similarity.annIvf(noLabeled, 2, 3).count() == 0)
     val noLangDocs = Seq.empty[(Long, String, String)]
       .toDF("doc_id", "text", "lang")
     val profiles = graft.queries.TextAnalytics.langProfiles(noLangDocs, 20)

@@ -84,9 +84,34 @@ class SimilaritySpec extends AnyFunSuite {
     // high probability (their centroid cosines are ~equal), so IVF with
     // 2 probes recovers most planted pairs
     val brute = pairs(Similarity.bruteTopK(planted, 3))
-    val ivf = pairs(Similarity.annIvf(planted, Similarity.IvfStride, 2, 3))
+    val ivf = pairs(Similarity.annIvf(planted, 3, 3))
     val recall = brute.intersect(ivf).size.toDouble / brute.size
     assert(recall >= 0.8, s"IVF recall@3 $recall < 0.8")
+  }
+
+  test("IVF centroid count is ~sqrt(N): sublinear, bounded broadcast") {
+    // the round-4 design sampled every stride-th vector (N/16 centroids:
+    // a linearly-growing broadcast and an O(N^2/stride) assignment);
+    // the fix targets ceil(sqrt(N))/N, so quadrupling the corpus must
+    // roughly DOUBLE the centroid set, not quadruple it. Hash sampling
+    // is deterministic, so these counts are stable forever.
+    def corpus(n: Int) = {
+      val rnd = new scala.util.Random(7)
+      (0 until n).map(i =>
+        (i.toLong, Array.fill(64)(rnd.nextGaussian().toFloat).toSeq, 2))
+        .toDF("vec_id", "embedding", "label")
+        .withColumn("embedding", col("embedding").cast("array<float>"))
+    }
+    def nCents(n: Int): Long = {
+      val e = corpus(n).withColumn("nrm", lit(1.0))
+      Similarity.ivfCentroids(e).count()
+    }
+    val small = nCents(1024)  // expected ~32
+    val big = nCents(4096)    // expected ~64
+    assert(small >= 16 && small <= 64, s"centroids($small) for N=1024")
+    assert(big >= 32 && big <= 128, s"centroids($big) for N=4096")
+    assert(big < 3 * small,
+      s"4x corpus must not ~4x the centroid set ($small -> $big)")
   }
 
   test("probing lifts recall over exact-bucket ANN (same width)") {
