@@ -43,8 +43,11 @@ object Cli {
 
     // C10 pre-flight: token total + per-model cost table, like
     // estimation.go:27-44 (non-interactive: this is a batch engine).
+    // The estimate uses the cl100k-fidelity counter (exact published
+    // pre-tokenizer; the reference counts real cl100k_base tokens) —
+    // the chunker/memo keep the oracle-expressible token_count.
     val total = corpus
-      .agg(sum(graft.functions.token_count(col("text")).cast("long")))
+      .agg(sum(graft.functions.token_count_cl100k(col("text")).cast("long")))
       .collect()(0).getLong(0)
     Console.err.println(s"[graft] corpus tokens: $total")
     Seq("gpt-5-nano" -> 0.05, "gpt-5-mini" -> 0.25,

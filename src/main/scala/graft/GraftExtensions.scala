@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.expressions.{NfcNormalize, TokenCount, VecDot, WinnowFps}
+import graft.expressions.{NfcNormalize, TokenCount, TokenCountCl100k, VecDot, WinnowFps}
 
 /** Session extensions: registers graft's native expressions as SQL
   * functions, so `spark.sql("SELECT token_count(text) ...")` works for
@@ -29,6 +29,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.size == 1, "token_count takes exactly 1 argument")
         TokenCount(children.head)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("token_count_cl100k"),
+      info("token_count_cl100k", "token_count_cl100k(str) - cl100k_base estimate: exact pre-tokenizer, approx merges (see graft.expressions.TokenCountCl100k)"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1, "token_count_cl100k takes exactly 1 argument")
+        TokenCountCl100k(children.head)
       }))
     ext.injectFunction((
       FunctionIdentifier("vec_dot"),

@@ -28,6 +28,14 @@ import org.apache.spark.unsafe.types.UTF8String
   *     list_filter(regexp_split_to_array(text, '\s+'), w -> len(w) > 0),
   *     w -> CAST(ceil(len(w) / 4.0) AS BIGINT)))
   * (ASCII inputs only: Scala counts UTF-16 units, DuckDB counts codepoints.)
+  *
+  * Surface split: this coarse-but-oracle-expressible definition is the
+  * canonical count for the chunker, memo pipeline, and every DuckDB-
+  * checked query. The ESTIMATION surface (C2/C10 — `graft.Cli`'s
+  * pre-flight cost table) uses [[TokenCountCl100k]], which reproduces
+  * the published cl100k_base pre-tokenizer exactly and passes the
+  * reference's own token-count test ranges (this one does not; its
+  * regex is not RE2-expressible, so it cannot back an oracle).
   */
 case class TokenCount(child: Expression) extends UnaryExpression {
 

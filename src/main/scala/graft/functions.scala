@@ -9,6 +9,14 @@ object functions {
   def token_count(c: Column): Column =
     ExprBridge.column(expressions.TokenCount(ExprBridge.expression(c)))
 
+  /** High-fidelity cl100k_base token estimate: exact published
+    * pre-tokenizer segmentation, approximate within-piece splits (see
+    * [[expressions.TokenCountCl100k]] for the surface split vs
+    * [[token_count]]).
+    */
+  def token_count_cl100k(c: Column): Column =
+    ExprBridge.column(expressions.TokenCountCl100k(ExprBridge.expression(c)))
+
   /** Codegen'd float-vector dot product (see [[expressions.VecDot]]);
     * bit-equal to the aggregate/zip_with fold it replaces.
     */
