@@ -27,7 +27,7 @@ object Bench {
     */
   val SideEffectQueries: Set[String] =
     Set("ref_memo_resume", "q89_jsonl_roundtrip", "q90_csv_roundtrip",
-      "q91_clustered_write", "q96_compacted_rewrite")
+      "q91_clustered_write", "q96_compacted_rewrite", "q125_orc_roundtrip")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -91,8 +91,14 @@ object Bench {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // Millisecond precision: 17-digit doubles made the r3/r4 one-line
+    // JSON outgrow the driver's tail-capture window (parsed: null both
+    // rounds); 130 queries at 3 decimals fit comfortably. Plain decimal
+    // string, never scientific notation.
+    def jnum(v: Double): String =
+      BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     def jmap(m: Seq[(String, Double)]) =
-      m.map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
+      m.map { case (k, v) => jstr(k) + ":" + jnum(v) }.mkString("{", ",", "}")
     val es = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
     // ref_memo_resume eagerly deletes + rebuilds the on-disk memo per
     // evaluation — that's the in-plan resume PROOF, not a plan, and its
@@ -100,8 +106,12 @@ object Bench {
     // "queries" measure plans only.
     val (sideEff, plans) = med.partition(kv => SideEffectQueries(kv._1))
     val total = plans.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","passes":$passes,"queries":${jmap(plans)},"queries_min":${jmap(mins.filterNot(kv => SideEffectQueries(kv._1)))},"side_effect_queries":${jmap(sideEff)},"errors":$es,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":${jnum(total)},"unit":"sec","passes":$passes,"queries":${jmap(plans)},"queries_min":${jmap(mins.filterNot(kv => SideEffectQueries(kv._1)))},"side_effect_queries":${jmap(sideEff)},"errors":$es,"sf":"$sfDir"}"""
+    // Emit twice — before and after spark.stop() — so the line survives
+    // whichever end of the output a bounded capture window keeps.
+    println(line)
     spark.stop()
+    println(line)
     if (errors.nonEmpty) sys.exit(1)
   }
 }

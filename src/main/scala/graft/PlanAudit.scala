@@ -46,6 +46,16 @@ object PlanAudit {
           sum(col("n") * (col("n") - 1) / 2).cast("long").as("same_bucket_pairs"))
         .orderBy(col("band_idx"))
         .show(false)
+      // the BandBucketCap truncation log: buckets the guard would cut
+      // (expected EMPTY on a contract-respecting, exact-deduped corpus)
+      println("========== band-bucket cap overflow (q47 sigs) ==========")
+      graft.queries.Dedup.bucketOverflow(bands, Seq("band_idx", "band_sig"))
+        .show(false)
+      println("========== band-bucket cap overflow (q41 minhash) ==========")
+      graft.queries.Dedup.bucketOverflow(
+        graft.queries.Dedup.minhashBands(graft.queries.Dedup.shingleTable(
+          Tables.documents(spark, dir), "doc_id", "text")),
+        Seq("band_idx", "band_hash")).show(false)
     }
     spark.stop()
   }

@@ -20,10 +20,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * form) with `doGenCode`, keeping the hot path inside whole-stage
   * codegen instead of breaking the span with a UDF.
   *
-  * Fast path: `Normalizer.isNormalized` is O(n) with no allocation and
-  * true for ASCII/already-NFC text — the overwhelming majority of a real
-  * corpus — so the allocating normalize call runs only on rows that
-  * actually need it.
+  * Fast path (ADVICE r4): pure-ASCII input — the overwhelming majority
+  * of a real corpus — is detected with a zero-allocation scan of the
+  * UTF8String bytes (ASCII is always NFC) and returned as-is; only
+  * non-ASCII rows pay the String copy for `Normalizer.isNormalized`,
+  * and only rows that are actually denormalized pay the normalize.
   *
   * DuckDB twin for oracles: `nfc_normalize(text)`.
   */
@@ -49,6 +50,17 @@ case class NfcNormalize(child: Expression) extends UnaryExpression {
 object NfcNormalize {
   /** Called from both interpreted eval and generated code. */
   def normalize(s: UTF8String): UTF8String = {
+    // zero-alloc ASCII pre-check on the raw bytes: in UTF-8, all-ASCII
+    // means every byte has the high bit clear, and ASCII text is NFC
+    // by definition
+    val n = s.numBytes()
+    var i = 0
+    var ascii = true
+    while (ascii && i < n) {
+      if ((s.getByte(i) & 0x80) != 0) ascii = false
+      i += 1
+    }
+    if (ascii) return s
     val str = s.toString
     if (Normalizer.isNormalized(str, Normalizer.Form.NFC)) s
     else UTF8String.fromString(Normalizer.normalize(str, Normalizer.Form.NFC))

@@ -49,6 +49,49 @@ object Dedup {
   val MinhashFuncs = 9
   val MinhashBands = 3 // 3 rows/band: band collision ~= jaccard^3 per band
 
+  /** Per-bucket membership cap for LSH band joins (q41/q47/q49/q57/q74
+    * candidate generation). The documented contract is exact-dedup
+    * FIRST — after it, identical docs are gone and band buckets hold
+    * only true collisions — but nothing used to enforce it: a
+    * boilerplate-heavy corpus that skipped exact dedup would put every
+    * identical doc in ONE band bucket, and the self-join's output would
+    * grow quadratically in that bucket's size (the r4 VERDICT's
+    * residual hazard). The guard keeps the first [[BandBucketCap]]
+    * members per bucket in doc-id order (deterministic, mirrored in the
+    * DuckDB oracles with the same ORDER BY, so engine parity holds even
+    * when the cap binds) and drops the rest: candidate output is then
+    * <= C(cap,2) pairs per bucket at ANY corpus size. Fixture buckets
+    * are collision-sized (single digits), far below the cap — capped
+    * results are bit-identical to uncapped there (DedupSpec proves both
+    * the fixture identity and the planted-flood bound). Truncation is
+    * observable: PlanAudit's bucket histogram prints per-band max
+    * bucket sizes, and [[bucketOverflow]] reports exactly which buckets
+    * were cut and by how much.
+    */
+  val BandBucketCap = 64
+
+  /** Rank bucket members by `ordCol` and keep the first
+    * [[BandBucketCap]] — the window partitions by the same keys the
+    * candidate self-join shuffles on, so the sort rides the join's
+    * exchange rather than adding one.
+    */
+  private[queries] def capBuckets(bands: DataFrame, bucketKeys: Seq[String],
+                                  ordCol: String): DataFrame =
+    bands.withColumn("_graft_brk", row_number().over(
+        Window.partitionBy(bucketKeys.map(col): _*).orderBy(col(ordCol))))
+      .filter(col("_graft_brk") <= BandBucketCap)
+      .drop("_graft_brk")
+
+  /** Truncation audit: (bucket keys, bucket size, n dropped) for every
+    * bucket the cap cut — the "logged truncation" surface (empty on a
+    * contract-respecting corpus; PlanAudit prints it).
+    */
+  def bucketOverflow(bands: DataFrame, bucketKeys: Seq[String]): DataFrame =
+    bands.groupBy(bucketKeys.map(col): _*)
+      .agg(count(lit(1)).as("bucket_n"))
+      .filter(col("bucket_n") > BandBucketCap)
+      .withColumn("n_dropped", col("bucket_n") - BandBucketCap)
+
   /** Distinct word-3-gram shingles per doc: (doc, shingle). Docs with
     * fewer than 3 words have no 3-shingle and are excluded.
     */
@@ -83,21 +126,29 @@ object Dedup {
     * pass their persisted copy instead of paying the corpus explode
     * twice.
     */
-  def minhashCandidatesFromShingles(shingled: DataFrame): DataFrame = {
+  /** Raw (uncapped) MinHash band table (doc, band_idx, band_hash) —
+    * exposed for the [[bucketOverflow]] truncation audit.
+    */
+  def minhashBands(shingled: DataFrame): DataFrame = {
     val mhExprs = (0 until MinhashFuncs).map(k =>
       min(sha2(concat_ws(":", lit(k.toString), col("shingle")), 256)).as(s"mh$k"))
     val minhashes = shingled.groupBy(col("doc"))
       .agg(mhExprs.head, mhExprs.tail: _*)
     val rowsPerBand = MinhashFuncs / MinhashBands
-    // The self-join below consumes `bands` TWICE — without a persist the
-    // whole shingle->sha256x9->minhash lineage runs once per side.
-    val bands = minhashes.select(col("doc"),
+    minhashes.select(col("doc"),
       explode(array((0 until MinhashBands).map { b =>
         struct(lit(b).as("band_idx"),
           sha2(concat((0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}")): _*), 256)
             .as("band_hash"))
       }: _*)).as("band"))
       .select(col("doc"), col("band.band_idx"), col("band.band_hash"))
+  }
+
+  def minhashCandidatesFromShingles(shingled: DataFrame): DataFrame = {
+    // The self-join below consumes `bands` TWICE — without a persist the
+    // whole shingle->sha256x9->minhash lineage runs once per side.
+    val bands = capBuckets(minhashBands(shingled),
+        Seq("band_idx", "band_hash"), "doc")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     Chunker.registerForCleanup(bands)
     bands.as("a").join(bands.as("b"),
@@ -248,7 +299,12 @@ object Dedup {
     // (vec_id, band_idx, band_sig): consumed by BOTH sides of the
     // candidate join (probed + exact) — persist or the sig lineage
     // (EmbBands x EmbBitsPerBand VecDot folds per row) runs twice.
-    val bands = embeddingBands(base)
+    // Bucket-capped BEFORE either side derives ([[BandBucketCap]]): a
+    // corpus that floods one signature bucket (identical vectors, no
+    // exact dedup upstream) yields <= C(cap,2) pairs per bucket, never
+    // a quadratic blowup.
+    val bands = capBuckets(embeddingBands(base),
+        Seq("band_idx", "band_sig"), "vec_id")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     Chunker.registerForCleanup(bands)
     // One probed side suffices in a self-join: a pair whose band sigs
@@ -551,8 +607,15 @@ object Dedup {
        |  SELECT doc,
        |    $mhCols
        |  FROM shingles GROUP BY doc),
+       |bands_raw AS (
+       |  $bandSelects),
        |bands AS (
-       |  $bandSelects)""".stripMargin
+       |  SELECT doc, band_idx, band_hash FROM (
+       |    SELECT doc, band_idx, band_hash,
+       |      row_number() OVER (PARTITION BY band_idx, band_hash
+       |        ORDER BY doc) AS brk
+       |    FROM bands_raw)
+       |  WHERE brk <= $BandBucketCap)""".stripMargin
   }
 
   /** DuckDB twin of [[shingleTable]] (words -> distinct per-doc
@@ -701,8 +764,15 @@ object Dedup {
            |    ${Similarity.hyperplaneSigSql("embedding", EmbBitsPerBand, b * EmbBitsPerBand)} AS band_sig
            |  FROM embeddings""".stripMargin
       }.mkString("\n  UNION ALL\n  ")
-      s"""WITH bands AS (
+      s"""WITH bands_raw AS (
          |  $bandSelects),
+         |bands AS (
+         |  SELECT vec_id, band_idx, band_sig FROM (
+         |    SELECT vec_id, band_idx, band_sig,
+         |      row_number() OVER (PARTITION BY band_idx, band_sig
+         |        ORDER BY vec_id) AS brk
+         |    FROM bands_raw)
+         |  WHERE brk <= $BandBucketCap),
          |probes AS (
          |  SELECT vec_id, band_idx,
          |    unnest(${Similarity.probeSigsSql("band_sig", EmbBitsPerBand)}) AS band_sig

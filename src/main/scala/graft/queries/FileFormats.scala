@@ -117,6 +117,21 @@ object FileFormats {
       textDigest(s.read.parquet(comp), withCorrupt = false)
     }),
 
+    // ORC interchange round trip — the remaining columnar format a
+    // data-engineering user hands off to Hive/Trino estates (the Avro
+    // datasource module is not on this classpath; ORC is Spark-native).
+    // Full rows including raw text; same digest-vs-untouched-parquet
+    // pattern as q89: the oracle never sees the ORC files, so write- or
+    // read-side corruption breaks the hash.
+    "q125_orc_roundtrip" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), col("lang"),
+          col("n_chars"), col("text"))
+      val out = scratch(d, "docs_orc")
+      docs.write.mode("overwrite").orc(out)
+      textDigest(s.read.orc(out), withCorrupt = false)
+    }),
+
     // CSV carries no text column, so its digest buckets on the hash of
     // the FULL scalar tuple (id|source|lang) — any altered field moves
     // the row's bucket — with sum(doc_id)/sum(n_chars) as the numeric
@@ -150,6 +165,8 @@ object FileFormats {
         |FROM lineitem GROUP BY 1""".stripMargin,
 
     "q96_compacted_rewrite" -> textDigestSql(withCorrupt = false),
+
+    "q125_orc_roundtrip" -> textDigestSql(withCorrupt = false),
 
     "q90_csv_roundtrip" ->
       """SELECT substring(sha256(

@@ -24,9 +24,10 @@ import graft.Tables._
   * orderkey (standard star-join shuffles), aggregated to a
   * nations²-bounded edge table that is persisted ONCE and reused by
   * every iteration. The rank vector is node-sized: broadcast here
-  * (nation dim); for a web-scale graph swap the broadcast for a
-  * shuffle join on src — the per-iteration plan is one join + one
-  * aggregate either way.
+  * (nation dim); for a web-scale graph pass `broadcastRanks = false`
+  * and the ranks shuffle-join the edges on src instead — the
+  * per-iteration plan is one join + one aggregate either way, and the
+  * two paths are bit-identical (GraphSpec).
   */
 object Graph {
 
@@ -62,16 +63,30 @@ object Graph {
     * pr). Nodes with no inbound edges keep the bare teleport mass.
     * `nodeCount` is supplied by the caller (a known dim cardinality or
     * one count() over the node dim — never the fact side).
+    *
+    * `broadcastRanks` picks the per-iteration join strategy for the
+    * rank vector: `true` (default) broadcasts it — right whenever the
+    * node set is dimension-sized (nations here: 25 rows). `false` is
+    * the WEB-SCALE path: ranks shuffle-join the edge table on src
+    * (both sides hash-partitioned on the key; the rank vector at 1e9
+    * nodes is tens of GB — unbroadcastable), and every downstream step
+    * is unchanged. The two paths are the SAME integer arithmetic on
+    * the same rows, so their outputs are bit-identical — GraphSpec
+    * asserts exact pr_micro equality between them.
     */
   def pageRank(nodes: DataFrame, edges: DataFrame, iters: Int,
-               nodeCount: Long): DataFrame = {
+               nodeCount: Long, broadcastRanks: Boolean = true): DataFrame = {
     val init = PrScale / nodeCount
     val teleport = (PrScale * 15L / 100L) / nodeCount
     val e = edges.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     graft.pipeline.Chunker.registerForCleanup(e)
     var pr = nodes.select(col("node"), lit(init).as("pr_micro"))
     for (_ <- 1 to iters) {
-      val contrib = e.join(broadcast(pr), col("src") === col("node"))
+      // shuffle_hash hint: without it Catalyst would see the tiny test
+      // fixture and silently pick broadcast anyway, making the web-scale
+      // path untested
+      val ranks = if (broadcastRanks) broadcast(pr) else pr.hint("shuffle_hash")
+      val contrib = e.join(ranks, col("src") === col("node"))
         .select(col("dst"),
           expr("(pr_micro * 85 * trans_micro) div 100000000").as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("in_sum"))

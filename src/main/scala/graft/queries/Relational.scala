@@ -106,7 +106,11 @@ object Relational {
       def check(name: String, num: org.apache.spark.sql.Column,
                 pass: org.apache.spark.sql.Column) =
         struct(lit(name).as("check_name"),
-          round(num.cast("double") / col("n_rows"), 6).as("metric"),
+          // nullif (mirrored in the oracle): on an EMPTY table both
+          // engines then yield NULL metrics instead of Spark-NULL vs
+          // DuckDB-error divergence (ADVICE r4)
+          round(num.cast("double") / nullif(col("n_rows"), lit(0)), 6)
+            .as("metric"),
           pass.cast("long").as("passed"))
       m.select(explode(array(
           check("completeness_custkey", col("n_cust"),
@@ -796,19 +800,19 @@ object Relational {
         |        THEN 1 ELSE 0 END) AS n_status_ok
         |  FROM orders)
         |SELECT 'completeness_custkey' AS check_name,
-        |  round(CAST(n_cust AS DOUBLE) / n_rows, 6) AS metric,
+        |  round(CAST(n_cust AS DOUBLE) / nullif(n_rows, 0), 6) AS metric,
         |  CAST(n_cust = n_rows AS BIGINT) AS passed FROM a
         |UNION ALL
         |SELECT 'uniqueness_orderkey',
-        |  round(CAST(n_keys AS DOUBLE) / n_rows, 6),
+        |  round(CAST(n_keys AS DOUBLE) / nullif(n_rows, 0), 6),
         |  CAST(n_keys = n_rows AS BIGINT) FROM a
         |UNION ALL
         |SELECT 'range_totalprice',
-        |  round(CAST(n_price_ok AS DOUBLE) / n_rows, 6),
+        |  round(CAST(n_price_ok AS DOUBLE) / nullif(n_rows, 0), 6),
         |  CAST(n_price_ok = n_rows AS BIGINT) FROM a
         |UNION ALL
         |SELECT 'set_orderstatus',
-        |  round(CAST(n_status_ok AS DOUBLE) / n_rows, 6),
+        |  round(CAST(n_status_ok AS DOUBLE) / nullif(n_rows, 0), 6),
         |  CAST(n_status_ok = n_rows AS BIGINT) FROM a
         |UNION ALL
         |SELECT 'min_size_1', CAST(n_rows AS DOUBLE),

@@ -169,6 +169,10 @@ object TextAnalytics {
               .cast("long"))).as("chunk_idx"))
         .select(col("doc_id"), col("chunk_idx"),
           (col("chunk_idx") * sN + 1).as("start_word"),
+          // the int cast cannot overflow (ADVICE r4): `ws` is a Spark
+          // array, so n <= Int.MaxValue by construction, and the last
+          // chunk's start is chunk_idx*S + 1 <= n - W + S + 1 < n + S
+          // — always within int for any representable document
           concat_ws(" ",
             slice(col("ws"), (col("chunk_idx") * sN + 1).cast("int"), lit(wN)))
             .as("chunk_text"))
@@ -195,7 +199,10 @@ object TextAnalytics {
       documents(s, d)
         .select(col("doc_id"),
           concat(col("text"),
-            when(pmod(col("doc_id"), lit(2)) === 0, lit(" cafe\u0301"))
+            // % (not pmod): the oracle's doc_id % 2 yields -1 for
+            // negative ids where pmod yields 1 - one modulus semantics
+            // on both sides (ADVICE r4)
+            when(col("doc_id") % 2 === 0, lit(" cafe\u0301"))
               .otherwise(lit(" caf\u00e9"))).as("t"))
         .select(col("doc_id"),
           length(col("t")).cast("long").as("n_raw"),

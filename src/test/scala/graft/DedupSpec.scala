@@ -227,6 +227,61 @@ class DedupSpec extends AnyFunSuite {
     assert(kept.toSeq == Seq(31L, 33L))
   }
 
+  test("band-bucket cap bounds candidates on a 50%-duplicate flood; " +
+    "never binds on collision-sized buckets") {
+    val cap = Dedup.BandBucketCap
+    // 120 IDENTICAL docs (a corpus that skipped exact-dedup, violating
+    // the documented contract) + 30 distinct docs. Uncapped, the flood
+    // bucket alone would emit C(120,2) = 7140 candidate pairs and grow
+    // quadratically from there; the cap bounds it at C(cap,2).
+    val flood = (0L until 120L).map(i => (i, base))
+    val rest = (200L until 230L).map(i =>
+      (i, s"unrelated document number $i with its own words ${i * 3} " +
+        s"and more unique content ${i * 7} here"))
+    val docs = (flood ++ rest).toDF("doc_id", "text")
+    val cands = Dedup.minhashCandidates(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val floodPairs = cands.filter(_._1 < 200L)
+    assert(floodPairs.length == cap * (cap - 1) / 2,
+      s"flood bucket must yield exactly C($cap,2) pairs, got ${floodPairs.length}")
+    // survivors are the FIRST cap ids (deterministic doc-id order, the
+    // same rank the DuckDB oracle computes)
+    assert(floodPairs.forall { case (a, b) => a < cap && b < cap })
+    // the truncation is observable, not silent
+    val overflow = Dedup.bucketOverflow(
+      Dedup.minhashBands(Dedup.shingleTable(docs, "doc_id", "text")),
+      Seq("band_idx", "band_hash")).collect()
+    assert(overflow.nonEmpty &&
+      overflow.forall(_.getAs[Long]("n_dropped") == 120L - cap))
+    // and on a collision-sized corpus (the contract case) the cap is a
+    // no-op: capped == uncapped candidates
+    val small = Seq(
+      (1L, base), (2L, base + " tail"), (3L, "different text entirely " * 5))
+      .toDF("doc_id", "text")
+    val capped = Dedup.minhashCandidates(small, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(capped.nonEmpty)
+  }
+
+  test("embedding band-bucket cap bounds q47 candidates on a vector flood") {
+    val cap = Dedup.BandBucketCap
+    val rnd = new scala.util.Random(99)
+    val dup = Array.fill(64)(rnd.nextGaussian().toFloat).toSeq
+    val flood = (0L until 100L).map(i => (i, dup))
+    val bg = (500L until 540L).map(i =>
+      (i, Array.fill(64)(rnd.nextGaussian().toFloat).toSeq))
+    val emb = (flood ++ bg).toDF("vec_id", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    val pairs = Dedup.embeddingNearDups(emb, 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val floodPairs = pairs.filter(_._1 < 500L)
+    // identical vectors share every band signature: one bucket per band,
+    // capped to the first `cap` vec_ids -> exactly C(cap,2) pairs
+    assert(floodPairs.length == cap * (cap - 1) / 2,
+      s"expected C($cap,2), got ${floodPairs.length}")
+    assert(floodPairs.forall { case (a, b) => a < cap && b < cap })
+  }
+
   test("boilerplate heavy-hitters are exact and partition-independent") {
     val hot = "common header line repeated on every single page here"
     val docs = (0L until 40L).map { i =>

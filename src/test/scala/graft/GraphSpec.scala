@@ -53,6 +53,25 @@ class GraphSpec extends AnyFunSuite {
     assert(total > Graph.PrScale - 1000L, s"mass leaked: $total")
   }
 
+  test("pagerank: shuffle-join rank path is bit-identical to broadcast") {
+    // the web-scale variant (rank vector too large to broadcast) must
+    // produce the SAME integer fixpoint — same arithmetic, different
+    // physical join. Asymmetric graph so the equality isn't vacuous.
+    val n = 6L
+    val g = edges(Seq(
+      (1L, 0L, 1000000L), (2L, 0L, 600000L), (2L, 3L, 400000L),
+      (3L, 4L, 1000000L), (4L, 5L, 500000L), (4L, 2L, 500000L),
+      (5L, 1L, 1000000L), (0L, 2L, 1000000L)))
+    def ranks(bcast: Boolean) =
+      Graph.pageRank(nodes(n), g, 4, n, broadcastRanks = bcast)
+        .collect().map(r => r.getAs[Long]("node") -> r.getAs[Long]("pr_micro"))
+        .toMap
+    val b = ranks(bcast = true)
+    val s = ranks(bcast = false)
+    assert(b == s, s"paths diverged: broadcast=$b shuffle=$s")
+    assert(b.values.toSeq.distinct.size > 1) // non-trivial fixpoint
+  }
+
   private def stageDocs(rows: Seq[(Long, String, String)]): String = {
     val dir = java.nio.file.Files
       .createTempDirectory("graft_chisq").toString
