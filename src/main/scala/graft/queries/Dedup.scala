@@ -588,8 +588,48 @@ object Dedup {
         when(h < lit(TextAnalytics.sampleThreshold(0.8)), "train")
           .when(h < lit(TextAnalytics.sampleThreshold(0.9)), "val")
           .otherwise("test").as("split"))
+    }),
+
+    // WITHIN-document duplicate-line removal — the C4/RefinedWeb
+    // cleaning step that strips repeated boilerplate lines INSIDE one
+    // document (nav bars, footers, cookie banners), keeping each line's
+    // FIRST occurrence in order. The word-soup fixture has no natural
+    // line structure, so lines are synthesized as fixed 6-word windows
+    // and a duplicate of the first line is PLANTED at the end (the q122
+    // pattern: the oracle plants the same), guaranteeing the operator
+    // does real removal on every doc. Scale shape: posexplode ->
+    // (doc, line) group keeping min(pos) -> re-agg sorting by kept pos;
+    // all shuffles are doc-keyed, no cross-document work at all.
+    "q128_line_dedup" -> ((s, d) => {
+      val L = LineDedupWords
+      val lines = documents(s, d)
+        .select(col("doc_id"), TextOps.wordsOf(col("text")).as("ws"))
+        .filter(size(col("ws")) > 0)
+        .select(col("doc_id"),
+          transform(
+            sequence(lit(0), floor((size(col("ws")) - 1) / L).cast("int")),
+            i => concat_ws(" ", slice(col("ws"), i * L + 1, lit(L)))).as("ls"))
+        .select(col("doc_id"),
+          concat(col("ls"), slice(col("ls"), 1, 1)).as("ls")) // plant
+      val firsts = lines
+        .select(col("doc_id"), size(col("ls")).cast("long").as("n_in"),
+          posexplode(col("ls")).as(Seq("pos", "line")))
+        .groupBy(col("doc_id"), col("n_in"), col("line"))
+        .agg(min(col("pos")).as("p"))
+      firsts.groupBy(col("doc_id"))
+        .agg(max(col("n_in")).as("n_lines_in"),
+          count(lit(1)).as("n_lines_out"),
+          sha2(concat_ws(" ", transform(
+            array_sort(collect_list(struct(col("p"), col("line")))),
+            x => x("line"))), 256).as("dedup_hash"))
+        .select(col("doc_id"), col("n_lines_in"), col("n_lines_out"),
+          (col("n_lines_in") - col("n_lines_out")).as("n_dup_lines"),
+          col("dedup_hash"))
     })
   )
+
+  /** q128 synthesized-line width (words per line). */
+  val LineDedupWords = 6
 
   /** Shared DuckDB CTE chain: words -> shingles -> minhashes -> bands
     * (mirrors [[shingleTable]] + [[minhashCandidates]] exactly).
@@ -632,6 +672,29 @@ object Dedup {
        |  FROM w WHERE len(ws) >= 3)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q128_line_dedup" ->
+      s"""WITH w AS (
+         |  SELECT doc_id, ${TextOps.wordsSql} AS ws FROM documents),
+         |base AS (
+         |  SELECT doc_id,
+         |    list_transform(range(0, (len(ws) - 1) // $LineDedupWords + 1),
+         |      i -> array_to_string(
+         |        ws[i * $LineDedupWords + 1 : i * $LineDedupWords + $LineDedupWords],
+         |        ' ')) AS ls
+         |  FROM w WHERE len(ws) > 0),
+         |planted AS (SELECT doc_id, list_append(ls, ls[1]) AS ls FROM base),
+         |e AS (
+         |  SELECT doc_id, len(ls) AS n_in, unnest(ls) AS line,
+         |    generate_subscripts(ls, 1) AS pos
+         |  FROM planted),
+         |f AS (SELECT doc_id, n_in, line, min(pos) AS p
+         |      FROM e GROUP BY 1, 2, 3)
+         |SELECT doc_id, CAST(max(n_in) AS BIGINT) AS n_lines_in,
+         |  count(*) AS n_lines_out,
+         |  CAST(max(n_in) - count(*) AS BIGINT) AS n_dup_lines,
+         |  sha256(string_agg(line, ' ' ORDER BY p)) AS dedup_hash
+         |FROM f GROUP BY doc_id""".stripMargin,
+
     "q40_dedup_exact" ->
       """SELECT sha256(lower(trim(text))) AS content_key,
         |  min(doc_id) AS survivor_id, count(*) AS n_copies

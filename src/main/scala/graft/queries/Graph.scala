@@ -98,12 +98,46 @@ object Graph {
       (col("pr_micro").cast("double") / PrScale).as("pr"))
   }
 
+  /** Undirected distinct trade edges with canonical (a < b) orientation
+    * — self-loops dropped. The id ordering is what makes the triangle
+    * join count each triangle EXACTLY once.
+    */
+  def undirectedTradeEdges(s: SparkSession, d: String): DataFrame =
+    tradeEdges(s, d)
+      .filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+
+  /** Triangle count over canonically-oriented edges: e1=(a,b), e2=(b,c),
+    * e3=(a,c) with a<b<c by construction — two equi-joins, each triangle
+    * matched once. Scale shape: both joins shuffle on a node key; at
+    * web scale the standard refinement is degree-ordering the
+    * orientation (point low-degree at high-degree) so no join side
+    * carries a hub's full neighbor list — the fixture graph is
+    * nations²-bounded, where plain id orientation is already right.
+    */
+  def triangleCount(edges: DataFrame): DataFrame = {
+    val e = edges.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.pipeline.Chunker.registerForCleanup(e)
+    val tri = e.as("e1")
+      .join(e.as("e2"), col("e1.b") === col("e2.a"))
+      .join(e.as("e3"),
+        col("e3.a") === col("e1.a") && col("e3.b") === col("e2.b"))
+      .agg(count(lit(1)).as("n_triangles"))
+    val stats = e.agg(count(lit(1)).as("n_edges"))
+    stats.crossJoin(tri).select(col("n_edges"), col("n_triangles"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q119_pagerank" -> ((s, d) => {
       val nodes = nation(s, d).select(col("n_nationkey").as("node"))
       // 25 nations, fixed by the TPC-H spec at every scale factor.
       pageRank(nodes, tradeEdges(s, d), PrIters, nodeCount = 25L)
-    })
+    }),
+
+    "q127_triangle_count" -> ((s, d) =>
+      triangleCount(undirectedTradeEdges(s, d)))
   )
 
   /** One unrolled iteration of the integer sweep (DuckDB `//` is the
@@ -122,6 +156,25 @@ object Graph {
        |  GROUP BY n.node)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q127_triangle_count" ->
+      """WITH co AS (
+        |  SELECT o.o_orderkey, c.c_nationkey AS dst
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+        |ls AS (
+        |  SELECT l.l_orderkey, s.s_nationkey AS src
+        |  FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey),
+        |ed AS (
+        |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        |  FROM ls JOIN co ON ls.l_orderkey = co.o_orderkey
+        |  WHERE src <> dst),
+        |tri AS (
+        |  SELECT count(*) AS n_triangles
+        |  FROM ed e1
+        |  JOIN ed e2 ON e2.a = e1.b
+        |  JOIN ed e3 ON e3.a = e1.a AND e3.b = e2.b)
+        |SELECT (SELECT count(*) FROM ed) AS n_edges, n_triangles
+        |FROM tri""".stripMargin,
+
     "q119_pagerank" -> {
       val n = 25L
       val init = PrScale / n

@@ -161,6 +161,43 @@ object Relational {
           |FROM w GROUP BY l_returnflag, lo, hi""".stripMargin)
     }),
 
+    // Bloom-filter pre-filtered semi-join — the scale pattern for "big
+    // fact semi-joins a filtered key set" when the key set is too large
+    // to broadcast as an exact set but its SKETCH is not: build a Bloom
+    // filter over the hot order keys in one aggregate (a few hundred KB
+    // at ANY key count — the whole point), broadcast the sketch, drop
+    // most fact rows map-side before the shuffle, then run the exact
+    // semi-join on the survivors. False positives pass the sketch and
+    // die in the exact join, so the result is EXACT — the oracle is the
+    // plain IN-subquery, which is why this stays hash-checkable. Uses
+    // Spark's native BloomFilterAggregate/BloomFilterMightContain
+    // (codegen'd; the same machinery AQE runtime filters use) via the
+    // ExprBridge, with xxhash64 keys on both build and probe sides.
+    "q126_bloom_semijoin" -> ((s, d) => {
+      import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, ScalarSubquery}
+      import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+      import org.apache.spark.sql.graft.ExprBridge
+      val hot = orders(s, d).filter(col("o_totalprice") > 200000.0)
+        .select(col("o_orderkey"))
+      val bf = hot.agg(ExprBridge.column(
+        new BloomFilterAggregate(
+          ExprBridge.expression(xxhash64(col("o_orderkey"))),
+          Literal(100000L), Literal(800000L)).toAggregateExpression()).as("bf"))
+      // might_contain demands its filter side be a CONSTANT or scalar
+      // subquery (the sketch must be complete before the probe scans),
+      // so the build aggregate is embedded as a ScalarSubquery — the
+      // same shape AQE's injected runtime filters take.
+      val pre = lineitem(s, d)
+        .select(col("l_orderkey"), col("l_returnflag"), col("l_quantity"))
+        .filter(ExprBridge.column(new BloomFilterMightContain(
+          ScalarSubquery(bf.queryExecution.analyzed),
+          ExprBridge.expression(xxhash64(col("l_orderkey"))))))
+      pre.join(hot, pre("l_orderkey") === hot("o_orderkey"), "left_semi")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("l_quantity")), 2).as("sum_qty"))
+    }),
+
     // --- aggregation ----------------------------------------------------
     // TPC-H Q1 shape: scan-side filter + 6-way aggregate. The filter and
     // the 8-column projection are pushed into the parquet scan.
@@ -789,6 +826,14 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q126_bloom_semijoin" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |  round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem
+        |WHERE l_orderkey IN (
+        |  SELECT o_orderkey FROM orders WHERE o_totalprice > 200000)
+        |GROUP BY 1""".stripMargin,
+
     "q123_constraints" ->
       """WITH a AS (
         |  SELECT count(*) AS n_rows,

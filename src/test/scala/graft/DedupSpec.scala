@@ -282,6 +282,24 @@ class DedupSpec extends AnyFunSuite {
     assert(floodPairs.forall { case (a, b) => a < cap && b < cap })
   }
 
+  test("line dedup: repeated synthesized lines collapse to first occurrence") {
+    // "w1..w6 w1..w6 g" -> windows [w1..w6][w1..w6][g] + planted copy of
+    // the first line = 4 lines in, 2 distinct out, 2 duplicates removed
+    val six = "alpha beta gamma delta epsilon zeta"
+    val docs = Seq((1L, s"$six $six omega"),
+      (2L, "one two three four five six seven eight nine ten eleven twelve"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_linededup").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = Dedup.queries("q128_line_dedup")(spark, dir)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_lines_in"), r.getAs[Long]("n_lines_out"),
+          r.getAs[Long]("n_dup_lines"))).toMap
+    assert(out(1L) == ((4L, 2L, 2L)), s"got ${out(1L)}")
+    // doc 2: two distinct 6-word lines + planted duplicate of line 1
+    assert(out(2L) == ((3L, 2L, 1L)), s"got ${out(2L)}")
+  }
+
   test("boilerplate heavy-hitters are exact and partition-independent") {
     val hot = "common header line repeated on every single page here"
     val docs = (0L until 40L).map { i =>

@@ -72,6 +72,20 @@ class GraphSpec extends AnyFunSuite {
     assert(b.values.toSeq.distinct.size > 1) // non-trivial fixpoint
   }
 
+  test("triangle count: planted triangle plus a dangling chain") {
+    // 0-1-2 closed, 2-3 and 3-4 open: exactly one triangle, counted once
+    val e = Seq((0L, 1L), (1L, 2L), (0L, 2L), (2L, 3L), (3L, 4L))
+      .toDF("a", "b")
+    val out = Graph.triangleCount(e).collect()(0)
+    assert(out.getAs[Long]("n_edges") == 5L)
+    assert(out.getAs[Long]("n_triangles") == 1L)
+    // two triangles sharing an edge: 0-1-2 and 0-2-3 (add 0-3)
+    val e2 = Seq((0L, 1L), (1L, 2L), (0L, 2L), (2L, 3L), (0L, 3L))
+      .toDF("a", "b")
+    assert(Graph.triangleCount(e2).collect()(0)
+      .getAs[Long]("n_triangles") == 2L)
+  }
+
   private def stageDocs(rows: Seq[(Long, String, String)]): String = {
     val dir = java.nio.file.Files
       .createTempDirectory("graft_chisq").toString
