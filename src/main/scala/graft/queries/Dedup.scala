@@ -126,14 +126,21 @@ object Dedup {
     * pass their persisted copy instead of paying the corpus explode
     * twice.
     */
+  /** Per-doc MinHash signature table (doc, mh0..mh8): min of salted
+    * sha256 over the doc's shingles per hash function — the
+    * permutation-free formulation, identical in both engines.
+    */
+  def minhashTable(shingled: DataFrame): DataFrame = {
+    val mhExprs = (0 until MinhashFuncs).map(k =>
+      min(sha2(concat_ws(":", lit(k.toString), col("shingle")), 256)).as(s"mh$k"))
+    shingled.groupBy(col("doc")).agg(mhExprs.head, mhExprs.tail: _*)
+  }
+
   /** Raw (uncapped) MinHash band table (doc, band_idx, band_hash) —
     * exposed for the [[bucketOverflow]] truncation audit.
     */
   def minhashBands(shingled: DataFrame): DataFrame = {
-    val mhExprs = (0 until MinhashFuncs).map(k =>
-      min(sha2(concat_ws(":", lit(k.toString), col("shingle")), 256)).as(s"mh$k"))
-    val minhashes = shingled.groupBy(col("doc"))
-      .agg(mhExprs.head, mhExprs.tail: _*)
+    val minhashes = minhashTable(shingled)
     val rowsPerBand = MinhashFuncs / MinhashBands
     minhashes.select(col("doc"),
       explode(array((0 until MinhashBands).map { b =>
@@ -590,6 +597,55 @@ object Dedup {
           .otherwise("test").as("split"))
     }),
 
+    // MinHash Jaccard ESTIMATE vs exact, on the LSH candidates — the
+    // sketch-quality surface a dedup pipeline tunes its band/row config
+    // against: estimate = agreeing-minhash fraction (9 functions), exact
+    // = shingle-set Jaccard, plus the absolute estimation error. Both
+    // sides are DETERMINISTIC cross-engine (minhashes are mins of salted
+    // sha256 hex strings), so unlike the HLL envelope (q11) this sketch
+    // validation is fully hash-checked, no flag needed. Scale shape:
+    // the 9-way agreement is one narrow candidates x signatures join;
+    // the exact Jaccard is confined to candidates like q49.
+    "q130_minhash_estimate" -> ((s, d) => {
+      val sh = shingleTable(documents(s, d), "doc_id", "text")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      Chunker.registerForCleanup(sh)
+      val mh = minhashTable(sh)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      Chunker.registerForCleanup(mh)
+      val counts = sh.groupBy(col("doc")).agg(count(lit(1)).as("n_sh"))
+      val cands = minhashCandidatesFromShingles(sh)
+        .select(col("doc_a"), col("doc_b"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      Chunker.registerForCleanup(cands)
+      val agree = (0 until MinhashFuncs)
+        .map(k => (col(s"a.mh$k") === col(s"b.mh$k")).cast("int"))
+        .reduce(_ + _)
+      val est = cands
+        .join(mh.as("a"), col("doc_a") === col("a.doc"))
+        .join(mh.as("b"), col("doc_b") === col("b.doc"))
+        .select(col("doc_a"), col("doc_b"), agree.as("n_agree"))
+      val inter = cands
+        .join(sh.as("sa"), col("doc_a") === col("sa.doc"))
+        .join(sh.as("sb"), col("doc_b") === col("sb.doc") &&
+          col("sa.shingle") === col("sb.shingle"))
+        .groupBy(col("doc_a"), col("doc_b"))
+        .agg(count(lit(1)).as("n_inter"))
+      est
+        .join(inter, Seq("doc_a", "doc_b"), "left")
+        .join(counts.select(col("doc").as("doc_a"), col("n_sh").as("n_a")), Seq("doc_a"))
+        .join(counts.select(col("doc").as("doc_b"), col("n_sh").as("n_b")), Seq("doc_b"))
+        .withColumn("ni", coalesce(col("n_inter"), lit(0L)))
+        .withColumn("est_raw", col("n_agree").cast("double") / 9.0)
+        .withColumn("exact_raw",
+          col("ni").cast("double") / (col("n_a") + col("n_b") - col("ni")))
+        .select(col("doc_a"), col("doc_b"),
+          col("n_agree").cast("long").as("n_agree"),
+          round(col("est_raw"), 6).as("jaccard_est"),
+          round(col("exact_raw"), 6).as("jaccard_exact"),
+          round(abs(col("est_raw") - col("exact_raw")), 6).as("est_err"))
+    }),
+
     // WITHIN-document duplicate-line removal — the C4/RefinedWeb
     // cleaning step that strips repeated boilerplate lines INSIDE one
     // document (nav bars, footers, cookie banners), keeping each line's
@@ -672,6 +728,42 @@ object Dedup {
        |  FROM w WHERE len(ws) >= 3)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q130_minhash_estimate" -> {
+      val agreeSql = (0 until MinhashFuncs)
+        .map(k => s"CASE WHEN a.mh$k = b.mh$k THEN 1 ELSE 0 END")
+        .mkString("(", " + ", ")")
+      val exactSql = "CAST(coalesce(i.n_inter, 0) AS DOUBLE)" +
+        " / (ca.n_sh + cb.n_sh - coalesce(i.n_inter, 0))"
+      s"""$minhashCtes,
+         |cands AS (
+         |  SELECT a.doc AS doc_a, b.doc AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+         |    AND a.doc < b.doc
+         |  GROUP BY 1, 2),
+         |counts AS (SELECT doc, count(*) AS n_sh FROM shingles GROUP BY 1),
+         |inter AS (
+         |  SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+         |  FROM cands c
+         |  JOIN shingles sa ON sa.doc = c.doc_a
+         |  JOIN shingles sb ON sb.doc = c.doc_b AND sb.shingle = sa.shingle
+         |  GROUP BY 1, 2),
+         |est AS (
+         |  SELECT c.doc_a, c.doc_b, $agreeSql AS n_agree
+         |  FROM cands c
+         |  JOIN mh a ON a.doc = c.doc_a
+         |  JOIN mh b ON b.doc = c.doc_b)
+         |SELECT e.doc_a, e.doc_b, CAST(e.n_agree AS BIGINT) AS n_agree,
+         |  round(CAST(e.n_agree AS DOUBLE) / 9.0, 6) AS jaccard_est,
+         |  round($exactSql, 6) AS jaccard_exact,
+         |  round(abs(CAST(e.n_agree AS DOUBLE) / 9.0 - $exactSql), 6)
+         |    AS est_err
+         |FROM est e
+         |LEFT JOIN inter i ON i.doc_a = e.doc_a AND i.doc_b = e.doc_b
+         |JOIN counts ca ON ca.doc = e.doc_a
+         |JOIN counts cb ON cb.doc = e.doc_b""".stripMargin
+    },
+
     "q128_line_dedup" ->
       s"""WITH w AS (
          |  SELECT doc_id, ${TextOps.wordsSql} AS ws FROM documents),

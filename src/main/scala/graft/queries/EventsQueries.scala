@@ -17,6 +17,27 @@ object EventsQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // Per-group HLL next to the exact distinct count — the grouped form
+    // of q11 (cardinality profiling per event type: distinct users per
+    // type is the first question asked of any event table). Same
+    // envelope pattern: emit the exact value plus a within-5% flag
+    // (deterministic for a fixed dataset), oracle pins the flag to 1 —
+    // so a sketch drifting out of envelope is a hash FAILURE, not a
+    // silent degradation. Same split-scan rule as q11: countDistinct's
+    // Expand and the HLL buffers stay in separate aggregates, joined on
+    // the groups-sized results.
+    "q129_grouped_approx_distinct" -> ((s, d) => {
+      val ev = events(s, d)
+      val exact = ev.groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("n_exact"))
+      val approx = ev.groupBy(col("event_type"))
+        .agg(approx_count_distinct(col("user_id"), 0.01).as("n_approx"))
+      exact.join(approx, Seq("event_type"))
+        .select(col("event_type"), col("n_exact"),
+          (abs(col("n_approx") - col("n_exact")).cast("double")
+            / col("n_exact") <= 0.05).cast("long").as("within_5pct"))
+    }),
+
     // As-of join: each error event picks the latest purchase of the same
     // user at-or-before its timestamp. Implemented as ONE shuffle: union
     // both sides keyed by user, order by (ts, kind, event_id), and carry
@@ -345,6 +366,11 @@ object EventsQueries {
       |)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q129_grouped_approx_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_exact,
+        |  CAST(1 AS BIGINT) AS within_5pct
+        |FROM events GROUP BY 1""".stripMargin,
+
     "q33_asof_join" ->
       """SELECT e.event_id, e.user_id,
         |  (SELECT p.event_id FROM events p
