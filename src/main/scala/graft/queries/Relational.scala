@@ -645,6 +645,22 @@ object Relational {
         .except(o.filter(col("o_orderstatus") === "F").select(col("o_custkey")))
     }),
 
+    // Bag-semantics set ops — EXCEPT ALL / INTERSECT ALL keep
+    // MULTIPLICITY (a customer with 3 open and 1 filled order survives
+    // except_all TWICE), which the q22/q23 distinct forms erase; the
+    // multiplicity-aware forms are what reconciliation/diff pipelines
+    // actually need. Grouped afterwards so the result is the compact
+    // (op, key, surviving_copies) profile.
+    "q131_set_ops_all" -> ((s, d) => {
+      val o = orders(s, d)
+      val open = o.filter(col("o_orderstatus") === "O").select(col("o_custkey"))
+      val filled = o.filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+      open.exceptAll(filled).withColumn("op", lit("except_all"))
+        .union(open.intersectAll(filled).withColumn("op", lit("intersect_all")))
+        .groupBy(col("op"), col("o_custkey"))
+        .agg(count(lit(1)).as("n_copies"))
+    }),
+
     // --- scalar function families ----------------------------------------
     "q24_string_funcs" -> ((s, d) => {
       part(s, d).select(
@@ -1195,6 +1211,19 @@ object Relational {
       """SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
         |EXCEPT
         |SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'""".stripMargin,
+
+    "q131_set_ops_all" ->
+      """SELECT 'except_all' AS op, o_custkey, count(*) AS n_copies FROM (
+        |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        |  EXCEPT ALL
+        |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+        |GROUP BY 1, 2
+        |UNION ALL
+        |SELECT 'intersect_all', o_custkey, count(*) FROM (
+        |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        |  INTERSECT ALL
+        |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+        |GROUP BY 1, 2""".stripMargin,
 
     "q24_string_funcs" ->
       """SELECT p_partkey,
