@@ -257,6 +257,32 @@ object StreamingJobs {
     out
   }
 
+  /** foreachBatch harness: run `batches` as separate micro-batches
+    * through a user sink callback `(batchDf, batchId)` — the surface
+    * behind every streaming-lakehouse pattern (MERGE INTO a state
+    * table per micro-batch, idempotent by batchId). The callback runs
+    * on the driver with a BATCH DataFrame, so the full batch API
+    * (joins, windows, writes) is available per trigger; StreamingSpec
+    * uses it to prove a streamed latest-wins upsert converges to the
+    * q93 batch merge.
+    */
+  def runForeachBatch(spark: SparkSession, batches: Seq[DataFrame],
+                      onBatch: (DataFrame, Long) => Unit): Unit = {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft-feb-src")
+    val schema = batches.head.schema
+    batches.zipWithIndex.foreach { case (b, i) => stageBatch(dir, b, i) }
+    try {
+      val src = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(dir.toString)
+      val q = src.writeStream
+        .foreachBatch(onBatch)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally deleteRecursively(dir)
+  }
+
   private def deleteRecursively(root: java.nio.file.Path): Unit = {
     val walk = java.nio.file.Files.walk(root)
     try walk.sorted(java.util.Comparator.reverseOrder())

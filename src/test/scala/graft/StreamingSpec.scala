@@ -175,6 +175,48 @@ class StreamingSpec extends AnyFunSuite {
     assert(ids == Seq(1L, 2L, 3L), s"replay must be suppressed: $ids")
   }
 
+  test("foreachBatch streamed upsert converges to the batch latest-wins merge") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // versioned state dirs (v0, v1, ...) instead of overwrite-in-place:
+    // each micro-batch merges the previous state with the batch, latest
+    // version per key wins — MERGE INTO semantics per trigger
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-feb-state").toString
+    def latestWins(df: org.apache.spark.sql.DataFrame) = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("k")).orderBy(col("version").desc)
+      df.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1).drop("rn")
+    }
+    val b1 = Seq((1L, "a", 1L), (2L, "b", 1L)).toDF("k", "v", "version")
+    val b2 = Seq((1L, "a2", 2L), (3L, "c", 1L)).toDF("k", "v", "version")
+    // b3 REPLAYS b2's (k=1, v2) update verbatim (at-least-once
+    // delivery) alongside a fresh k=2 update
+    val b3 = Seq((2L, "b3", 3L), (1L, "a2", 2L)).toDF("k", "v", "version")
+    var lastId = -1L
+    StreamingJobs.runForeachBatch(spark, Seq(b1, b2, b3), (batch, id) => {
+      val prev =
+        if (id == 0) batch.limit(0)
+        else spark.read.parquet(s"$root/v${id - 1}")
+      latestWins(prev.unionByName(batch)
+        // deterministic tie-break inside latestWins needs unique
+        // (k, version) rows; replayed same-version updates dedupe first
+        .dropDuplicates("k", "version"))
+        .write.mode("overwrite").parquet(s"$root/v$id")
+      lastId = id
+    })
+    assert(lastId == 2L, s"expected 3 micro-batches, saw ${lastId + 1}")
+    val streamed = spark.read.parquet(s"$root/v$lastId")
+    val batchMerge = latestWins(
+      b1.unionByName(b2).unionByName(b3).dropDuplicates("k", "version"))
+    assert(canon(streamed) == canon(batchMerge))
+    // the converged state: k=1 at v2, k=2 at v3, k=3 at v1
+    val byKey = streamed.collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(byKey == Map(1L -> "a2", 2L -> "b3", 3L -> "c"))
+  }
+
   test("streaming session window == batch q37") {
     val stream = StreamingJobs.eventsStream(spark, TestSpark.sf0001)
     val got = StreamingJobs.runToCompletion(spark,
