@@ -126,21 +126,22 @@ object Dedup {
     * pass their persisted copy instead of paying the corpus explode
     * twice.
     */
-  /** Per-doc MinHash signature table (doc, mh0..mh8): min of salted
-    * sha256 over the doc's shingles per hash function — the
-    * permutation-free formulation, identical in both engines.
+  /** Per-doc MinHash signature table (doc, mh0..mh8, n_sh): min of
+    * salted sha256 over the doc's shingles per hash function — the
+    * permutation-free formulation, identical in both engines. The
+    * shingle count rides the SAME aggregate so consumers needing both
+    * (q130's exact-Jaccard denominators) never pay a second pass over
+    * the exploded shingle table.
     */
   def minhashTable(shingled: DataFrame): DataFrame = {
     val mhExprs = (0 until MinhashFuncs).map(k =>
-      min(sha2(concat_ws(":", lit(k.toString), col("shingle")), 256)).as(s"mh$k"))
+      min(sha2(concat_ws(":", lit(k.toString), col("shingle")), 256)).as(s"mh$k")) :+
+      count(lit(1)).as("n_sh")
     shingled.groupBy(col("doc")).agg(mhExprs.head, mhExprs.tail: _*)
   }
 
-  /** Raw (uncapped) MinHash band table (doc, band_idx, band_hash) —
-    * exposed for the [[bucketOverflow]] truncation audit.
-    */
-  def minhashBands(shingled: DataFrame): DataFrame = {
-    val minhashes = minhashTable(shingled)
+  /** Band table from a prepared minhash signature table. */
+  def minhashBandsFromTable(minhashes: DataFrame): DataFrame = {
     val rowsPerBand = MinhashFuncs / MinhashBands
     minhashes.select(col("doc"),
       explode(array((0 until MinhashBands).map { b =>
@@ -151,10 +152,24 @@ object Dedup {
       .select(col("doc"), col("band.band_idx"), col("band.band_hash"))
   }
 
-  def minhashCandidatesFromShingles(shingled: DataFrame): DataFrame = {
+  /** Raw (uncapped) MinHash band table (doc, band_idx, band_hash) —
+    * exposed for the [[bucketOverflow]] truncation audit.
+    */
+  def minhashBands(shingled: DataFrame): DataFrame =
+    minhashBandsFromTable(minhashTable(shingled))
+
+  def minhashCandidatesFromShingles(shingled: DataFrame): DataFrame =
+    minhashCandidatesFromMinhashes(minhashTable(shingled))
+
+  /** As [[minhashCandidatesFromShingles]], over a prepared (and ideally
+    * persisted) minhash signature table — callers that also consume the
+    * signatures (the q130 estimate stage) pass their copy instead of
+    * paying the sha256x9 aggregate twice.
+    */
+  def minhashCandidatesFromMinhashes(minhashes: DataFrame): DataFrame = {
     // The self-join below consumes `bands` TWICE — without a persist the
     // whole shingle->sha256x9->minhash lineage runs once per side.
-    val bands = capBuckets(minhashBands(shingled),
+    val bands = capBuckets(minhashBandsFromTable(minhashes),
         Seq("band_idx", "band_hash"), "doc")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     Chunker.registerForCleanup(bands)
@@ -613,8 +628,8 @@ object Dedup {
       val mh = minhashTable(sh)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       Chunker.registerForCleanup(mh)
-      val counts = sh.groupBy(col("doc")).agg(count(lit(1)).as("n_sh"))
-      val cands = minhashCandidatesFromShingles(sh)
+      val counts = mh.select(col("doc"), col("n_sh"))
+      val cands = minhashCandidatesFromMinhashes(mh)
         .select(col("doc_a"), col("doc_b"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       Chunker.registerForCleanup(cands)

@@ -661,6 +661,30 @@ object Relational {
         .agg(count(lit(1)).as("n_copies"))
     }),
 
+    // MAP-typed column family — the remaining complex-type surface next
+    // to arrays (q27) and json structs (q28): per-user event-type
+    // count maps built with map_from_entries, reshaped with the map
+    // higher-order functions (transform_values, map_filter), then
+    // EXPLODED back to rows so the result is oracle-checkable — DuckDB
+    // never needs Spark's map machinery, it computes the equivalent
+    // grouped counts directly. The map stays inside one row's
+    // projection at every step: zero extra shuffle beyond the
+    // (user, type) aggregate.
+    "q132_map_funcs" -> ((s, d) => {
+      val counts = events(s, d)
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      counts.groupBy(col("user_id"))
+        .agg(map_from_entries(sort_array(collect_list(
+          struct(col("event_type"), col("n"))))).as("m"))
+        // doubled counts via transform_values, then map_filter keeps
+        // only types seen at least twice (doubled >= 4)
+        .withColumn("m2", transform_values(col("m"), (_, v) => v * 2))
+        .withColumn("hot", map_filter(col("m2"), (_, v) => v >= 4))
+        .select(col("user_id"), size(col("m")).cast("long").as("n_types"),
+          explode(col("hot")).as(Seq("event_type", "doubled_n")))
+    }),
+
     // --- scalar function families ----------------------------------------
     "q24_string_funcs" -> ((s, d) => {
       part(s, d).select(
@@ -1211,6 +1235,16 @@ object Relational {
       """SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
         |EXCEPT
         |SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'""".stripMargin,
+
+    "q132_map_funcs" ->
+      """WITH c AS (
+        |  SELECT user_id, event_type, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |t AS (SELECT user_id, count(*) AS n_types FROM c GROUP BY 1)
+        |SELECT c.user_id, t.n_types, c.event_type,
+        |  CAST(c.n * 2 AS BIGINT) AS doubled_n
+        |FROM c JOIN t USING (user_id)
+        |WHERE c.n * 2 >= 4""".stripMargin,
 
     "q131_set_ops_all" ->
       """SELECT 'except_all' AS op, o_custkey, count(*) AS n_copies FROM (
