@@ -611,6 +611,20 @@ object Relational {
           round(sum(col("o_totalprice")), 2).as("total"))
     }),
 
+    // grouping()/grouping_id() markers — the piece that makes rollup
+    // output MACHINE-READABLE: a NULL status row is ambiguous between
+    // "subtotal" and "status IS NULL in the data" until the grouping
+    // flags disambiguate. gid mirrors Spark's documented bit order
+    // (leftmost grouping column = MSB), which the oracle reconstructs
+    // as 2*GROUPING(status) + GROUPING(priority).
+    "q133_grouping_id" -> ((s, d) => {
+      orders(s, d).rollup(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          grouping(col("o_orderstatus")).cast("long").as("g_status"),
+          grouping(col("o_orderpriority")).cast("long").as("g_prio"),
+          grouping_id().cast("long").as("gid"))
+    }),
+
     "q13_cube" -> ((s, d) => {
       lineitem(s, d).cube(col("l_returnflag"), col("l_linestatus"))
         .agg(count(lit(1)).as("n"),
@@ -1207,6 +1221,14 @@ object Relational {
     "q12_rollup" ->
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
         |  round(sum(o_totalprice), 2) AS total
+        |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""".stripMargin,
+
+    "q133_grouping_id" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        |  CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+        |  CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_prio,
+        |  CAST(2 * GROUPING(o_orderstatus) + GROUPING(o_orderpriority)
+        |    AS BIGINT) AS gid
         |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""".stripMargin,
 
     "q13_cube" ->
