@@ -68,6 +68,11 @@ object TextAnalytics {
     */
   val Stopwords = Seq("the", "a", "of", "and", "in", "to")
 
+  /** q134 blocklist — a baked literal lexicon (the BM25-terms pattern);
+    * a deployment swaps in its own list, the plan shape is identical.
+    */
+  val Blocklist = Seq("slow", "big")
+
   /** Hex-string threshold for a sampling fraction: keep a row when the
     * first 8 hex chars of its content hash sort below this literal.
     * Computed ONCE driver-side and baked into both the Spark plan and
@@ -362,6 +367,42 @@ object TextAnalytics {
     // Per-language corpus stats: wakes up the `lang`/`source`/`n_chars`
     // fixture columns. One shuffle (groupBy lang); token counts via the
     // native codegen'd TokenCount expression.
+    // Blocklist safety filter — the lexicon-based content gate every
+    // curation stack runs before anything model-based (fast, cheap,
+    // auditable): per-doc blocklist hit count + the block decision
+    // (hit RATE over 5% or 10+ absolute hits). The list is a baked
+    // literal like the BM25 terms; a real deployment swaps in its own.
+    // Pure projection over the words array — zero shuffle at any scale.
+    "q134_blocklist_filter" -> ((s, d) => {
+      val ws = TextOps.wordsOf(col("text"))
+      documents(s, d)
+        .select(col("doc_id"), size(ws).cast("long").as("n_words"),
+          size(filter(ws, w => w.isin(Blocklist: _*))).cast("long").as("n_hits"))
+        .select(col("doc_id"), col("n_words"), col("n_hits"),
+          (col("n_hits").cast("double") / col("n_words") > 0.05 ||
+            col("n_hits") >= 10).cast("long").as("blocked"))
+    }),
+
+    // Per-language token/cost profile — the reference's C10 cost table
+    // (`/root/reference/internal/cli/estimation.go:39-44`, public
+    // per-1M-token prices) computed as a distributed aggregate per
+    // corpus stratum instead of one driver-side total: which languages
+    // dominate the LLM bill, and their bytes-per-token density.
+    "q135_token_cost_profile" -> ((s, d) => {
+      documents(s, d)
+        .withColumn("n_tok", graft.functions.token_count(col("text")).cast("long"))
+        .groupBy(col("lang"))
+        .agg(sum(col("n_tok")).as("total_tokens"),
+          sum(col("n_chars")).as("total_chars"))
+        .select(col("lang"), col("total_tokens"), col("total_chars"),
+          round(col("total_chars").cast("double") / col("total_tokens"), 6)
+            .as("chars_per_token"),
+          round(col("total_tokens").cast("double") * 0.05 / 1e6, 6)
+            .as("cost_nano_usd"),
+          round(col("total_tokens").cast("double") * 1.25 / 1e6, 6)
+            .as("cost_gpt5_usd"))
+    }),
+
     "q42_lang_stats" -> ((s, d) => {
       documents(s, d)
         .withColumn("n_tok", graft.functions.token_count(col("text")).cast("long"))
@@ -737,6 +778,37 @@ object TextAnalytics {
          |JOIN cw ca ON ca.word = w1
          |JOIN cw cb ON cb.word = w2
          |CROSS JOIN n""".stripMargin,
+
+    "q134_blocklist_filter" -> {
+      val list = Blocklist.map(w => s"'$w'").mkString(", ")
+      s"""WITH w AS (SELECT doc_id, ${TextOps.wordsSql} AS ws FROM documents),
+         |h AS (
+         |  SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words,
+         |    CAST(len(list_filter(ws, x -> x IN ($list))) AS BIGINT)
+         |      AS n_hits
+         |  FROM w)
+         |SELECT doc_id, n_words, n_hits,
+         |  CAST((CAST(n_hits AS DOUBLE) / n_words > 0.05) OR n_hits >= 10
+         |    AS BIGINT) AS blocked
+         |FROM h""".stripMargin
+    },
+
+    "q135_token_cost_profile" ->
+      s"""WITH t AS (SELECT lang, n_chars,
+         |             ${RefPipeline.tokenCountSql("text")} AS n_tok
+         |           FROM documents),
+         |g AS (
+         |  SELECT lang, CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+         |    CAST(sum(n_chars) AS BIGINT) AS total_chars
+         |  FROM t GROUP BY lang)
+         |SELECT lang, total_tokens, total_chars,
+         |  round(CAST(total_chars AS DOUBLE) / total_tokens, 6)
+         |    AS chars_per_token,
+         |  round(CAST(total_tokens AS DOUBLE) * 0.05 / 1e6, 6)
+         |    AS cost_nano_usd,
+         |  round(CAST(total_tokens AS DOUBLE) * 1.25 / 1e6, 6)
+         |    AS cost_gpt5_usd
+         |FROM g""".stripMargin,
 
     "q42_lang_stats" ->
       s"""WITH t AS (SELECT lang, source, n_chars,
