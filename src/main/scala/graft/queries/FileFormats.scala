@@ -132,6 +132,29 @@ object FileFormats {
       textDigest(s.read.orc(out), withCorrupt = false)
     }),
 
+    // Parquet schema evolution ON READ — the storage-side twin of q136:
+    // two batches written with DIFFERENT schemas (a column retired, two
+    // added) are read back through mergeSchema into one null-filled
+    // unified table. The digest (row count, per-column presence counts,
+    // sums over both schema eras) is pinned against the untouched
+    // original — a dropped file, a misaligned column, or a non-null
+    // where the evolved schema demands null all break the hash.
+    "q137_merge_schema" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val out = scratch(d, "docs_evolving")
+      docs.select(col("doc_id"), col("source"))
+        .write.mode("overwrite").parquet(s"$out/batch1")
+      docs.select(col("doc_id"), col("lang"), col("n_chars"))
+        .write.mode("overwrite").parquet(s"$out/batch2")
+      s.read.option("mergeSchema", "true")
+        .parquet(s"$out/batch1", s"$out/batch2")
+        .agg(count(lit(1)).as("n_rows"),
+          count(col("source")).as("n_with_source"),
+          count(col("lang")).as("n_with_lang"),
+          sum(col("n_chars")).as("sum_chars"),
+          sum(col("doc_id")).as("sum_ids"))
+    }),
+
     // CSV carries no text column, so its digest buckets on the hash of
     // the FULL scalar tuple (id|source|lang) — any altered field moves
     // the row's bucket — with sum(doc_id)/sum(n_chars) as the numeric
@@ -167,6 +190,14 @@ object FileFormats {
     "q96_compacted_rewrite" -> textDigestSql(withCorrupt = false),
 
     "q125_orc_roundtrip" -> textDigestSql(withCorrupt = false),
+
+    "q137_merge_schema" ->
+      """SELECT CAST(2 * count(*) AS BIGINT) AS n_rows,
+        |  count(*) AS n_with_source,
+        |  count(*) AS n_with_lang,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(2 * sum(doc_id) AS BIGINT) AS sum_ids
+        |FROM documents""".stripMargin,
 
     "q90_csv_roundtrip" ->
       """SELECT substring(sha256(

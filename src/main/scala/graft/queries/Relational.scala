@@ -659,6 +659,26 @@ object Relational {
         .except(o.filter(col("o_orderstatus") === "F").select(col("o_custkey")))
     }),
 
+    // Schema-evolution union — unionByName(allowMissingColumns): the
+    // "append a batch whose schema drifted" operation every long-lived
+    // table hits (new column added, old column retired). Spark aligns
+    // by NAME and null-fills the gaps; a positional UNION would
+    // silently misalign. The oracle writes the aligned union explicitly
+    // — what matters is that the RESULT matches.
+    "q136_union_by_name" -> ((s, d) => {
+      val v1 = orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+        round(col("o_totalprice"), 2).as("price"))
+      val v2 = orders(s, d).filter(col("o_orderkey") % 7 === 0)
+        .select(col("o_orderkey"),
+          round(col("o_totalprice") + 50.0, 2).as("price"),
+          lit("rev").as("tag")) // o_custkey retired, tag added
+      v1.unionByName(v2, allowMissingColumns = true)
+        .groupBy(col("tag"))
+        .agg(count(lit(1)).as("n"),
+          count(col("o_custkey")).as("n_with_cust"),
+          round(sum(col("price")), 2).as("sum_price"))
+    }),
+
     // Bag-semantics set ops — EXCEPT ALL / INTERSECT ALL keep
     // MULTIPLICITY (a customer with 3 open and 1 filled order survives
     // except_all TWICE), which the q22/q23 distinct forms erase; the
@@ -1267,6 +1287,20 @@ object Relational {
         |  CAST(c.n * 2 AS BIGINT) AS doubled_n
         |FROM c JOIN t USING (user_id)
         |WHERE c.n * 2 >= 4""".stripMargin,
+
+    "q136_union_by_name" ->
+      """WITH a AS (
+        |  SELECT o_custkey, round(o_totalprice, 2) AS price,
+        |    CAST(NULL AS VARCHAR) AS tag
+        |  FROM orders),
+        |b AS (
+        |  SELECT CAST(NULL AS BIGINT) AS o_custkey,
+        |    round(o_totalprice + 50.0, 2) AS price, 'rev' AS tag
+        |  FROM orders WHERE o_orderkey % 7 = 0),
+        |u AS (SELECT * FROM a UNION ALL SELECT * FROM b)
+        |SELECT tag, count(*) AS n, count(o_custkey) AS n_with_cust,
+        |  round(sum(price), 2) AS sum_price
+        |FROM u GROUP BY 1""".stripMargin,
 
     "q131_set_ops_all" ->
       """SELECT 'except_all' AS op, o_custkey, count(*) AS n_copies FROM (
