@@ -2,8 +2,12 @@ package graft
 import org.apache.spark.sql.SparkSession
 import scala.util.control.NonFatal
 
-/** Benchmark main: runs every catalog query on SPARK_GRAFT_SF_DIR and
-  * prints ONE JSON line {"metric","value","unit","queries",...}.
+/** Benchmark main: runs every catalog query on SPARK_GRAFT_SF_DIR,
+  * prints the full {"metric","value","unit","queries",...} JSON line
+  * (also written to SPARK_GRAFT_BENCH_OUT, default
+  * /tmp/graft_bench.json), then — as the very last stdout line after
+  * spark.stop() — a compact headline summary small enough to survive a
+  * bounded tail capture intact.
   *
   * Harness rules (VERDICT r1 #5, r2 #5):
   *  - a WARMUP pass at sf0.001 first, so the timed passes measure plans,
@@ -85,6 +89,10 @@ object Bench {
     }
     val med = names.map(n => n -> median(timings.map(_(n))))
     val mins = names.map(n => n -> timings.map(_(n)).min)
+    // Per-query spread (max - min across passes): lets a reader classify
+    // 1.3-1.6x run-to-run drift as noise from the artifact alone,
+    // without a fresh bench run (VERDICT r5 #6).
+    val spread = names.map(n => n -> (timings.map(_(n)).max - timings.map(_(n)).min))
 
     def jstr(s: String) = "\"" + s.flatMap {
       case '"'  => "\\\""
@@ -107,12 +115,21 @@ object Bench {
     // "queries" measure plans only.
     val (sideEff, plans) = med.partition(kv => SideEffectQueries(kv._1))
     val total = plans.map(_._2).sum
-    val line = s"""{"metric":"total","value":${jnum(total)},"unit":"sec","passes":$passes,"queries":${jmap(plans)},"queries_min":${jmap(mins.filterNot(kv => SideEffectQueries(kv._1)))},"side_effect_queries":${jmap(sideEff)},"errors":$es,"sf":"$sfDir"}"""
-    // Emit twice — before and after spark.stop() — so the line survives
-    // whichever end of the output a bounded capture window keeps.
+    val line = s"""{"metric":"total","value":${jnum(total)},"unit":"sec","passes":$passes,"queries":${jmap(plans)},"queries_min":${jmap(mins.filterNot(kv => SideEffectQueries(kv._1)))},"queries_spread":${jmap(spread.filterNot(kv => SideEffectQueries(kv._1)))},"side_effect_queries":${jmap(sideEff)},"errors":$es,"sf":"$sfDir"}"""
+    // The full per-query line outgrew the driver's 2000-char stdout tail
+    // window at ~136 queries (r3/r4/r5 all recorded parsed:null because
+    // the line's HEAD — "{"metric":... — fell outside the window). So:
+    // the full JSON goes to a file + one human-readable print, and the
+    // VERY LAST stdout line is a compact (<200 char) summary that is
+    // guaranteed to sit, complete, inside any bounded tail capture.
+    val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/graft_bench.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
+      (line + "\n").getBytes("UTF-8"))
+    catch { case NonFatal(e) => System.err.println(s"bench detail write failed: $e") }
     println(line)
     spark.stop()
-    println(line)
+    val compact = s"""{"metric":"total","value":${jnum(total)},"unit":"sec","passes":$passes,"n_queries":${plans.size},"n_errors":${errors.size},"sf":"$sfDir","detail":"$detailPath"}"""
+    println(compact)
     if (errors.nonEmpty) sys.exit(1)
   }
 }

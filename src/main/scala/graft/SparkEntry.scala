@@ -35,7 +35,8 @@ object SparkEntry {
       (graft.queries.Multimodal.queries, graft.queries.Multimodal.oracles),
       (graft.queries.FileFormats.queries, graft.queries.FileFormats.oracles),
       (graft.queries.Warehouse.queries, graft.queries.Warehouse.oracles),
-      (graft.queries.Graph.queries, graft.queries.Graph.oracles)
+      (graft.queries.Graph.queries, graft.queries.Graph.oracles),
+      (graft.queries.Clustering.queries, graft.queries.Clustering.oracles)
     )
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -1,0 +1,161 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables._
+
+/** k-means (Lloyd) over the `embeddings` table — the trained-centroid
+  * complement to q62's hash-sampled IVF, and the classic
+  * cluster-then-sample curation step of an LLM-data pipeline (cluster
+  * the corpus, then sample per cluster for diversity / prune clusters
+  * of junk).
+  *
+  * Everything is deterministic and oracle-reproducible:
+  *  - SEEDS are the K corpus vectors with the smallest
+  *    [[TextAnalytics.hashFraction]] (vec_id tie-break) — the existing
+  *    sampling idiom, via a distributed TakeOrdered (never a driver
+  *    sort);
+  *  - ASSIGNMENT is a map-side argmin: the K centroids are packed into
+  *    ONE array-of-structs row and broadcast, and each vector picks
+  *    `array_min` over (dist, cent_id) structs — struct ordering gives
+  *    the min-distance-then-min-id rule with NO shuffle and NO window,
+  *    so the assign step is a pure projection at any corpus size;
+  *  - RE-CENTROID is one hash aggregate via the typed
+  *    [[graft.aggregates.VecCentroid]] Aggregator (fixed 8*dim buffer,
+  *    map-side partials — same shape as q70);
+  *  - distances are the same sequential double fold as the cosine
+  *    family (bit-identical to DuckDB's list_sum over list_transform),
+  *    ROUNDED to 6 decimals before the argmin, and centroid components
+  *    are rounded to 6 decimals after each mean — so partial-sum
+  *    ordering noise (~1e-12 at fixture magnitudes) can never flip an
+  *    assignment across engines or runs;
+  *  - a FIXED iteration count, unrolled in the DuckDB oracle as CTEs
+  *    (the q119 PageRank discipline). Clusters keep their seed's
+  *    vec_id as a stable label; a cluster that loses all members
+  *    simply drops out of the centroid table on both engines.
+  *
+  * Scale shape per iteration: one broadcast (K rows ~ K*8*dim bytes),
+  * one projection over the corpus, one hash aggregate with K groups.
+  * No all-pairs anything; the corpus never shuffles except K-group
+  * partial aggregation.
+  */
+object Clustering {
+
+  val K = 8
+  val Iters = 3
+
+  /** Sequential-fold squared L2 distance between a float vector and a
+    * double centroid — element cast BEFORE arithmetic, left fold, same
+    * IEEE result as the DuckDB mirror.
+    */
+  def distSq(v: Column, c: Column): Column =
+    aggregate(
+      zip_with(v, c, (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
+      lit(0.0), (acc, e) => acc + e)
+
+  /** K seed centroids: smallest hashFraction(vec_id) first. Components
+    * cast to double exactly (no rounding — float→double is lossless).
+    */
+  def seedCentroids(e: DataFrame, k: Int): DataFrame =
+    e.orderBy(TextAnalytics.hashFraction(col("vec_id")), col("vec_id"))
+      .limit(k)
+      .select(col("vec_id").as("cent_id"),
+        transform(col("embedding"), x => x.cast("double")).as("c_emb"))
+
+  /** Nearest-centroid assignment as a pure projection: centroids packed
+    * into one broadcast row, per-vector `array_min` over
+    * (rounded dist, cent_id) structs. Returns
+    * (vec_id, embedding, cent_id, dist_sq).
+    */
+  def assign(e: DataFrame, cents: DataFrame): DataFrame = {
+    val packed = cents.agg(
+      collect_list(struct(col("cent_id"), col("c_emb"))).as("cs"))
+    e.crossJoin(broadcast(packed))
+      .withColumn("best", array_min(transform(col("cs"), c =>
+        struct(round(distSq(col("embedding"), c("c_emb")), 6).as("d"),
+          c("cent_id").as("cent_id")))))
+      .select(col("vec_id"), col("embedding"),
+        col("best.cent_id").as("cent_id"), col("best.d").as("dist_sq"))
+  }
+
+  /** Element-wise mean per cluster via VecCentroid, components rounded
+    * to 6 decimals (the cross-engine noise floor).
+    */
+  def recentroid(assigned: DataFrame): DataFrame = {
+    val centroid = udaf(graft.aggregates.VecCentroid)
+    assigned.groupBy(col("cent_id"))
+      .agg(centroid(col("embedding")).as("m"))
+      .select(col("cent_id"), transform(col("m"), v => round(v, 6)).as("c_emb"))
+  }
+
+  /** `iters` Lloyd sweeps from the hash seeds; returns the final
+    * assignment (vec_id, cluster, dist_sq).
+    */
+  def kmeans(emb: DataFrame, k: Int, iters: Int): DataFrame = {
+    val e = emb.select(col("vec_id"), col("embedding"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.pipeline.Chunker.registerForCleanup(e)
+    var cents = seedCentroids(e, k)
+    for (_ <- 1 to iters) cents = recentroid(assign(e, cents))
+    assign(e, cents)
+      .select(col("vec_id"), col("cent_id").as("cluster"), col("dist_sq"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q139_kmeans" -> ((s, d) => kmeans(embeddings(s, d), K, Iters))
+  )
+
+  // ---- DuckDB mirrors --------------------------------------------------
+
+  /** Squared-distance fold, identical order to [[distSq]]. */
+  private def distSqSql(v: String, c: String): String =
+    s"""round(list_sum(list_transform(list_zip($v, $c),
+       |  p -> (CAST(p[1] AS DOUBLE) - p[2]) * (CAST(p[1] AS DOUBLE) - p[2]))), 6)""".stripMargin
+
+  /** One assignment CTE: argmin via row_number over (d, cent_id). */
+  private def assignSql(name: String, cents: String): String =
+    s"""$name AS (
+       |  SELECT vec_id, embedding, cent_id, d AS dist_sq FROM (
+       |    SELECT vec_id, embedding, cent_id, d,
+       |      row_number() OVER (PARTITION BY vec_id
+       |        ORDER BY d, cent_id) AS rn
+       |    FROM (
+       |      SELECT e.vec_id, e.embedding, c.cent_id,
+       |        ${distSqSql("e.embedding", "c.c_emb")} AS d
+       |      FROM e CROSS JOIN $cents c))
+       |  WHERE rn = 1)""".stripMargin
+
+  /** One re-centroid CTE: per-dim mean (q70 pattern), reassembled into
+    * an ordered list, components rounded to 6.
+    */
+  private def recentroidSql(name: String, assigned: String): String =
+    s"""$name AS (
+       |  SELECT cent_id, list(round(s, 6) ORDER BY pos) AS c_emb
+       |  FROM (
+       |    SELECT cent_id, pos,
+       |      sum(CAST(embedding[pos + 1] AS DOUBLE)) / count(*) AS s
+       |    FROM (SELECT cent_id, embedding,
+       |            unnest(range(0, len(embedding))) AS pos
+       |          FROM $assigned)
+       |    GROUP BY cent_id, pos)
+       |  GROUP BY cent_id)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q139_kmeans" -> {
+      val steps = (1 to Iters).flatMap(i => Seq(
+        assignSql(s"a$i", if (i == 1) "c0" else s"c${i - 1}"),
+        recentroidSql(s"c$i", s"a$i"))).mkString(",\n")
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+         |c0 AS (
+         |  SELECT vec_id AS cent_id,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS c_emb
+         |  FROM e
+         |  ORDER BY ${TextAnalytics.hashFractionSql("vec_id")}, vec_id
+         |  LIMIT $K),
+         |$steps,
+         |${assignSql("fin", s"c$Iters")}
+         |SELECT vec_id, cent_id AS cluster, dist_sq FROM fin""".stripMargin
+    }
+  )
+}

@@ -109,13 +109,49 @@ object Graph {
         greatest(col("src"), col("dst")).as("b"))
       .distinct()
 
-  /** Triangle count over canonically-oriented edges: e1=(a,b), e2=(b,c),
-    * e3=(a,c) with a<b<c by construction — two equi-joins, each triangle
-    * matched once. Scale shape: both joins shuffle on a node key; at
-    * web scale the standard refinement is degree-ordering the
-    * orientation (point low-degree at high-degree) so no join side
-    * carries a hub's full neighbor list — the fixture graph is
-    * nations²-bounded, where plain id orientation is already right.
+  /** Re-orient undirected (a < b) edges by the TOTAL order
+    * (degree, id): each edge points from its lower-(degree, id)
+    * endpoint to the higher one. Any total order on nodes makes the
+    * two-join triangle pattern count each triangle exactly once, so
+    * [[triangleCount]] is orientation-agnostic — but under DEGREE
+    * order a node's out-neighbors are only its neighbors of equal or
+    * larger degree, which caps every out-list at O(sqrt(m)) on any
+    * graph (a node with out-degree d has d neighbors of degree >= its
+    * own >= d, so d^2 <= 2m). That bounds the e1.b = e2.a join fan-in
+    * per key: a power-law hub contributes its edges as IN-edges (dst
+    * side, one row each), never as an out-neighbor list joined against
+    * itself — the classic fix for skew that plain id orientation hits
+    * when a hub happens to get a small id (GraphSpec plants exactly
+    * that hub and asserts the bound).
+    *
+    * Scale shape: the degree table is node-sized and built with one
+    * aggregate over the edge list; attaching it is two shuffle joins
+    * on a node key (broadcastable when the node set is
+    * dimension-sized — Catalyst decides from stats).
+    */
+  def degreeOrientEdges(und: DataFrame): DataFrame = {
+    val deg = und.select(col("a").as("node"))
+      .unionAll(und.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val lowFirst = und
+      .join(deg.select(col("node").as("a"), col("deg").as("deg_a")), Seq("a"))
+      .join(deg.select(col("node").as("b"), col("deg").as("deg_b")), Seq("b"))
+      .select(
+        when(col("deg_a") < col("deg_b") ||
+          (col("deg_a") === col("deg_b") && col("a") < col("b")),
+          struct(col("a"), col("b")))
+          .otherwise(struct(col("b").as("a"), col("a").as("b")))
+          .as("e"))
+    lowFirst.select(col("e.a").as("a"), col("e.b").as("b"))
+  }
+
+  /** Triangle count over edges oriented by ANY total order on nodes:
+    * e1=(a,b), e2=(b,c), e3=(a,c) with a<b<c in that order by
+    * construction — two equi-joins, each triangle matched once. Plain
+    * id orientation ([[undirectedTradeEdges]]) is right for the
+    * nations²-bounded fixture; [[degreeOrientEdges]] is the web-scale
+    * orientation (bounded join fan-in under power-law skew), and the
+    * two are count-identical by the total-order argument.
     */
   def triangleCount(edges: DataFrame): DataFrame = {
     val e = edges.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -137,7 +173,14 @@ object Graph {
     }),
 
     "q127_triangle_count" -> ((s, d) =>
-      triangleCount(undirectedTradeEdges(s, d)))
+      triangleCount(undirectedTradeEdges(s, d))),
+
+    // Same triangle count under the web-scale degree orientation — the
+    // oracle re-derives the orientation in SQL, so the hash check
+    // proves count-invariance independently of GraphSpec's planted-hub
+    // fan-in bound.
+    "q138_triangle_degree" -> ((s, d) =>
+      triangleCount(degreeOrientEdges(undirectedTradeEdges(s, d))))
   )
 
   /** One unrolled iteration of the integer sweep (DuckDB `//` is the
@@ -173,6 +216,38 @@ object Graph {
         |  JOIN ed e2 ON e2.a = e1.b
         |  JOIN ed e3 ON e3.a = e1.a AND e3.b = e2.b)
         |SELECT (SELECT count(*) FROM ed) AS n_edges, n_triangles
+        |FROM tri""".stripMargin,
+
+    "q138_triangle_degree" ->
+      """WITH co AS (
+        |  SELECT o.o_orderkey, c.c_nationkey AS dst
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+        |ls AS (
+        |  SELECT l.l_orderkey, s.s_nationkey AS src
+        |  FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey),
+        |ed AS (
+        |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        |  FROM ls JOIN co ON ls.l_orderkey = co.o_orderkey
+        |  WHERE src <> dst),
+        |deg AS (
+        |  SELECT node, count(*) AS deg FROM (
+        |    SELECT a AS node FROM ed UNION ALL SELECT b AS node FROM ed)
+        |  GROUP BY 1),
+        |oe AS (
+        |  SELECT
+        |    CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND e.a < e.b)
+        |         THEN e.a ELSE e.b END AS a,
+        |    CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND e.a < e.b)
+        |         THEN e.b ELSE e.a END AS b
+        |  FROM ed e
+        |  JOIN deg da ON da.node = e.a
+        |  JOIN deg db ON db.node = e.b),
+        |tri AS (
+        |  SELECT count(*) AS n_triangles
+        |  FROM oe e1
+        |  JOIN oe e2 ON e2.a = e1.b
+        |  JOIN oe e3 ON e3.a = e1.a AND e3.b = e2.b)
+        |SELECT (SELECT count(*) FROM oe) AS n_edges, n_triangles
         |FROM tri""".stripMargin,
 
     "q119_pagerank" -> {

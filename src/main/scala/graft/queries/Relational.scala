@@ -179,10 +179,17 @@ object Relational {
       import org.apache.spark.sql.graft.ExprBridge
       val hot = orders(s, d).filter(col("o_totalprice") > 200000.0)
         .select(col("o_orderkey"))
+      // Size the sketch from the ACTUAL hot-set cardinality (one cheap
+      // single-column pushed-filter count at build time) instead of a
+      // fixed literal: a fixed 100k capacity silently degrades the
+      // pre-filter toward a no-op once the hot set outgrows it at
+      // larger SFs (ADVICE r5). 8 bits/item ≈ 2% fpp; floor keeps the
+      // sketch sane on tiny fixtures.
+      val nHot = math.max(hot.count(), 1000L)
       val bf = hot.agg(ExprBridge.column(
         new BloomFilterAggregate(
           ExprBridge.expression(xxhash64(col("o_orderkey"))),
-          Literal(100000L), Literal(800000L)).toAggregateExpression()).as("bf"))
+          Literal(nHot), Literal(8L * nHot)).toAggregateExpression()).as("bf"))
       // might_contain demands its filter side be a CONSTANT or scalar
       // subquery (the sketch must be complete before the probe scans),
       // so the build aggregate is embedded as a ScalarSubquery — the

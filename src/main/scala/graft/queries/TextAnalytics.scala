@@ -379,7 +379,9 @@ object TextAnalytics {
         .select(col("doc_id"), size(ws).cast("long").as("n_words"),
           size(filter(ws, w => w.isin(Blocklist: _*))).cast("long").as("n_hits"))
         .select(col("doc_id"), col("n_words"), col("n_hits"),
-          (col("n_hits").cast("double") / col("n_words") > 0.05 ||
+          // nullif: a zero-word doc must yield NULL rate on BOTH engines
+          // (DuckDB's x/0 behavior is version-dependent — the q123 fix).
+          (col("n_hits").cast("double") / nullif(col("n_words"), lit(0L)) > 0.05 ||
             col("n_hits") >= 10).cast("long").as("blocked"))
     }),
 
@@ -395,7 +397,10 @@ object TextAnalytics {
         .agg(sum(col("n_tok")).as("total_tokens"),
           sum(col("n_chars")).as("total_chars"))
         .select(col("lang"), col("total_tokens"), col("total_chars"),
-          round(col("total_chars").cast("double") / col("total_tokens"), 6)
+          // nullif: a stratum tokenizing to 0 must yield NULL density on
+          // both engines, not an engine-dependent div-by-zero.
+          round(col("total_chars").cast("double") /
+            nullif(col("total_tokens"), lit(0L)), 6)
             .as("chars_per_token"),
           round(col("total_tokens").cast("double") * 0.05 / 1e6, 6)
             .as("cost_nano_usd"),
@@ -788,7 +793,8 @@ object TextAnalytics {
          |      AS n_hits
          |  FROM w)
          |SELECT doc_id, n_words, n_hits,
-         |  CAST((CAST(n_hits AS DOUBLE) / n_words > 0.05) OR n_hits >= 10
+         |  CAST((CAST(n_hits AS DOUBLE) / nullif(n_words, 0) > 0.05)
+         |       OR n_hits >= 10
          |    AS BIGINT) AS blocked
          |FROM h""".stripMargin
     },
@@ -802,7 +808,7 @@ object TextAnalytics {
          |    CAST(sum(n_chars) AS BIGINT) AS total_chars
          |  FROM t GROUP BY lang)
          |SELECT lang, total_tokens, total_chars,
-         |  round(CAST(total_chars AS DOUBLE) / total_tokens, 6)
+         |  round(CAST(total_chars AS DOUBLE) / nullif(total_tokens, 0), 6)
          |    AS chars_per_token,
          |  round(CAST(total_tokens AS DOUBLE) * 0.05 / 1e6, 6)
          |    AS cost_nano_usd,

@@ -248,13 +248,18 @@ object StreamingJobs {
       .foreach { case (b, i) => stageBatch(srcDir, b, splitAt + i) }
     runOnce() // restart from the checkpoint: only the new files run
     // explicit schema: a run whose windows never finalize writes no
-    // data files, and schema inference would fail on the bare sink dir
-    val out = spark.read.schema(mkAgg(mkSrc()).schema)
-      .parquet(outDir.toString)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    out.count() // materialize before the staging dirs are deleted
-    Seq(srcDir, ckpt).foreach(deleteRecursively)
-    out
+    // data files, and schema inference would fail on the bare sink dir.
+    // The result is a spec-sized fixture, so collect it into a LOCAL
+    // DataFrame and delete ALL temp dirs (incl. outDir) right here —
+    // the earlier persist-and-keep shape leaked a cached relation and
+    // a sink dir per invocation (ADVICE r5).
+    val outSchema = mkAgg(mkSrc()).schema
+    val rows = spark.read.schema(outSchema).parquet(outDir.toString)
+      .collect().toSeq
+    Seq(srcDir, ckpt, outDir).foreach(deleteRecursively)
+    spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), outSchema)
   }
 
   /** foreachBatch harness: run `batches` as separate micro-batches

@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.queries.{Clustering, TextAnalytics}
+
+/** Behavioral proof for the Lloyd k-means: on a planted 3-cluster
+  * fixture whose cluster CENTERS are placed on the three ids the hash
+  * seeding will pick (computed from the same hashFraction the operator
+  * uses), the recovered partition must equal the planted one exactly.
+  * The sf0.01 oracle (q139) proves engine parity; this proves the
+  * operator actually clusters.
+  */
+class ClusteringSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  private val centers = Seq(
+    Array(10f, 0f, 0f, 0f),
+    Array(0f, 10f, 0f, 0f),
+    Array(0f, 0f, 10f, 0f))
+
+  test("kmeans recovers planted clusters when each gets a seed") {
+    val ids = (1L to 30L)
+    // the operator seeds from the K smallest hashFraction(vec_id) —
+    // compute that order with the SAME expression and put one planted
+    // center on each of the three ids that will be chosen
+    val seedIds = ids.toDF("vec_id")
+      .select(col("vec_id"),
+        TextAnalytics.hashFraction(col("vec_id")).as("hf"))
+      .orderBy(col("hf"), col("vec_id"))
+      .limit(3).collect().map(_.getLong(0)).toSeq
+    val rest = ids.filterNot(seedIds.contains)
+    val planted: Map[Long, Int] =
+      seedIds.zipWithIndex.toMap ++
+        rest.zipWithIndex.map { case (id, i) => id -> (i % 3) }.toMap
+    val emb = ids.map { id =>
+      val c = centers(planted(id))
+      val noisy =
+        if (seedIds.contains(id)) c // seeds sit exactly on the centers
+        else c.zipWithIndex.map { case (v, j) =>
+          v + 0.01f * ((id + j) % 5) }
+      (id, noisy)
+    }.toDF("vec_id", "embedding")
+
+    val out = Clustering.kmeans(emb, k = 3, iters = 3).collect()
+    assert(out.length == 30)
+    val byId = out.map(r =>
+      r.getAs[Long]("vec_id") -> r.getAs[Long]("cluster")).toMap
+    // every point must carry the seed id of ITS planted cluster
+    ids.foreach { id =>
+      val expected = seedIds(planted(id))
+      assert(byId(id) == expected,
+        s"vec $id: planted cluster ${planted(id)} (seed $expected), " +
+          s"got ${byId(id)}")
+    }
+    // distances of the noisy points are small but non-zero
+    assert(out.filter(r => !seedIds.contains(r.getAs[Long]("vec_id")))
+      .forall(_.getAs[Double]("dist_sq") < 1.0))
+  }
+
+  test("lloyd iterations never increase total within-cluster SSE") {
+    val ids = (1L to 30L)
+    val emb = ids.map { id =>
+      val c = centers((id % 3).toInt)
+      (id, c.zipWithIndex.map { case (v, j) => v + 0.3f * ((id + j) % 7) })
+    }.toDF("vec_id", "embedding")
+    val e = emb.select(col("vec_id"), col("embedding"))
+    def sse(cents: org.apache.spark.sql.DataFrame): Double =
+      Clustering.assign(e, cents)
+        .agg(sum(col("dist_sq"))).collect()(0).getDouble(0)
+    var cents = Clustering.seedCentroids(e, 3)
+    var prev = sse(cents)
+    for (_ <- 1 to 3) {
+      cents = Clustering.recentroid(Clustering.assign(e, cents))
+      val cur = sse(cents)
+      // 1e-6 slack: distances/centroids are rounded to 6 decimals
+      assert(cur <= prev + 1e-5, s"SSE rose: $prev -> $cur")
+      prev = cur
+    }
+  }
+}

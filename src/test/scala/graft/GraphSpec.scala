@@ -86,6 +86,41 @@ class GraphSpec extends AnyFunSuite {
       .getAs[Long]("n_triangles") == 2L)
   }
 
+  test("degree orientation: triangle count identical to id orientation") {
+    // same fixtures as above — any total order counts each triangle once
+    for (fix <- Seq(
+      Seq((0L, 1L), (1L, 2L), (0L, 2L), (2L, 3L), (3L, 4L)) -> 1L,
+      Seq((0L, 1L), (1L, 2L), (0L, 2L), (2L, 3L), (0L, 3L)) -> 2L)) {
+      val und = fix._1.toDF("a", "b")
+      val out = Graph.triangleCount(Graph.degreeOrientEdges(und)).collect()(0)
+      assert(out.getAs[Long]("n_edges") == fix._1.size.toLong)
+      assert(out.getAs[Long]("n_triangles") == fix._2)
+    }
+  }
+
+  test("degree orientation: planted hub's neighbor list never joins as one key") {
+    // hub 0 (degree 20, and the SMALLEST id — worst case for id
+    // orientation) + 20 leaves; leaf-leaf edges (1,2),(2,3),(1,3) plant
+    // 3 hub triangles and 1 leaf triangle.
+    val und = ((1L to 20L).map(l => (0L, l)) ++
+      Seq((1L, 2L), (2L, 3L), (1L, 3L))).toDF("a", "b")
+    val idOut = Graph.triangleCount(und).collect()(0)
+    val degE = Graph.degreeOrientEdges(und)
+    val degOut = Graph.triangleCount(degE).collect()(0)
+    assert(idOut.getAs[Long]("n_triangles") == 4L)
+    assert(degOut.getAs[Long]("n_triangles") == 4L)
+    assert(degOut.getAs[Long]("n_edges") == 23L)
+    // fan-in of the e1.b = e2.a join key == out-degree of the src node:
+    // id orientation hands the hub its whole 20-edge neighbor list;
+    // degree orientation points every spoke INTO the hub, so no node's
+    // out-list exceeds its (small) degree.
+    def maxOut(e: org.apache.spark.sql.DataFrame) =
+      e.groupBy(col("a")).agg(count(lit(1)).as("n"))
+        .agg(max(col("n"))).collect()(0).getLong(0)
+    assert(maxOut(und) == 20L, "id orientation must exhibit the hub skew")
+    assert(maxOut(degE) <= 3L, "degree orientation must bound the fan-in")
+  }
+
   private def stageDocs(rows: Seq[(Long, String, String)]): String = {
     val dir = java.nio.file.Files
       .createTempDirectory("graft_chisq").toString
