@@ -32,7 +32,7 @@ object Bench {
   val SideEffectQueries: Set[String] =
     Set("ref_memo_resume", "q89_jsonl_roundtrip", "q90_csv_roundtrip",
       "q91_clustered_write", "q96_compacted_rewrite", "q125_orc_roundtrip",
-      "q137_merge_schema")
+      "q137_merge_schema", "q140_ivf_cells_layout")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

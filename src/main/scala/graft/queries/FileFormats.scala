@@ -34,7 +34,7 @@ import graft.sources.FileSources
 object FileFormats {
 
   /** Deterministic scratch dir per sf input; re-evaluations overwrite. */
-  private def scratch(d: String, leaf: String): String = {
+  private[queries] def scratch(d: String, leaf: String): String = {
     val key = java.security.MessageDigest.getInstance("SHA-256")
       .digest(d.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
     s"${sys.props("java.io.tmpdir")}/graft_roundtrip_$key/$leaf"

@@ -217,17 +217,31 @@ object Similarity {
     * and the query probes — persisted, or the crossJoin lineage runs
     * twice.
     */
-  def annIvf(emb: DataFrame, nprobe: Int, k: Int): DataFrame = {
+  /** Base relation for the IVF family: (vec_id, embedding, label, nrm),
+    * persisted (everything downstream touches it at least twice).
+    */
+  def ivfBase(emb: DataFrame): DataFrame = {
     val e = emb.select(col("vec_id"), col("embedding"), col("label"),
         norm(col("embedding")).as("nrm"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     graft.pipeline.Chunker.registerForCleanup(e)
+    e
+  }
+
+  /** (vector × centroid) ranking: every row of `e` scored against the
+    * broadcast ~sqrt(N) centroid set, ranked per vector by (cosine
+    * desc, cent_id). crn=1 is the cell assignment; crn<=nprobe are a
+    * query's probe cells. Persisted — it feeds both sides of the probe
+    * join.
+    *
+    * Rank NARROW rows: the table carries only ids and the cosine
+    * through the per-vector rank window — dragging the 64-float
+    * embedding through that sort shuffle multiplies the bytes moved
+    * for nothing. Embeddings re-join from the persisted base by vec_id
+    * afterwards.
+    */
+  def ivfScored(e: DataFrame): DataFrame = {
     val cents = ivfCentroids(e)
-    // Rank NARROW rows: the (vector x centroid) table carries only ids
-    // and the cosine through the per-vector rank window — dragging the
-    // 64-float embedding through that sort shuffle multiplies the bytes
-    // moved for nothing. Embeddings re-join from the persisted base by
-    // vec_id afterwards.
     val scored = e.crossJoin(broadcast(cents))
       .select(col("vec_id"), col("label"), col("cent_id"),
         cosinePre(col("embedding"), col("c_emb"),
@@ -237,6 +251,12 @@ object Similarity {
           .orderBy(col("c_cos").desc, col("cent_id"))))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     graft.pipeline.Chunker.registerForCleanup(scored)
+    scored
+  }
+
+  def annIvf(emb: DataFrame, nprobe: Int, k: Int): DataFrame = {
+    val e = ivfBase(emb)
+    val scored = ivfScored(e)
     val cells = scored.filter(col("crn") === 1)
       .select(col("vec_id"), col("cent_id"))
       .join(e.select(col("vec_id"), col("embedding"), col("nrm")), Seq("vec_id"))
@@ -244,6 +264,59 @@ object Similarity {
       .select(col("vec_id").as("q_id"), col("cent_id"))
       .join(e.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
         col("nrm").as("q_nrm")), Seq("q_id"))
+    val cands = cells.join(broadcast(qprobes), Seq("cent_id"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("neighbor_id"),
+        cosinePre(col("q_emb"), col("embedding"),
+          col("q_nrm"), col("nrm")).as("cosine"))
+    topK(cands, k)
+  }
+
+  /** Persist the IVF cell assignment as a SERVING layout: one
+    * directory per cell (`cent_id=<id>/`), each holding that cell's
+    * vectors with their precomputed norms. Directory partitioning is
+    * the right call here because the cell count is ~sqrt(N) — bounded,
+    * never the small-files explosion — and it turns the index into
+    * SCAN PRUNING: a query that probes nprobe cells reads nprobe
+    * directories at plan time and zero bytes of any other cell
+    * (LayoutWriterSpec's hive-partitioning argument, applied to the
+    * ANN index). This is the serving-time half of IVF that
+    * [[annIvf]]'s in-memory plan can't give you.
+    */
+  def writeIvfCells(emb: DataFrame, path: String): Unit = {
+    val e = ivfBase(emb)
+    val cells = ivfScored(e).filter(col("crn") === 1)
+      .select(col("vec_id"), col("cent_id"))
+      .join(e.select(col("vec_id"), col("embedding"), col("nrm")), Seq("vec_id"))
+    graft.sinks.LayoutWriter.writeHivePartitioned(cells, path, "cent_id")
+  }
+
+  /** A query's probe set against the same centroid sample:
+    * (q_id, cent_id, q_emb, q_nrm), one row per (query, probed cell).
+    */
+  def ivfQueryProbes(emb: DataFrame, nprobe: Int): DataFrame = {
+    val e = ivfBase(emb)
+    ivfScored(e).filter(col("label") === 0 && col("crn") <= nprobe)
+      .select(col("vec_id").as("q_id"), col("cent_id"))
+      .join(e.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm")), Seq("q_id"))
+  }
+
+  /** Serve top-k from the on-disk cell layout: read ONLY the probed
+    * cells (literal partition filter → plan-time directory pruning),
+    * exact re-rank inside them. The collected probe-cell id list is
+    * queries×nprobe long — the serving request itself, not data. Must
+    * return exactly [[annIvf]]'s rows for the same (nprobe, k):
+    * SimilaritySpec asserts equality plus the pruning.
+    */
+  def serveIvfTopK(spark: SparkSession, path: String, qprobes: DataFrame,
+                   k: Int): DataFrame = {
+    val cellIds = qprobes.select(col("cent_id")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    val cells = spark.read.parquet(path)
+      // partition-column type inference may narrow cent_id to int
+      .withColumn("cent_id", col("cent_id").cast("long"))
+      .filter(col("cent_id").isin(cellIds.map(Long.box): _*))
     val cands = cells.join(broadcast(qprobes), Seq("cent_id"))
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("neighbor_id"),
@@ -280,6 +353,23 @@ object Similarity {
     "q39_ann_buckets" -> ((s, d) => annBuckets(embeddings(s, d), Q39Bits, 3)),
     "q52_ann_multiprobe" -> ((s, d) => annMultiprobe(embeddings(s, d), Q52Bits, 3)),
     "q62_ann_ivf" -> ((s, d) => annIvf(embeddings(s, d), 2, 3)),
+
+    // IVF serving-layout round trip (side-effect entry, q91 pattern):
+    // write the cell assignment hive-partitioned by cent_id via
+    // writeIvfCells, read the layout back, and digest per-cell
+    // membership (count + id-sum). The oracle recomputes the cell
+    // assignment from the raw table, so a hash match proves the
+    // directory layout is a LOSSLESS re-arrangement of the exact crn=1
+    // assignment — pruning behavior is SimilaritySpec's half.
+    "q140_ivf_cells_layout" -> ((s, d) => {
+      val out = FileFormats.scratch(d, "ivf_cells")
+      writeIvfCells(embeddings(s, d), out)
+      s.read.parquet(out)
+        .select(col("cent_id").cast("long").as("cent_id"), col("vec_id"))
+        .groupBy(col("cent_id"))
+        .agg(count(lit(1)).as("n_members"),
+          sum(col("vec_id")).as("sum_vec_ids"))
+    }),
 
     // Per-label centroid via the typed VecCentroid Aggregator (UDAF
     // surface): one hash aggregate with a fixed 8*dim buffer — no
@@ -336,6 +426,29 @@ object Similarity {
        |  / (sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
        |   * sqrt(list_sum(list_transform($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6)""".stripMargin
 
+  /** Shared CTE prefix of the IVF oracles (q62, q140): corpus →
+    * sampling rate → ~sqrt(N) centroid set → per-vector centroid
+    * ranking. One definition so the two oracles can never drift.
+    */
+  private lazy val ivfRankedCteSql: String =
+    s"""e AS (SELECT vec_id, embedding, label FROM embeddings),
+       |r AS (
+       |  SELECT ceil(sqrt(CAST(count(*) AS DOUBLE)))
+       |           / CAST(count(*) AS DOUBLE) AS cent_rate
+       |  FROM e),
+       |cents AS (
+       |  SELECT vec_id AS cent_id, embedding AS c_emb FROM e, r
+       |  WHERE ${TextAnalytics.hashFractionSql("vec_id")} < r.cent_rate),
+       |scored AS (
+       |  SELECT e.vec_id, e.embedding, e.label, c.cent_id,
+       |    ${cosineSql("e.embedding", "c.c_emb")} AS c_cos
+       |  FROM e CROSS JOIN cents c),
+       |ranked AS (
+       |  SELECT vec_id, embedding, label, cent_id,
+       |    row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY c_cos DESC, cent_id) AS crn
+       |  FROM scored)""".stripMargin
+
   private def topKSql(candsCte: String, k: Int): String =
     s"""SELECT q_id, neighbor_id, rn, cosine FROM (
        |  SELECT q_id, neighbor_id, cosine,
@@ -378,23 +491,7 @@ object Similarity {
         |FROM e GROUP BY label, pos""".stripMargin,
 
     "q62_ann_ivf" ->
-      s"""WITH e AS (SELECT vec_id, embedding, label FROM embeddings),
-         |r AS (
-         |  SELECT ceil(sqrt(CAST(count(*) AS DOUBLE)))
-         |           / CAST(count(*) AS DOUBLE) AS cent_rate
-         |  FROM e),
-         |cents AS (
-         |  SELECT vec_id AS cent_id, embedding AS c_emb FROM e, r
-         |  WHERE ${TextAnalytics.hashFractionSql("vec_id")} < r.cent_rate),
-         |scored AS (
-         |  SELECT e.vec_id, e.embedding, e.label, c.cent_id,
-         |    ${cosineSql("e.embedding", "c.c_emb")} AS c_cos
-         |  FROM e CROSS JOIN cents c),
-         |ranked AS (
-         |  SELECT vec_id, embedding, label, cent_id,
-         |    row_number() OVER (PARTITION BY vec_id
-         |      ORDER BY c_cos DESC, cent_id) AS crn
-         |  FROM scored),
+      s"""WITH $ivfRankedCteSql,
          |cells AS (
          |  SELECT vec_id, embedding, cent_id FROM ranked WHERE crn = 1),
          |qprobes AS (
@@ -406,6 +503,13 @@ object Similarity {
          |  FROM cells c JOIN qprobes q ON c.cent_id = q.cent_id
          |  WHERE c.vec_id <> q.q_id)
          |${topKSql("cands", 3)}""".stripMargin,
+
+    "q140_ivf_cells_layout" ->
+      s"""WITH $ivfRankedCteSql
+         |SELECT cent_id, count(*) AS n_members,
+         |  CAST(sum(vec_id) AS BIGINT) AS sum_vec_ids
+         |FROM ranked WHERE crn = 1
+         |GROUP BY cent_id""".stripMargin,
 
     "q52_ann_multiprobe" ->
       s"""WITH sigs AS (

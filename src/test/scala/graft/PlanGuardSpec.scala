@@ -1,0 +1,116 @@
+package graft
+
+import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Scale-killer regression guard over EVERY catalog plan: future rounds
+  * cannot silently ship a cartesian product, an unplanned
+  * nested-loop join, or a single-partition global window — the three
+  * shapes that work on a 60k-row fixture and melt on a 1000-executor
+  * cluster.
+  *
+  *  - CartesianProductExec (a non-broadcast cross join) is NEVER
+  *    allowed: every documented cross in the catalog is against a
+  *    broadcast scalar/sample, which plans as a broadcast join.
+  *  - BroadcastNestedLoopJoinExec is allowed ONLY for the audited
+  *    crossJoin(broadcast(...)) patterns in [[BnljWhitelist]] — each
+  *    entry is a 1-row rate/stat scalar, a ~sqrt(N) sample, or a
+  *    documented exact baseline (VERDICT r4/r5 plan audits).
+  *  - A Window with an EMPTY partition spec funnels the whole dataset
+  *    through one task: all global orders must go through the
+  *    two-phase plans/Ranks or Chunker.runningSum instead.
+  *
+  * Plans are inspected pre-execution ([[org.apache.spark.sql.Dataset.queryExecution]].sparkPlan) with
+  * subqueries included, so the guard costs plan construction only —
+  * except the handful of eager side-effect entries (file round-trips),
+  * which write their sf0.001-sized fixtures while building.
+  */
+class PlanGuardSpec extends AnyFunSuite {
+  import TestSpark.spark
+
+  /** name -> why the BroadcastNestedLoopJoin there is the plan we want.
+    * Every entry is crossJoin(broadcast(X)) where X is a 1-row scalar,
+    * a bounded literal/dim, or a documented sublinear sample — the
+    * broadcast side can never grow with the corpus.
+    */
+  private val BnljWhitelist: Map[String, String] = Map(
+    "q38_cosine_topk" -> "documented exact O(N*Q) baseline: corpus x broadcast query set",
+    "q62_ann_ivf" -> "1-row sampling rate + ~sqrt(N) centroid sample, both broadcast",
+    "q140_ivf_cells_layout" -> "same ivfScored crossJoins as q62 (rate + sqrt(N) cents)",
+    "q139_kmeans" -> "K centroids packed into ONE broadcast row, per Lloyd sweep",
+    "q127_triangle_count" -> "1-row edge-count x 1-row triangle-count at the very top",
+    "q138_triangle_degree" -> "same 1-row x 1-row stats join as q127",
+    "q11_approx_distinct" -> "1-row exact counts x 1-row HLL estimates",
+    "q43_tfidf_topterms" -> "1-row corpus source count",
+    "q60_lang_id" -> "doc grid x bounded literal language list",
+    "q73_gapfill_hourly" -> "1-row min/max time bounds",
+    "q82_rolling_dau" -> "1-row date bounds",
+    "q88_rate_anomaly" -> "1-row global rate stats",
+    "q94_histogram" -> "1-row min/max bin bounds",
+    "q98_surprisal" -> "1-row corpus token total",
+    "q99_mixture_rebalance" -> "per-source target rates: bounded by source cardinality",
+    "q105_weighted_sample" -> "1-row max weight scalar",
+    "q114_bm25" -> "1-row corpus stats (N, avgdl)",
+    "q116_equidepth_histogram" -> "1-row total row count",
+    "q117_source_divergence" -> "1-row global distribution total",
+    "q118_word_pmi" -> "1-row document count",
+    "q120_chi_square" -> "1-row grand total, twice (rows/cols margins)",
+    "ref_token_cost" -> "1-row token total x 4-row model price table")
+
+  /** Walk a physical plan AND every subquery plan hanging off its
+    * expressions (a hand-embedded scalar subquery — q126's bloom build
+    * — still carries a LOGICAL plan at this stage; plan it first).
+    */
+  private def inspect(name: String,
+                      plan: org.apache.spark.sql.execution.SparkPlan,
+                      offenders: scala.collection.mutable.ArrayBuffer[String]): Unit = {
+    plan.foreach { node =>
+      node match {
+        case _: CartesianProductExec =>
+          offenders += s"$name: CartesianProduct"
+        case _: BroadcastNestedLoopJoinExec if !BnljWhitelist.contains(name) =>
+          offenders += s"$name: BroadcastNestedLoopJoin (not whitelisted)"
+        case w: WindowExec if w.partitionSpec.isEmpty =>
+          offenders += s"$name: Window with empty partition spec"
+        case w: WindowGroupLimitExec if w.partitionSpec.isEmpty =>
+          offenders += s"$name: WindowGroupLimit with empty partition spec"
+        // persisted intermediates wrap their plan in an InMemoryRelation
+        // that foreach does NOT enter — without this descent every
+        // .persist() would hide its subtree from the guard
+        case im: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+          inspect(name, im.relation.cachedPlan, offenders)
+        // ... and the cached plan itself is an AdaptiveSparkPlanExec
+        // whose inner plan is a FIELD, not a child — unwrap or the
+        // descent above sees an opaque leaf
+        case aqe: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          inspect(name, aqe.executedPlan, offenders)
+        case _ =>
+      }
+      node.expressions.foreach(_.foreach {
+        case pe: org.apache.spark.sql.catalyst.expressions.PlanExpression[_] =>
+          pe.plan match {
+            case sp: org.apache.spark.sql.execution.SparkPlan =>
+              inspect(name, sp, offenders)
+            case lp: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =>
+              inspect(name, spark.sessionState.executePlan(lp).sparkPlan,
+                offenders)
+            case _ =>
+          }
+        case _ =>
+      })
+    }
+  }
+
+  test("no catalog plan ships a cartesian, stray nested-loop join, or global window") {
+    val d = TestSpark.sf0001
+    val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      inspect(name, fn(spark, d).queryExecution.sparkPlan, offenders)
+    }
+    // free the persisted intermediates the constructions registered
+    pipeline.Chunker.clearCaches()
+    assert(offenders.isEmpty,
+      s"scale-killer shapes found:\n${offenders.mkString("\n")}")
+  }
+}

@@ -89,6 +89,52 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.8, s"IVF recall@3 $recall < 0.8")
   }
 
+  test("IVF cell layout: serving reads only the probed directories, top-k unchanged") {
+    val out = java.nio.file.Files
+      .createTempDirectory("graft-ivf-cells").toString + "/cells"
+    Similarity.writeIvfCells(planted, out)
+    // a serving request: TWO queries, nprobe=2 — at most 4 of the ~17
+    // cells may be touched
+    val qids = planted.filter(col("label") === 0)
+      .select(col("vec_id")).orderBy(col("vec_id"))
+      .limit(2).collect().map(_.getLong(0)).toSeq
+    val qprobes = Similarity.ivfQueryProbes(planted, 2)
+      .filter(col("q_id").isin(qids.map(Long.box): _*))
+    val probeCells = qprobes.select(col("cent_id")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(probeCells.nonEmpty && probeCells.size <= 4)
+
+    val served = Similarity.serveIvfTopK(spark, out, qprobes, 3)
+    // plan-time pruning: the scan carries partition filters, and every
+    // file it reads sits under a probed cell's directory
+    val plan = served.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), plan.take(800))
+    val pruned = spark.read.parquet(out)
+      .withColumn("cent_id", col("cent_id").cast("long"))
+      .filter(col("cent_id").isin(probeCells.toSeq.map(Long.box): _*))
+    val files = pruned.select(input_file_name()).distinct()
+      .collect().map(_.getString(0))
+    assert(files.nonEmpty &&
+      files.forall(f => probeCells.exists(c => f.contains(s"cent_id=$c/"))),
+      files.mkString(", "))
+    val allCells = spark.read.parquet(out)
+      .select(col("cent_id")).distinct().count()
+    assert(probeCells.size < allCells,
+      s"pruning vacuous: ${probeCells.size} of $allCells cells probed")
+
+    // and the served rows are EXACTLY the in-memory annIvf rows for
+    // the same queries — the layout changes the read cost, never the
+    // answer
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.filter(col("q_id").isin(qids.map(Long.box): _*))
+        .select(col("q_id"), col("neighbor_id"), col("rn"), col("cosine"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+        .sortBy(t => (t._1, t._3))
+        .toSeq
+    assert(rows(served) == rows(Similarity.annIvf(planted, 2, 3)))
+  }
+
   test("IVF centroid count is ~sqrt(N): sublinear, bounded broadcast") {
     // the round-4 design sampled every stride-th vector (N/16 centroids:
     // a linearly-growing broadcast and an O(N^2/stride) assignment);
