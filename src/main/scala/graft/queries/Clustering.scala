@@ -102,8 +102,35 @@ object Clustering {
       .select(col("vec_id"), col("cent_id").as("cluster"), col("dist_sq"))
   }
 
+  /** Per-cluster sample target for q142. */
+  val SampleTarget = 20L
+
+  /** Cluster-then-sample — the curation move k-means exists for in an
+    * LLM-data pipeline: partition the corpus by semantic cluster, then
+    * draw a BALANCED deterministic sample (up to `target` per cluster,
+    * rate = min(1, target/|cluster|)) so dominant clusters stop
+    * drowning out rare ones. Same shape as q99's source rebalance with
+    * the stratum learned by q139 instead of read from a column.
+    *
+    * Scale shape: cluster sizes are a K-row aggregate joined back as a
+    * broadcast; membership is the map-side hashFraction filter — no
+    * extra shuffle beyond the kmeans assignment itself.
+    */
+  def clusterSample(assigned: DataFrame, target: Long): DataFrame = {
+    val rates = assigned.groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_c"))
+      .select(col("cluster"),
+        least(lit(1.0), lit(target).cast("double") / col("n_c")).as("rate"))
+    assigned.join(broadcast(rates), Seq("cluster"))
+      .filter(TextAnalytics.hashFraction(col("vec_id")) < col("rate"))
+      .select(col("vec_id"), col("cluster"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q139_kmeans" -> ((s, d) => kmeans(embeddings(s, d), K, Iters))
+    "q139_kmeans" -> ((s, d) => kmeans(embeddings(s, d), K, Iters)),
+
+    "q142_cluster_sample" -> ((s, d) =>
+      clusterSample(kmeans(embeddings(s, d), K, Iters), SampleTarget))
   )
 
   // ---- DuckDB mirrors --------------------------------------------------
@@ -141,21 +168,38 @@ object Clustering {
        |    GROUP BY cent_id, pos)
        |  GROUP BY cent_id)""".stripMargin
 
+  /** The full unrolled Lloyd run as a WITH-body (seeds → `Iters`
+    * assign/re-centroid pairs → final assignment `fin`) — shared by
+    * the q139 and q142 oracles so they cannot drift.
+    */
+  private lazy val kmeansCteSql: String = {
+    val steps = (1 to Iters).flatMap(i => Seq(
+      assignSql(s"a$i", if (i == 1) "c0" else s"c${i - 1}"),
+      recentroidSql(s"c$i", s"a$i"))).mkString(",\n")
+    s"""e AS (SELECT vec_id, embedding FROM embeddings),
+       |c0 AS (
+       |  SELECT vec_id AS cent_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS c_emb
+       |  FROM e
+       |  ORDER BY ${TextAnalytics.hashFractionSql("vec_id")}, vec_id
+       |  LIMIT $K),
+       |$steps,
+       |${assignSql("fin", s"c$Iters")}""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
-    "q139_kmeans" -> {
-      val steps = (1 to Iters).flatMap(i => Seq(
-        assignSql(s"a$i", if (i == 1) "c0" else s"c${i - 1}"),
-        recentroidSql(s"c$i", s"a$i"))).mkString(",\n")
-      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
-         |c0 AS (
-         |  SELECT vec_id AS cent_id,
-         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS c_emb
-         |  FROM e
-         |  ORDER BY ${TextAnalytics.hashFractionSql("vec_id")}, vec_id
-         |  LIMIT $K),
-         |$steps,
-         |${assignSql("fin", s"c$Iters")}
-         |SELECT vec_id, cent_id AS cluster, dist_sq FROM fin""".stripMargin
-    }
+    "q139_kmeans" ->
+      s"""WITH $kmeansCteSql
+         |SELECT vec_id, cent_id AS cluster, dist_sq FROM fin""".stripMargin,
+
+    "q142_cluster_sample" ->
+      s"""WITH $kmeansCteSql,
+         |rates AS (
+         |  SELECT cent_id,
+         |    least(1.0, CAST($SampleTarget AS DOUBLE) / count(*)) AS rate
+         |  FROM fin GROUP BY cent_id)
+         |SELECT f.vec_id, f.cent_id AS cluster
+         |FROM fin f JOIN rates r ON r.cent_id = f.cent_id
+         |WHERE ${TextAnalytics.hashFractionSql("f.vec_id")} < r.rate""".stripMargin
   )
 }

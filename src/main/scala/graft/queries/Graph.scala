@@ -165,6 +165,45 @@ object Graph {
     stats.crossJoin(tri).select(col("n_edges"), col("n_triangles"))
   }
 
+  /** Connected components by min-label propagation over undirected
+    * (a, b) edges: every node starts labeled with its own id; each
+    * sweep replaces a node's label with the min over itself and its
+    * neighbors. After `iters` sweeps a node's label is the minimum id
+    * within distance `iters` — run diameter-many sweeps for the exact
+    * components (dedup-cluster identification at corpus scale runs
+    * O(log N) sweeps of exactly this shape; GraphSpec proves both the
+    * converged multi-component case and the partial-propagation
+    * semantics).
+    *
+    * Scale shape per sweep: one equi-join of the symmetrized edge list
+    * (persisted once) against the node-sized label table + one min
+    * aggregate — the q119 iteration discipline; all-integer, so the
+    * unrolled-CTE oracle matches exactly.
+    */
+  def connectedComponents(nodes: DataFrame, edges: DataFrame,
+                          iters: Int): DataFrame = {
+    val sym = edges.select(col("a").as("u"), col("b").as("v"))
+      .unionAll(edges.select(col("b").as("u"), col("a").as("v")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.pipeline.Chunker.registerForCleanup(sym)
+    var lab = nodes.select(col("node"), col("node").as("comp"))
+    for (_ <- 1 to iters) {
+      val nbrMin = sym.join(lab, col("v") === col("node"))
+        .groupBy(col("u")).agg(min(col("comp")).as("nbr_comp"))
+      lab = lab.join(nbrMin, lab("node") === nbrMin("u"), "left")
+        .select(lab("node"),
+          least(col("comp"), coalesce(col("nbr_comp"), col("comp")))
+            .as("comp"))
+    }
+    lab
+  }
+
+  /** Label sweeps for q141: the trade graph's diameter is tiny (every
+    * nation trades broadly), so 4 sweeps converge with slack at every
+    * SF.
+    */
+  val CcIters = 4
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q119_pagerank" -> ((s, d) => {
       val nodes = nation(s, d).select(col("n_nationkey").as("node"))
@@ -180,7 +219,15 @@ object Graph {
     // proves count-invariance independently of GraphSpec's planted-hub
     // fan-in bound.
     "q138_triangle_degree" -> ((s, d) =>
-      triangleCount(degreeOrientEdges(undirectedTradeEdges(s, d))))
+      triangleCount(degreeOrientEdges(undirectedTradeEdges(s, d)))),
+
+    "q141_connected_components" -> ((s, d) => {
+      // long node ids on both engines (the label column type must
+      // survive the least/min chain identically)
+      val nodes = nation(s, d)
+        .select(col("n_nationkey").cast("long").as("node"))
+      connectedComponents(nodes, undirectedTradeEdges(s, d), CcIters)
+    })
   )
 
   /** One unrolled iteration of the integer sweep (DuckDB `//` is the
@@ -198,7 +245,40 @@ object Graph {
        |  LEFT JOIN $prev p ON p.node = e.src
        |  GROUP BY n.node)""".stripMargin
 
+  /** One unrolled min-label sweep (mirrors [[connectedComponents]]). */
+  private def ccIterSql(prev: String, cur: String): String =
+    s"""$cur AS (
+       |  SELECT p.node,
+       |    least(p.comp, coalesce(m.nbr_comp, p.comp)) AS comp
+       |  FROM $prev p
+       |  LEFT JOIN (
+       |    SELECT s.u, min(p2.comp) AS nbr_comp
+       |    FROM sym s JOIN $prev p2 ON p2.node = s.v
+       |    GROUP BY s.u) m ON m.u = p.node)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q141_connected_components" -> {
+      val iters = (1 to CcIters)
+        .map(i => ccIterSql(s"l${i - 1}", s"l$i")).mkString(",\n")
+      s"""WITH co AS (
+         |  SELECT o.o_orderkey, c.c_nationkey AS dst
+         |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+         |ls AS (
+         |  SELECT l.l_orderkey, s.s_nationkey AS src
+         |  FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey),
+         |ed AS (
+         |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+         |  FROM ls JOIN co ON ls.l_orderkey = co.o_orderkey
+         |  WHERE src <> dst),
+         |sym AS (
+         |  SELECT a AS u, b AS v FROM ed
+         |  UNION ALL SELECT b AS u, a AS v FROM ed),
+         |nodes AS (SELECT CAST(n_nationkey AS BIGINT) AS node FROM nation),
+         |l0 AS (SELECT node, node AS comp FROM nodes),
+         |$iters
+         |SELECT node, CAST(comp AS BIGINT) AS comp FROM l$CcIters""".stripMargin
+    },
+
     "q127_triangle_count" ->
       """WITH co AS (
         |  SELECT o.o_orderkey, c.c_nationkey AS dst

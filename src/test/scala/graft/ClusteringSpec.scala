@@ -60,6 +60,24 @@ class ClusteringSpec extends AnyFunSuite {
       .forall(_.getAs[Double]("dist_sq") < 1.0))
   }
 
+  test("cluster sample: big clusters capped near target, small kept whole") {
+    // cluster 1: 100 members, cluster 2: 5 members, target 20
+    val assigned = ((1L to 100L).map(i => (i, 1L)) ++
+      (200L to 204L).map(i => (i, 2L))).toDF("vec_id", "cluster")
+    val out = Clustering.clusterSample(assigned, 20L).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("cluster")))
+    val byCluster = out.groupBy(_._2).view.mapValues(_.length).toMap
+    // rate 1.0 keeps every member (hashFraction < 1 always)
+    assert(byCluster(2L) == 5, s"small cluster must survive whole: $byCluster")
+    // rate 0.2 on 100 members: hash-binomial around 20, never the whole
+    // cluster; exact count is deterministic forever
+    assert(byCluster(1L) > 5 && byCluster(1L) < 50, byCluster.toString)
+    // determinism: the same call yields the same sample
+    val again = Clustering.clusterSample(assigned, 20L).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("cluster")))
+    assert(out.sorted.toSeq == again.sorted.toSeq)
+  }
+
   test("lloyd iterations never increase total within-cluster SSE") {
     val ids = (1L to 30L)
     val emb = ids.map { id =>

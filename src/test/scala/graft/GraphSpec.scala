@@ -121,6 +121,33 @@ class GraphSpec extends AnyFunSuite {
     assert(maxOut(degE) <= 3L, "degree orientation must bound the fan-in")
   }
 
+  test("connected components: two planted components plus an isolate") {
+    // {0,1,2,3} chained, {10,11,12} a triangle, 99 isolated
+    val und = Seq((0L, 1L), (1L, 2L), (2L, 3L),
+      (10L, 11L), (11L, 12L), (10L, 12L)).toDF("a", "b")
+    val ns = Seq(0L, 1L, 2L, 3L, 10L, 11L, 12L, 99L).toDF("node")
+    // diameter 3 → 3 sweeps converge
+    val comp = Graph.connectedComponents(ns, und, 3).collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("comp")).toMap
+    assert(Seq(0L, 1L, 2L, 3L).forall(comp(_) == 0L), comp.toString)
+    assert(Seq(10L, 11L, 12L).forall(comp(_) == 10L), comp.toString)
+    assert(comp(99L) == 99L, "an isolate keeps its own label")
+  }
+
+  test("connected components: each sweep propagates exactly one hop") {
+    // path 0-1-2-3-4: after k sweeps, node i holds min id within k hops
+    val und = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L)).toDF("a", "b")
+    val ns = (0L to 4L).toDF("node")
+    def labels(iters: Int) =
+      Graph.connectedComponents(ns, und, iters).collect()
+        .map(r => r.getAs[Long]("node") -> r.getAs[Long]("comp")).toMap
+    val one = labels(1)
+    assert(one == Map(0L -> 0L, 1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L))
+    val two = labels(2)
+    assert(two == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 2L))
+    assert(labels(4) == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 0L))
+  }
+
   private def stageDocs(rows: Seq[(Long, String, String)]): String = {
     val dir = java.nio.file.Files
       .createTempDirectory("graft_chisq").toString

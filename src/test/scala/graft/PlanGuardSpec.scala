@@ -39,6 +39,7 @@ class PlanGuardSpec extends AnyFunSuite {
     "q62_ann_ivf" -> "1-row sampling rate + ~sqrt(N) centroid sample, both broadcast",
     "q140_ivf_cells_layout" -> "same ivfScored crossJoins as q62 (rate + sqrt(N) cents)",
     "q139_kmeans" -> "K centroids packed into ONE broadcast row, per Lloyd sweep",
+    "q142_cluster_sample" -> "inherits q139's per-sweep single-broadcast-row crossJoins",
     "q127_triangle_count" -> "1-row edge-count x 1-row triangle-count at the very top",
     "q138_triangle_degree" -> "same 1-row x 1-row stats join as q127",
     "q11_approx_distinct" -> "1-row exact counts x 1-row HLL estimates",
