@@ -148,6 +148,31 @@ class GraphSpec extends AnyFunSuite {
     assert(labels(4) == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 0L))
   }
 
+  test("pointer-doubling CC agrees with converged one-hop CC") {
+    val und = Seq((0L, 1L), (1L, 2L), (2L, 3L),
+      (10L, 11L), (11L, 12L), (10L, 12L)).toDF("a", "b")
+    val ns = Seq(0L, 1L, 2L, 3L, 10L, 11L, 12L, 99L).toDF("node")
+    def toMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("comp")).toMap
+    val slow = toMap(Graph.connectedComponents(ns, und, 3))
+    val fast = toMap(Graph.connectedComponentsFast(ns, und, 2))
+    assert(fast == slow, s"fast=$fast slow=$slow")
+  }
+
+  test("pointer doubling converges in O(log diameter) on a long chain") {
+    // 33-node path: one-hop propagation needs 32 sweeps; with the
+    // doubling hop, label reach at least doubles per round
+    val n = 33
+    val und = (0 until n - 1).map(i => (i.toLong, i.toLong + 1)).toDF("a", "b")
+    val ns = (0L until n.toLong).toDF("node")
+    def allZero(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .forall(_.getAs[Long]("comp") == 0L)
+    assert(!allZero(Graph.connectedComponents(ns, und, 5)),
+      "one-hop propagation cannot cover a 32-hop chain in 5 sweeps")
+    assert(allZero(Graph.connectedComponentsFast(ns, und, 5)),
+      "5 doubling rounds must cover a 32-hop chain (reach >= 2^5)")
+  }
+
   private def stageDocs(rows: Seq[(Long, String, String)]): String = {
     val dir = java.nio.file.Files
       .createTempDirectory("graft_chisq").toString
