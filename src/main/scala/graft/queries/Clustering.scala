@@ -117,11 +117,16 @@ object Clustering {
     * extra shuffle beyond the kmeans assignment itself.
     */
   def clusterSample(assigned: DataFrame, target: Long): DataFrame = {
-    val rates = assigned.groupBy(col("cluster"))
+    // `assigned` feeds both the size aggregate and the membership
+    // filter — persist it or its whole upstream (4 Lloyd passes when
+    // fed from kmeans) executes twice
+    val a = assigned.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.pipeline.Chunker.registerForCleanup(a)
+    val rates = a.groupBy(col("cluster"))
       .agg(count(lit(1)).as("n_c"))
       .select(col("cluster"),
         least(lit(1.0), lit(target).cast("double") / col("n_c")).as("rate"))
-    assigned.join(broadcast(rates), Seq("cluster"))
+    a.join(broadcast(rates), Seq("cluster"))
       .filter(TextAnalytics.hashFraction(col("vec_id")) < col("rate"))
       .select(col("vec_id"), col("cluster"))
   }

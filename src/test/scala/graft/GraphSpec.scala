@@ -159,6 +159,19 @@ class GraphSpec extends AnyFunSuite {
     assert(fast == slow, s"fast=$fast slow=$slow")
   }
 
+  test("CC shuffle-join label path is bit-identical to broadcast (both variants)") {
+    val und = Seq((0L, 1L), (1L, 2L), (2L, 3L),
+      (10L, 11L), (11L, 12L), (10L, 12L)).toDF("a", "b")
+    val ns = Seq(0L, 1L, 2L, 3L, 10L, 11L, 12L, 99L).toDF("node")
+    def toMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("comp")).toMap
+    assert(toMap(Graph.connectedComponents(ns, und, 2, broadcastLabels = true))
+      == toMap(Graph.connectedComponents(ns, und, 2, broadcastLabels = false)))
+    assert(
+      toMap(Graph.connectedComponentsFast(ns, und, 2, broadcastLabels = true))
+        == toMap(Graph.connectedComponentsFast(ns, und, 2, broadcastLabels = false)))
+  }
+
   test("pointer doubling converges in O(log diameter) on a long chain") {
     // 33-node path: one-hop propagation needs 32 sweeps; with the
     // doubling hop, label reach at least doubles per round
