@@ -35,6 +35,25 @@ object Dedup {
       .agg(min(col(idCol)).as("survivor_id"),
         count(lit(1)).as("n_copies"))
 
+  /** Exact dedup with a PRIORITY rule: the survivor of each
+    * normalized-content group is the copy with the smallest
+    * `priority` value (curated-source ranking, recency, quality
+    * score…), doc-id tie-break — "keep the best copy", where plain
+    * [[exactDedup]] keeps an arbitrary-but-deterministic one. One
+    * hash aggregate: min over (priority, id) STRUCTS gives the argmin
+    * with map-side partial aggregation — no window, no second pass,
+    * the same shuffle bill as exactDedup.
+    */
+  def priorityDedup(docs: DataFrame, idCol: String, textCol: String,
+                    priority: Column): DataFrame =
+    docs.select(sha2(lower(trim(col(textCol))), 256).as("content_key"),
+        priority.cast("long").as("prio"), col(idCol))
+      .groupBy(col("content_key"))
+      .agg(min(struct(col("prio"), col(idCol))).as("best"),
+        count(lit(1)).as("n_copies"))
+      .select(col("content_key"), col(s"best.$idCol").as("survivor_id"),
+        col("best.prio").as("survivor_prio"), col("n_copies"))
+
   /** The deduplicated corpus itself: one surviving row (min id) per
     * normalized-content group — what a training-data pipeline actually
     * feeds downstream. Implemented as a semi-join against the survivor
@@ -549,6 +568,11 @@ object Dedup {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_dedup_exact" -> ((s, d) =>
       exactDedup(documents(s, d), "doc_id", "text")),
+    // priority = the source's numeric rank (stand-in for a curated
+    // source-preference table; the ORDER is the operator's parameter)
+    "q145_priority_dedup" -> ((s, d) =>
+      priorityDedup(documents(s, d), "doc_id", "text",
+        substring(col("source"), 4, 10).cast("int"))),
     "q97_dedup_cap" -> ((s, d) =>
       capDuplicates(documents(s, d), "doc_id", "text", k = 2)),
     "q41_dedup_near" -> ((s, d) =>
@@ -806,6 +830,21 @@ object Dedup {
       """SELECT sha256(lower(trim(text))) AS content_key,
         |  min(doc_id) AS survivor_id, count(*) AS n_copies
         |FROM documents GROUP BY 1""".stripMargin,
+
+    "q145_priority_dedup" ->
+      """WITH p AS (
+        |  SELECT doc_id, sha256(lower(trim(text))) AS content_key,
+        |    CAST(CAST(substring(source, 4, 10) AS INT) AS BIGINT) AS prio
+        |  FROM documents),
+        |r AS (
+        |  SELECT content_key, doc_id, prio,
+        |    row_number() OVER (PARTITION BY content_key
+        |      ORDER BY prio, doc_id) AS rn,
+        |    count(*) OVER (PARTITION BY content_key) AS n_copies
+        |  FROM p)
+        |SELECT content_key, doc_id AS survivor_id,
+        |  prio AS survivor_prio, CAST(n_copies AS BIGINT) AS n_copies
+        |FROM r WHERE rn = 1""".stripMargin,
 
     "q97_dedup_cap" ->
       """SELECT doc_id, content_key, copy_rank FROM (

@@ -73,6 +73,11 @@ object TextAnalytics {
     */
   val Blocklist = Seq("slow", "big")
 
+  /** q144 context-window token budget (a typical training sequence
+    * length; the packing shape is budget-agnostic).
+    */
+  val PackBudget = 4096L
+
   /** Hex-string threshold for a sampling fraction: keep a row when the
     * first 8 hex chars of its content hash sort below this literal.
     * Computed ONCE driver-side and baked into both the Spark plan and
@@ -406,6 +411,29 @@ object TextAnalytics {
             .as("cost_nano_usd"),
           round(col("total_tokens").cast("double") * 1.25 / 1e6, 6)
             .as("cost_gpt5_usd"))
+    }),
+
+    // Sequence packing — the training-prep step that bins documents
+    // into fixed token-budget context windows (greedy, in stable
+    // doc_id order — the streaming-append packing): bin id =
+    // floor((cumulative_tokens - 1) / budget), the C3 chunk-id
+    // convention lifted to doc granularity, computed with the SAME
+    // two-phase distributed prefix sum as the chunker (only
+    // numPartitions rows ever touch the driver). A document straddling
+    // a boundary lands wholly in its cumulative-END bin, so
+    // bin_tokens < budget + max_doc_tokens — reported per bin so the
+    // packing efficiency is auditable.
+    "q144_sequence_packing" -> ((s, d) => {
+      val withTok = documents(s, d)
+        .select(col("doc_id"),
+          graft.functions.token_count(col("text")).cast("long").as("n_tok"))
+      graft.pipeline.Chunker
+        .runningSum(withTok, "doc_id", "n_tok", "cum_tok")
+        .select(col("doc_id"), col("n_tok"),
+          floor((col("cum_tok") - 1) / PackBudget).as("bin"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).as("bin_tokens"))
     }),
 
     "q42_lang_stats" -> ((s, d) => {
@@ -815,6 +843,20 @@ object TextAnalytics {
          |  round(CAST(total_tokens AS DOUBLE) * 1.25 / 1e6, 6)
          |    AS cost_gpt5_usd
          |FROM g""".stripMargin,
+
+    "q144_sequence_packing" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, ${RefPipeline.tokenCountSql("text")} AS n_tok
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, n_tok,
+         |    sum(n_tok) OVER (ORDER BY doc_id
+         |      ROWS UNBOUNDED PRECEDING) AS cum_tok
+         |  FROM t)
+         |SELECT CAST(floor((cum_tok - 1) / $PackBudget) AS BIGINT) AS bin,
+         |  count(*) AS n_docs,
+         |  CAST(sum(n_tok) AS BIGINT) AS bin_tokens
+         |FROM c GROUP BY 1""".stripMargin,
 
     "q42_lang_stats" ->
       s"""WITH t AS (SELECT lang, source, n_chars,

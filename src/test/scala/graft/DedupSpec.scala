@@ -29,6 +29,23 @@ class DedupSpec extends AnyFunSuite {
     assert(out(1).getAs[Long]("n_copies") == 1L)
   }
 
+  test("priority dedup keeps the best-ranked copy, not the min id") {
+    // same text from three sources; priority = source rank. The min-id
+    // copy (1, rank 5) must LOSE to the rank-0 copy (id 3); the
+    // id tie-break only applies within equal ranks (ids 10/11).
+    val docs = Seq(
+      (1L, "The Same Text", 5), (2L, "the same text", 2),
+      (3L, " THE SAME TEXT ", 0),
+      (10L, "other text", 1), (11L, "Other Text", 1),
+      (20L, "unique", 7)).toDF("doc_id", "text", "rank")
+    val out = Dedup.priorityDedup(docs, "doc_id", "text", col("rank"))
+      .collect()
+      .map(r => r.getAs[Long]("survivor_id") ->
+        (r.getAs[Long]("survivor_prio"), r.getAs[Long]("n_copies"))).toMap
+    assert(out == Map(3L -> (0L, 3L), 10L -> (1L, 2L), 20L -> (7L, 1L)),
+      out.toString)
+  }
+
   test("keepSurvivors returns the deduped corpus with min-id survivors") {
     val docs = Seq(
       (10L, base), (11L, base.toUpperCase), (12L, "different text here entirely"))

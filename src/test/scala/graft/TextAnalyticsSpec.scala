@@ -14,6 +14,29 @@ class TextAnalyticsSpec extends AnyFunSuite {
   import TestSpark.spark
   import spark.implicits._
 
+  test("sequence packing: greedy bin boundaries are exact") {
+    // greedy packing characterization: the cumulative token count
+    // through bin b must land in (b*B, (b+1)*B] — the lower bound says
+    // the bin closed only because the budget filled, the upper bound
+    // says no bin claims tokens past its boundary. (Every fixture doc
+    // is far under B, so bins are also contiguous.)
+    val out = SparkEntry
+      .queries("q144_sequence_packing")(spark, TestSpark.sf0001)
+      .collect()
+      .map(r => (r.getAs[Long]("bin"), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("bin_tokens")))
+      .sortBy(_._1)
+    assert(out.nonEmpty && out.map(_._1).toSeq == (0L until out.length))
+    val b = TextAnalytics.PackBudget
+    var cum = 0L
+    out.dropRight(1).foreach { case (bin, _, toks) =>
+      cum += toks
+      assert(cum > bin * b, s"bin $bin closed before the budget filled")
+      assert(cum <= (bin + 1) * b, s"bin $bin spilled past its boundary")
+    }
+    assert(out.forall(_._2 > 0))
+  }
+
   private val vocab = Map(
     "en" -> Seq("the", "and", "of", "house", "water", "light"),
     "es" -> Seq("el", "la", "de", "casa", "agua", "luz"),
