@@ -42,6 +42,37 @@ class EmptyInputSpec extends AnyFunSuite {
       .predictLang(noLangDocs, profiles, langs).count() == 0)
   }
 
+  test("round-6 operators on empty and degenerate inputs") {
+    // kmeans: empty corpus -> empty assignment; corpus smaller than K
+    // -> every point is its own seed at distance 0
+    assert(graft.queries.Clustering.kmeans(noVecs, 3, 2).count() == 0)
+    val two = Seq((1L, Seq(1f, 0f)), (2L, Seq(0f, 1f)))
+      .toDF("vec_id", "embedding")
+    val small = graft.queries.Clustering.kmeans(two, k = 5, iters = 2)
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Long]("cluster"), r.getAs[Double]("dist_sq"))).toMap
+    assert(small == Map(1L -> (1L, 0.0), 2L -> (2L, 0.0)))
+    // priority dedup on empty
+    assert(Dedup.priorityDedup(noDocs, "doc_id", "text", lit(0))
+      .count() == 0)
+    // connected components with zero edges: every node an isolate
+    val noEdges = Seq.empty[(Long, Long)].toDF("a", "b")
+    val ns = Seq(7L, 8L).toDF("node")
+    val iso = graft.queries.Graph.connectedComponents(ns, noEdges, 2)
+      .collect().map(r => r.getAs[Long]("node") -> r.getAs[Long]("comp"))
+    assert(iso.toMap == Map(7L -> 7L, 8L -> 8L))
+    val isoFast = graft.queries.Graph
+      .connectedComponentsFast(ns, noEdges, 2)
+      .collect().map(r => r.getAs[Long]("node") -> r.getAs[Long]("comp"))
+    assert(isoFast.toMap == Map(7L -> 7L, 8L -> 8L))
+    // triangle count on empty edges: zero edges, zero triangles
+    val tri = graft.queries.Graph
+      .triangleCount(graft.queries.Graph.degreeOrientEdges(noEdges))
+      .collect()(0)
+    assert(tri.getAs[Long]("n_edges") == 0L &&
+      tri.getAs[Long]("n_triangles") == 0L)
+  }
+
   test("docs below the shingle floor are excluded, not fatal") {
     val tiny = Seq((1L, "two words"), (2L, "")).toDF("doc_id", "text")
     assert(Dedup.shingleTable(tiny, "doc_id", "text").count() == 0)
