@@ -218,11 +218,12 @@ object Graph {
     lab
   }
 
-  /** Label sweeps for q141: the trade graph's diameter is tiny (every
-    * nation trades broadly), so 4 sweeps converge with slack at every
-    * SF.
+  /** Label sweeps for q141: the trade graph's diameter is 1–2 at
+    * every SF (every nation trades broadly), so 3 sweeps converge
+    * with slack — the q119 iteration-count convention; each sweep is
+    * a fixed per-round cost on the fixture.
     */
-  val CcIters = 4
+  val CcIters = 3
 
   /** The WEB-SCALE complement of [[connectedComponents]]: each round
     * runs the same neighbor-min sweep and then a POINTER-DOUBLING hop
