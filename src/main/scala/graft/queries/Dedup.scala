@@ -565,7 +565,81 @@ object Dedup {
       .filter(col("copy_rank") <= k)
   }
 
+  /** q151 similarity threshold. 0.6 = 3/5 exactly rational, so the
+    * float prefix-length ceil can never straddle an integer boundary
+    * differently across engines (t·n is either an integer or ≥ 0.2
+    * away from one).
+    */
+  val PrefixJoinT = 0.6
+
+  /** EXACT similarity join via prefix filtering (the AllPairs/PPJoin
+    * family, public algorithm — Bayardo et al., WWW 2007): finds EVERY
+    * pair with shingle-Jaccard ≥ t, guaranteed — the
+    * completeness-guaranteed complement to the probabilistic LSH
+    * candidates of q41/q49. Decontamination and compliance scrubs want
+    * "no qualifying pair missed", which no band/row configuration can
+    * promise; this operator trades the sketch for a provable prune.
+    *
+    * Under one GLOBAL token order (document-frequency ascending,
+    * shingle tie-break), each doc indexes only its PREFIX — the first
+    * n − ceil(t·n) + 1 of its n shingles in that order. If J(A,B) ≥ t
+    * then |A∩B| ≥ t·max(|A|,|B|), so the globally-smallest shared
+    * shingle sits inside BOTH prefixes — the prefix self-join misses
+    * nothing (DedupSpec proves equality with the brute-force join on a
+    * planted corpus). Scale shape: the df-ascending order is the skew
+    * defense — the hottest shingles sort LAST and fall out of every
+    * prefix, so the self-join keys are exactly the RARE shingles; the
+    * quadratic verify runs only on surviving candidates (the q49
+    * discipline). Output is every candidate with its exact Jaccard and
+    * the ≥ t verdict (q130's estimate-vs-exact presentation).
+    */
+  def prefixFilterJoin(docs: DataFrame, idCol: String, textCol: String,
+                       t: Double): DataFrame = {
+    val sh = shingleTable(docs, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    Chunker.registerForCleanup(sh)
+    val counts = sh.groupBy(col("doc")).agg(count(lit(1)).as("n_sh"))
+    val dfreq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    // rank within doc by the global (df, shingle) order; the window
+    // partitions by doc — input bounded by doc length, never corpus
+    val ranked = sh.join(dfreq, Seq("shingle"))
+      .withColumn("r", row_number().over(
+        Window.partitionBy(col("doc"))
+          .orderBy(col("df"), col("shingle"))).cast("long"))
+      .join(counts, Seq("doc"))
+      .filter(col("r") <=
+        col("n_sh") - ceil(lit(t) * col("n_sh")) + lit(1L))
+      .select(col("doc"), col("shingle"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    Chunker.registerForCleanup(ranked)
+    val cands = ranked.as("a")
+      .join(ranked.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
+      .distinct()
+    val inter = cands
+      .join(sh.as("sa"), col("doc_a") === col("sa.doc"))
+      .join(sh.as("sb"),
+        col("doc_b") === col("sb.doc") && col("sa.shingle") === col("sb.shingle"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    val jac = col("n_inter").cast("double") /
+      (col("n_a") + col("n_b") - col("n_inter"))
+    cands
+      .join(inter, Seq("doc_a", "doc_b"), "left")
+      .na.fill(0L, Seq("n_inter"))
+      .join(counts.withColumnRenamed("doc", "doc_a")
+        .withColumnRenamed("n_sh", "n_a"), Seq("doc_a"))
+      .join(counts.withColumnRenamed("doc", "doc_b")
+        .withColumnRenamed("n_sh", "n_b"), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        round(jac, 6).as("jaccard"),
+        (jac >= lit(t)).cast("long").as("passes"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q151_prefix_join" -> ((s, d) =>
+      prefixFilterJoin(documents(s, d), "doc_id", "text", PrefixJoinT)),
     "q40_dedup_exact" -> ((s, d) =>
       exactDedup(documents(s, d), "doc_id", "text")),
     // priority = the source's numeric rank (stand-in for a curated
@@ -767,6 +841,43 @@ object Dedup {
        |  FROM w WHERE len(ws) >= 3)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q151_prefix_join" -> {
+      val t = PrefixJoinT
+      s"""$shingleCtes,
+         |counts AS (SELECT doc, count(*) AS n_sh FROM shingles GROUP BY 1),
+         |dfreq AS (SELECT shingle, count(*) AS df FROM shingles GROUP BY 1),
+         |pre AS (
+         |  SELECT doc, shingle FROM (
+         |    SELECT s.doc, s.shingle, c.n_sh,
+         |      row_number() OVER (PARTITION BY s.doc
+         |        ORDER BY f.df, s.shingle) AS r
+         |    FROM shingles s
+         |    JOIN dfreq f ON f.shingle = s.shingle
+         |    JOIN counts c ON c.doc = s.doc)
+         |  WHERE r <= n_sh - CAST(ceil($t * n_sh) AS BIGINT) + 1),
+         |cands AS (
+         |  SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+         |  FROM pre a JOIN pre b
+         |    ON a.shingle = b.shingle AND a.doc < b.doc),
+         |inter AS (
+         |  SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+         |  FROM cands c
+         |  JOIN shingles sa ON sa.doc = c.doc_a
+         |  JOIN shingles sb ON sb.doc = c.doc_b AND sb.shingle = sa.shingle
+         |  GROUP BY 1, 2),
+         |jacs AS (
+         |  SELECT c.doc_a, c.doc_b,
+         |    CAST(coalesce(i.n_inter, 0) AS DOUBLE)
+         |      / (ca.n_sh + cb.n_sh - coalesce(i.n_inter, 0)) AS jac
+         |  FROM cands c
+         |  LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+         |  JOIN counts ca ON ca.doc = c.doc_a
+         |  JOIN counts cb ON cb.doc = c.doc_b)
+         |SELECT doc_a, doc_b, round(jac, 6) AS jaccard,
+         |  CAST(jac >= $t AS BIGINT) AS passes
+         |FROM jacs""".stripMargin
+    },
+
     "q130_minhash_estimate" -> {
       val agreeSql = (0 until MinhashFuncs)
         .map(k => s"CASE WHEN a.mh$k = b.mh$k THEN 1 ELSE 0 END")

@@ -284,7 +284,93 @@ object Graph {
     */
   val CcFastRounds = 2
 
+  /** Directed trade edges with an integer traversal COST — the SSSP
+    * input: busier lanes are cheaper (cost = max(1, 1e6 div w)), so the
+    * "shortest" route follows high-volume trade corridors. Integer
+    * division keeps the whole SSSP loop in exact BIGINT arithmetic
+    * (the q119 discipline); the floor at 1 keeps every cost positive
+    * at any scale factor, which Bellman-Ford relaxation requires for a
+    * fixed sweep count to be meaningful.
+    */
+  def costedTradeEdges(s: SparkSession, d: String): DataFrame = {
+    val co = orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+      .join(customer(s, d).select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("c_nationkey").as("dst"))
+    val ls = lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
+      .join(broadcast(supplier(s, d).select(col("s_suppkey"), col("s_nationkey"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("l_orderkey"), col("s_nationkey").as("src"))
+    ls.join(co, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
+      .select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"),
+        expr("greatest(CAST(1 AS BIGINT), 1000000 div w)").as("cost"))
+  }
+
+  /** Single-source shortest paths — Bellman-Ford relaxation sweeps,
+    * the iterative-graph operator behind reachability-with-cost
+    * (routing, influence radius, dedup-graph distance cutoffs). Each
+    * sweep relaxes EVERY edge once: cand(v) = min over edges u→v of
+    * dist(u) + cost(u,v), then dist'(v) = min(dist(v), cand(v)) with
+    * NULL standing for "unreached" (infinity). After k sweeps the
+    * distances are exact for every path of ≤ k hops — the unrolled
+    * oracle runs the identical sweeps, so agreement is exact whether
+    * or not the graph has converged.
+    *
+    * All-integer (BIGINT costs and distances), so Spark and DuckDB
+    * agree to the last unit — no float accumulates per sweep.
+    *
+    * `broadcastDist` mirrors q119's `broadcastRanks`: the distance
+    * table is node-sized — broadcast it while the node set is
+    * dimension-sized; `false` is the web-scale path where both joins
+    * shuffle on the node key (bit-identical output, GraphSpec). Per
+    * sweep: one edge⋈dist join + one min aggregate + one node-sized
+    * merge join — the q119/q141 iteration discipline.
+    */
+  def sssp(nodes: DataFrame, edges: DataFrame, source: Long, sweeps: Int,
+           broadcastDist: Boolean = true): DataFrame = {
+    val e = edges.select(col("src"), col("dst"), col("cost"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.pipeline.Chunker.registerForCleanup(e)
+    var dist = nodes.select(col("node"),
+      when(col("node") === source, lit(0L))
+        .otherwise(lit(null).cast("long")).as("dist"))
+    for (_ <- 1 to sweeps) {
+      // each sweep reads `dist` twice (relax + merge): persist the
+      // node-sized table per sweep or the lineage re-executes
+      dist = dist.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      graft.pipeline.Chunker.registerForCleanup(dist)
+      val dd = if (broadcastDist) broadcast(dist) else dist.hint("shuffle_hash")
+      val relax = e.join(dd, col("src") === col("node"))
+        .filter(col("dist").isNotNull)
+        .groupBy(col("dst")).agg(min(col("dist") + col("cost")).as("cand"))
+      val r = if (broadcastDist) broadcast(relax) else relax.hint("shuffle_hash")
+      // explicit CASE instead of least(): the engines disagree on
+      // least()'s NULL handling, and NULL here means infinity
+      dist = dist.join(r, dist("node") === r("dst"), "left")
+        .select(dist("node"),
+          when(dist("dist").isNull, col("cand"))
+            .when(col("cand").isNull, dist("dist"))
+            .otherwise(least(dist("dist"), col("cand"))).as("dist"))
+    }
+    dist
+  }
+
+  /** Sweeps for q146: distances are exact for paths of ≤ k hops; the
+    * trade graph's diameter is 1–2 at every SF, so 3 sweeps converge
+    * with slack — the q119/q141 fixed-iteration-count convention that
+    * keeps the oracle unrollable.
+    */
+  val SsspSweeps = 3
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q146_sssp" -> ((s, d) => {
+      val nodes = nation(s, d)
+        .select(col("n_nationkey").cast("long").as("node"))
+      sssp(nodes, costedTradeEdges(s, d), source = 0L, SsspSweeps)
+    }),
+
     "q119_pagerank" -> ((s, d) => {
       val nodes = nation(s, d).select(col("n_nationkey").as("node"))
       // 25 nations, fixed by the TPC-H spec at every scale factor.
@@ -376,7 +462,48 @@ object Graph {
        |  SELECT x.node, y.comp
        |  FROM sw$i x JOIN sw$i y ON y.node = x.comp)""".stripMargin
 
+  /** One unrolled Bellman-Ford sweep (mirrors [[sssp]]; NULL = inf). */
+  private def ssspIterSql(prev: String, cur: String): String =
+    s"""$cur AS (
+       |  SELECT p.node,
+       |    CASE WHEN p.dist IS NULL THEN m.cand
+       |         WHEN m.cand IS NULL THEN p.dist
+       |         ELSE least(p.dist, m.cand) END AS dist
+       |  FROM $prev p
+       |  LEFT JOIN (
+       |    SELECT e.dst, min(p2.dist + e.cost) AS cand
+       |    FROM ce e JOIN $prev p2 ON p2.node = e.src
+       |    WHERE p2.dist IS NOT NULL
+       |    GROUP BY e.dst) m ON m.dst = p.node)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q146_sssp" -> {
+      val sweeps = (1 to SsspSweeps)
+        .map(i => ssspIterSql(s"d${i - 1}", s"d$i")).mkString(",\n")
+      s"""WITH co AS (
+         |  SELECT o.o_orderkey, c.c_nationkey AS dst
+         |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+         |ls AS (
+         |  SELECT l.l_orderkey, s.s_nationkey AS src
+         |  FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey),
+         |ew AS (
+         |  SELECT src, dst, count(*) AS w
+         |  FROM ls JOIN co ON ls.l_orderkey = co.o_orderkey
+         |  GROUP BY 1, 2),
+         |ce AS (
+         |  SELECT CAST(src AS BIGINT) AS src, CAST(dst AS BIGINT) AS dst,
+         |    greatest(CAST(1 AS BIGINT), 1000000 // w) AS cost
+         |  FROM ew),
+         |nodes AS (SELECT CAST(n_nationkey AS BIGINT) AS node FROM nation),
+         |d0 AS (
+         |  SELECT node,
+         |    CASE WHEN node = 0 THEN CAST(0 AS BIGINT) ELSE NULL END AS dist
+         |  FROM nodes),
+         |$sweeps
+         |SELECT node, CAST(dist AS BIGINT) AS dist
+         |FROM d$SsspSweeps""".stripMargin
+    },
+
     "q141_connected_components" -> {
       val iters = (1 to CcIters)
         .map(i => ccIterSql(s"l${i - 1}", s"l$i")).mkString(",\n")

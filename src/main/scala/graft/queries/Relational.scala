@@ -819,6 +819,21 @@ object Relational {
       customer(s, d).select(col("c_mktsegment"), col("c_nationkey")).distinct()
     }),
 
+    // OUTER generator semantics — the explode edge case every
+    // flatten-then-rejoin pipeline hits: a plain posexplode DROPS rows
+    // whose array is empty, silently losing the parent record;
+    // posexplode_outer keeps them as a single (NULL pos, NULL word)
+    // row, so a later re-aggregation still sees every doc. The filter
+    // (words of ≥ 8 chars) leaves a real mix of empty and non-empty
+    // arrays on the fixture, so both branches are exercised and
+    // hash-checked. Pure per-row generator — zero shuffle.
+    "q150_generator_outer" -> ((s, d) => {
+      val arr = filter(TextOps.wordsOf(col("text")), x => length(x) >= 8)
+      documents(s, d)
+        .select(col("doc_id"), posexplode_outer(arr).as(Seq("pos", "word")))
+        .select(col("doc_id"), col("pos").cast("long").as("pos"), col("word"))
+    }),
+
     // Scalar subquery through the SQL front end.
     "q31_scalar_subquery" -> ((s, d) => {
       orders(s, d).createOrReplaceTempView("graft_orders")
@@ -907,6 +922,19 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q150_generator_outer" ->
+      s"""WITH w AS (
+         |  SELECT doc_id,
+         |    list_filter(${TextOps.wordsSql}, x -> length(x) >= 8) AS a
+         |  FROM documents),
+         |g AS (
+         |  SELECT doc_id, a,
+         |    unnest(CASE WHEN len(a) = 0 THEN [CAST(NULL AS BIGINT)]
+         |           ELSE range(len(a)) END) AS i
+         |  FROM w)
+         |SELECT doc_id, CAST(i AS BIGINT) AS pos, a[i + 1] AS word
+         |FROM g""".stripMargin,
+
     "q126_bloom_semijoin" ->
       """SELECT l_returnflag, count(*) AS n,
         |  round(sum(l_quantity), 2) AS sum_qty

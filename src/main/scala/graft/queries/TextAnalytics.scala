@@ -157,7 +157,110 @@ object TextAnalytics {
   val ChunkW = 32
   val ChunkS = 24
 
+  /** q148 count-min sketch geometry: d salted hash rows × w buckets.
+    * w is a power of two, so bucket = floor(hashFraction·w) is EXACT
+    * integer arithmetic (hashFraction is k/2^32) and bit-identical
+    * across engines. 64 buckets against the fixture's ~31-word
+    * vocabulary leaves real collisions — the overestimates are
+    * visible and the min-of-d recovery does work; production sizes w
+    * to the memory budget. The sketch state is w·d counters TOTAL,
+    * independent of corpus size — that is the point.
+    */
+  val CmsD = 4
+  val CmsW = 64
+
+  /** Row-k bucket for [[CmsW]]-wide counters (salted like minhash). */
+  def cmsBucket(k: Int, word: Column): Column =
+    floor(hashFraction(concat(lit(s"cms$k:"), word)) * CmsW).cast("long")
+
+  /** q149 per-stratum sample size; the 4× oversample factor bounds the
+    * ranking-window input to O(StratN) per stratum.
+    */
+  val StratN = 40
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Count-min sketch, estimate vs exact — the fixed-memory frequency
+    // sketch (Cormode & Muthukrishnan, public algorithm) next to q11's
+    // HLL and q130's minhash validation: d salted hash rows of w
+    // counters; est(word) = min over rows of its bucket's counter.
+    // CMS never undercounts (collisions only ADD), so overestimate_ok
+    // is 1 on EVERY row by construction — a hash-checked algebraic
+    // invariant, not an envelope flag. Both engines build the
+    // identical deterministic sketch (salted-sha256 buckets, the q130
+    // discipline), so est values are fully hash-checked too. Scale
+    // shape: each counter build is a groupBy over w keys — map-side
+    // combine collapses the instance stream before any shuffle — and
+    // the estimate lookup is d broadcast joins of w-row dims.
+    "q148_countmin_sketch" -> ((s, d) => {
+      val inst = documents(s, d)
+        .select(explode(TextOps.wordsOf(col("text"))).as("word"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      graft.pipeline.Chunker.registerForCleanup(inst)
+      val exact = inst.groupBy(col("word")).agg(count(lit(1)).as("n_exact"))
+      val withCounters = (0 until CmsD).foldLeft(exact) { (acc, k) =>
+        val counters = inst
+          .groupBy(cmsBucket(k, col("word")).as(s"b$k"))
+          .agg(count(lit(1)).as(s"c$k"))
+        acc.withColumn(s"b$k", cmsBucket(k, col("word")))
+          .join(broadcast(counters), Seq(s"b$k"))
+      }
+      val est = least((0 until CmsD).map(k => col(s"c$k")): _*)
+      withCounters.select(col("word"), col("n_exact"),
+        est.as("cms_est"),
+        (est >= col("n_exact")).cast("long").as("overestimate_ok"))
+    }),
+
+    // Per-stratum feature normalization (z-score) — the feature-
+    // engineering staple, in a form that is BIT-IDENTICAL cross-engine:
+    // z = (n·x − Σx) / sqrt(n·Σx² − (Σx)²). Numerator and radicand are
+    // EXACT BIGINT arithmetic (no float sum ever happens), and the two
+    // float steps left — sqrt and the division — are IEEE
+    // correctly-rounded operations, so the engines cannot diverge (a
+    // naive (x−μ)/σ runs through order-sensitive float means and
+    // variances). nullif: a zero-variance stratum yields NULL, not an
+    // engine-dependent 0/0. The moment table is a langs-sized broadcast
+    // dim, the score a pure projection. BIGINT bound: n·x² must stay
+    // under 2^63 — holds to ~1e9 docs of 3k chars; past that the
+    // moment sums move to DECIMAL(38), same shape.
+    "q153_group_zscore" -> ((s, d) => {
+      val m = documents(s, d).groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sx"),
+          sum(col("n_chars") * col("n_chars")).as("sxx"))
+      documents(s, d).join(broadcast(m), Seq("lang"))
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          round((col("n") * col("n_chars") - col("sx")).cast("double") /
+            sqrt(nullif(col("n") * col("sxx") - col("sx") * col("sx"),
+              lit(0L)).cast("double")), 6).as("z"))
+    }),
+
+    // Exactly-n-per-stratum deterministic sample — the fixed-budget
+    // complement to the RATE-based q64/q99/q105 family ("give me
+    // exactly 40 eval docs per language" wants a count, not a rate).
+    // Rank = (hashFraction, id): stable across runs, clusters and
+    // engines. The scale trick: ranking all of a stratum under one
+    // window key would funnel the whole corpus through per-stratum
+    // partitions — instead a per-stratum 4·n/count PRE-FILTER (rates
+    // from a langs-sized broadcast dim, membership map-side) cuts the
+    // window input to O(n) per stratum first; the top-n of the
+    // pre-filtered set is the top-n of the full set whenever the
+    // pre-filter keeps ≥ n (4× oversampling makes the shortfall
+    // vanishingly rare, and both engines rank the same pre-filtered
+    // set either way, so parity never depends on it).
+    "q149_stratified_exact_n" -> ((s, d) => {
+      val docs = documents(s, d).select(col("doc_id"), col("lang"))
+      val rates = docs.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"))
+        .select(col("lang"),
+          least(lit(1.0), lit(4.0 * StratN) / col("n_docs")).as("pre_rate"))
+      val pre = docs.join(broadcast(rates), Seq("lang"))
+        .filter(hashFraction(col("doc_id")) < col("pre_rate"))
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(hashFraction(col("doc_id")), col("doc_id"))
+      pre.select(col("doc_id"), col("lang"),
+          row_number().over(w).cast("long").as("rn"))
+        .filter(col("rn") <= StratN)
+    }),
 
     // Sliding-window document chunking with overlap — the RAG/indexing
     // counterpart to the corpus-packing chunker (C3, which packs WHOLE
@@ -694,6 +797,55 @@ object TextAnalytics {
   )
 
   val oracles: Map[String, String] = Map(
+    "q148_countmin_sketch" -> {
+      def bucketSql(k: Int, inner: String): String =
+        s"CAST(floor(${hashFractionSql(s"'cms$k:' || $inner")} * $CmsW) AS BIGINT)"
+      val counterCtes = (0 until CmsD).map { k =>
+        s"""ctr$k AS (
+           |  SELECT ${bucketSql(k, "word")} AS b, count(*) AS c
+           |  FROM inst GROUP BY 1)""".stripMargin
+      }.mkString(",\n")
+      val joins = (0 until CmsD).map { k =>
+        s"JOIN ctr$k x$k ON x$k.b = ${bucketSql(k, "e.word")}"
+      }.mkString("\n")
+      val est = (0 until CmsD).map(k => s"x$k.c").mkString("least(", ", ", ")")
+      s"""WITH inst AS (
+         |  SELECT unnest(${TextOps.wordsSql}) AS word FROM documents),
+         |exact AS (SELECT word, count(*) AS n_exact FROM inst GROUP BY 1),
+         |$counterCtes
+         |SELECT e.word, e.n_exact, $est AS cms_est,
+         |  CAST($est >= e.n_exact AS BIGINT) AS overestimate_ok
+         |FROM exact e
+         |$joins""".stripMargin
+    },
+
+    "q153_group_zscore" ->
+      """WITH m AS (
+        |  SELECT lang, count(*) AS n,
+        |    CAST(sum(n_chars) AS BIGINT) AS sx,
+        |    CAST(sum(n_chars * n_chars) AS BIGINT) AS sxx
+        |  FROM documents GROUP BY 1)
+        |SELECT d.doc_id, d.lang, d.n_chars,
+        |  round(CAST(m.n * d.n_chars - m.sx AS DOUBLE)
+        |    / sqrt(CAST(nullif(m.n * m.sxx - m.sx * m.sx, 0) AS DOUBLE)),
+        |    6) AS z
+        |FROM documents d JOIN m ON m.lang = d.lang""".stripMargin,
+
+    "q149_stratified_exact_n" ->
+      s"""WITH rates AS (
+         |  SELECT lang, least(1.0, ${4.0 * StratN} / count(*)) AS pre_rate
+         |  FROM documents GROUP BY 1),
+         |pre AS (
+         |  SELECT d.doc_id, d.lang
+         |  FROM documents d JOIN rates r ON r.lang = d.lang
+         |  WHERE ${hashFractionSql("d.doc_id")} < r.pre_rate),
+         |ranked AS (
+         |  SELECT doc_id, lang,
+         |    CAST(row_number() OVER (PARTITION BY lang
+         |      ORDER BY ${hashFractionSql("doc_id")}, doc_id) AS BIGINT) AS rn
+         |  FROM pre)
+         |SELECT doc_id, lang, rn FROM ranked WHERE rn <= $StratN""".stripMargin,
+
     "q121_overlap_chunks" ->
       s"""WITH t AS (SELECT doc_id, ${TextOps.wordsSql} AS ws FROM documents),
          |b AS (SELECT doc_id, ws, len(ws) AS n FROM t WHERE len(ws) > 0),

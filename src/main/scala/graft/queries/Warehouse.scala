@@ -16,6 +16,35 @@ import graft.Tables._
   */
 object Warehouse {
 
+  /** q152 as-of instant: mid-range of the fixture's order dates at
+    * every SF (1995–2001), so the reconstructed state is non-trivial
+    * (some customers mid-history, some before their first order).
+    */
+  val TimeTravelAsOf = "1998-06-15 00:00:00"
+
+  /** The SCD2 interval build behind q113 AND the q152 point-in-time
+    * lookup (one definition, so the two views of the dimension cannot
+    * drift): change-detect via lag, validity intervals via lead, one
+    * o_custkey exchange shared by both windows.
+    */
+  def scd2Intervals(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"),
+        col("o_orderdate"), col("o_orderpriority"))
+      .withColumn("prev_p", lag(col("o_orderpriority"), 1).over(w))
+      .filter(col("prev_p").isNull ||
+        col("prev_p") =!= col("o_orderpriority"))
+      .withColumn("version", row_number().over(w).cast("long"))
+      .withColumn("valid_to", lead(col("o_orderdate"), 1).over(w))
+      .select(col("o_custkey"), col("version"),
+        col("o_orderpriority").as("priority"),
+        col("o_orderdate").as("valid_from"),
+        col("valid_to"),
+        col("valid_to").isNull.as("is_current"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // SCD2 (slowly-changing-dimension type 2) interval build: treat
@@ -27,22 +56,24 @@ object Warehouse {
     // and the version/lead window all share the same partitioning, so
     // Catalyst reuses the exchange. Deterministic: (o_orderdate,
     // o_orderkey) is a unique sort key per customer.
-    "q113_scd2_intervals" -> ((s, d) => {
-      val w = Window.partitionBy(col("o_custkey"))
-        .orderBy(col("o_orderdate"), col("o_orderkey"))
-      orders(s, d)
-        .select(col("o_custkey"), col("o_orderkey"),
-          col("o_orderdate"), col("o_orderpriority"))
-        .withColumn("prev_p", lag(col("o_orderpriority"), 1).over(w))
-        .filter(col("prev_p").isNull ||
-          col("prev_p") =!= col("o_orderpriority"))
-        .withColumn("version", row_number().over(w).cast("long"))
-        .withColumn("valid_to", lead(col("o_orderdate"), 1).over(w))
-        .select(col("o_custkey"), col("version"),
-          col("o_orderpriority").as("priority"),
-          col("o_orderdate").as("valid_from"),
-          col("valid_to"),
-          col("valid_to").isNull.as("is_current"))
+    "q113_scd2_intervals" -> ((s, d) => scd2Intervals(s, d)),
+
+    // Point-in-time ("time travel") lookup over the SCD2 dimension —
+    // the read side every slowly-changing dimension exists for:
+    // reconstruct the attribute state AS OF a timestamp by selecting
+    // the one validity interval covering it (valid_from <= t < valid_to,
+    // open interval = current). Same single o_custkey exchange as the
+    // interval build; the as-of filter is a pure post-window projection,
+    // so the lookup costs exactly the q113 plan plus a map-side filter
+    // at any scale. Customers whose history starts after t correctly
+    // have no row.
+    "q152_time_travel" -> ((s, d) => {
+      val asOf = lit(TimeTravelAsOf).cast("timestamp")
+      scd2Intervals(s, d)
+        .filter(col("valid_from") <= asOf &&
+          (col("valid_to").isNull || col("valid_to") > asOf))
+        .select(col("o_custkey"), col("version"), col("priority"),
+          col("valid_from"), col("valid_to"))
     }),
 
     // Equi-depth (equal-frequency) histogram — the quantile complement
@@ -105,6 +136,34 @@ object Warehouse {
         .select(col("n_langs"), col("n_sources"),
           ((col("n_langs") - 1) * (col("n_sources") - 1)).as("dof"),
           col("chi2"))
+    }),
+
+    // Benford first-significant-digit profile — the classic
+    // fabricated/synthetic-amounts detector an audit or data-quality
+    // pass runs over any monetary column: digit shares vs the Benford
+    // expectation log10(1+1/d), plus each digit's chi-square
+    // contribution (a synthetic uniform-ish price column — like this
+    // fixture's — lights up immediately; organic amounts don't).
+    // Digit extraction is STRING-based over an exact integer
+    // (first char of the BIGINT floor) — floor(log10(x)) would hang
+    // engine-divergent libm behavior on exact powers of ten. Scale
+    // shape: one map-side-combinable 9-key aggregate + a broadcast
+    // 1-row total (the q73/q94 bounds-agg pattern); the chi-square
+    // term is delta*delta, never libm pow (the q120 discipline).
+    "q147_benford" -> ((s, d) => {
+      val counts = orders(s, d)
+        .filter(col("o_totalprice") >= 1.0)
+        .select(substring(floor(col("o_totalprice")).cast("string"), 1, 1)
+          .cast("long").as("digit"))
+        .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+      val total = counts.agg(sum(col("n")).as("n_total"))
+      val p = log(lit(1.0) + lit(1.0) / col("digit")) / log(lit(10.0))
+      val delta = col("n") - col("n_total") * p
+      counts.crossJoin(broadcast(total))
+        .select(col("digit"), col("n"),
+          round(col("n") / col("n_total"), 6).as("share"),
+          round(p, 6).as("benford_p"),
+          round(delta * delta / (col("n_total") * p), 6).as("chi2_term"))
     })
   )
 
@@ -165,6 +224,48 @@ object Warehouse {
         |  (count(DISTINCT lang) - 1) * (count(DISTINCT source) - 1) AS dof,
         |  floor((CAST(sum(CAST(round(term * 1000000.0) AS BIGINT))
         |         AS BIGINT) + 50) / 100.0) / 10000.0 AS chi2
-        |FROM terms GROUP BY n_tot""".stripMargin
+        |FROM terms GROUP BY n_tot""".stripMargin,
+
+    "q152_time_travel" ->
+      s"""WITH c AS (
+         |  SELECT o_custkey, o_orderkey, o_orderdate, o_orderpriority,
+         |    lag(o_orderpriority) OVER (PARTITION BY o_custkey
+         |      ORDER BY o_orderdate, o_orderkey) AS prev_p
+         |  FROM orders),
+         |ch AS (
+         |  SELECT * FROM c
+         |  WHERE prev_p IS NULL OR prev_p <> o_orderpriority),
+         |iv AS (
+         |  SELECT o_custkey,
+         |    CAST(row_number() OVER w AS BIGINT) AS version,
+         |    o_orderpriority AS priority,
+         |    o_orderdate AS valid_from,
+         |    lead(o_orderdate) OVER w AS valid_to
+         |  FROM ch
+         |  WINDOW w AS (PARTITION BY o_custkey
+         |               ORDER BY o_orderdate, o_orderkey))
+         |SELECT o_custkey, version, priority, valid_from, valid_to
+         |FROM iv
+         |WHERE valid_from <= TIMESTAMP '$TimeTravelAsOf'
+         |  AND (valid_to IS NULL
+         |       OR valid_to > TIMESTAMP '$TimeTravelAsOf')""".stripMargin,
+
+    "q147_benford" ->
+      """WITH dg AS (
+        |  SELECT CAST(substring(CAST(CAST(floor(o_totalprice) AS BIGINT)
+        |    AS VARCHAR), 1, 1) AS BIGINT) AS digit
+        |  FROM orders WHERE o_totalprice >= 1.0),
+        |cnt AS (SELECT digit, count(*) AS n FROM dg GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS n_total FROM cnt),
+        |terms AS (
+        |  SELECT digit, n, n_total,
+        |    ln(1.0 + 1.0 / digit) / ln(10.0) AS p
+        |  FROM cnt CROSS JOIN tot)
+        |SELECT digit, n,
+        |  round(CAST(n AS DOUBLE) / n_total, 6) AS share,
+        |  round(p, 6) AS benford_p,
+        |  round((n - n_total * p) * (n - n_total * p)
+        |        / (n_total * p), 6) AS chi2_term
+        |FROM terms""".stripMargin
   )
 }

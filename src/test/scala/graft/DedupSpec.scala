@@ -335,4 +335,38 @@ class DedupSpec extends AnyFunSuite {
       assert(got == expected, s"parts=$parts")
     }
   }
+
+  test("prefix-filter join is COMPLETE: finds every pair >= t that " +
+    "brute force finds, and prunes the candidate space") {
+    // 3 near-dup families (small edits) + unrelated filler docs
+    val fam1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val fam2 = "one two three four five six seven eight nine ten eleven"
+    val docs = Seq(
+      (1L, fam1), (2L, fam1 + " extra"), (3L, "start " + fam1),
+      (10L, fam2), (11L, fam2 + " twelve"),
+      (20L, "totally different content about spark shuffles and joins"),
+      (21L, "yet another unrelated document mentioning windows and sorts"),
+      (22L, "filler text with its own private vocabulary entirely"))
+      .toDF("doc_id", "text")
+    val t = 0.6
+    // brute force: exact Jaccard over ALL pairs, no pruning
+    val sh = Dedup.shingleTable(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val ids = sh.keys.toSeq.sorted
+    val brute = (for {
+      a <- ids; b <- ids if a < b
+      j = (sh(a) & sh(b)).size.toDouble / (sh(a) | sh(b)).size
+      if j >= t
+    } yield (a, b)).toSet
+    assert(brute.nonEmpty, "fixture must contain qualifying pairs")
+    val out = Dedup.prefixFilterJoin(docs, "doc_id", "text", t).collect()
+    val found = out.filter(_.getAs[Long]("passes") == 1L)
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(found == brute,
+      s"completeness: brute=$brute found=$found")
+    // the prune is real: candidates strictly fewer than all pairs
+    assert(out.length < ids.length * (ids.length - 1) / 2,
+      s"prefix filter pruned nothing (${out.length} candidates)")
+  }
 }

@@ -42,6 +42,22 @@ class EmptyInputSpec extends AnyFunSuite {
       .predictLang(noLangDocs, profiles, langs).count() == 0)
   }
 
+  test("round-7 operators on empty and degenerate inputs") {
+    // prefix-filter join: empty corpus and a corpus of ONE doc (no
+    // pairs) both yield empty candidate sets, not crashes
+    assert(Dedup.prefixFilterJoin(noDocs, "doc_id", "text", 0.6)
+      .count() == 0)
+    val one = Seq((1L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    assert(Dedup.prefixFilterJoin(one, "doc_id", "text", 0.6).count() == 0)
+    // sssp on an empty edge set: the source is 0, everything else NULL
+    val ns = Seq(0L, 1L).toDF("node")
+    val noEdges = Seq.empty[(Long, Long, Long)].toDF("src", "dst", "cost")
+    val d = graft.queries.Graph.sssp(ns, noEdges, 0L, 2).collect()
+      .map(r => r.getAs[Long]("node") ->
+        Option(r.getAs[java.lang.Long]("dist"))).toMap
+    assert(d == Map(0L -> Some(0L), 1L -> None))
+  }
+
   test("round-6 operators on empty and degenerate inputs") {
     // kmeans: empty corpus -> empty assignment; corpus smaller than K
     // -> every point is its own seed at distance 0

@@ -186,6 +186,44 @@ class GraphSpec extends AnyFunSuite {
       "5 doubling rounds must cover a 32-hop chain (reach >= 2^5)")
   }
 
+  /** weighted directed edges, like costedTradeEdges emits */
+  private def cedges(e: Seq[(Long, Long, Long)]) =
+    e.toDF("src", "dst", "cost")
+
+  private def distMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+    .map(r => r.getAs[Long]("node") ->
+      Option(r.getAs[java.lang.Long]("dist")).map(_.toLong)).toMap
+
+  test("sssp: chain distances, one relaxation per sweep, isolate stays NULL") {
+    // 0 -5-> 1 -5-> 2 -5-> 3, node 9 unreachable
+    val ch = cedges(Seq((0L, 1L, 5L), (1L, 2L, 5L), (2L, 3L, 5L)))
+    val ns = Seq(0L, 1L, 2L, 3L, 9L).toDF("node")
+    val one = distMap(Graph.sssp(ns, ch, 0L, sweeps = 1))
+    assert(one == Map(0L -> Some(0L), 1L -> Some(5L), 2L -> None,
+      3L -> None, 9L -> None), s"one sweep = one hop: $one")
+    val three = distMap(Graph.sssp(ns, ch, 0L, sweeps = 3))
+    assert(three == Map(0L -> Some(0L), 1L -> Some(5L), 2L -> Some(10L),
+      3L -> Some(15L), 9L -> None), three.toString)
+  }
+
+  test("sssp: cheaper two-hop path beats the direct edge") {
+    // direct 0->2 costs 100; via 1 costs 3+4=7
+    val g = cedges(Seq((0L, 2L, 100L), (0L, 1L, 3L), (1L, 2L, 4L)))
+    val ns = Seq(0L, 1L, 2L).toDF("node")
+    // after sweep 1 the direct edge wins (two-hop path not yet relaxed)
+    assert(distMap(Graph.sssp(ns, g, 0L, 1))(2L) == Some(100L))
+    assert(distMap(Graph.sssp(ns, g, 0L, 2))(2L) == Some(7L),
+      "sweep 2 must relax the cheaper two-hop route")
+  }
+
+  test("sssp: shuffle-join dist path is bit-identical to broadcast") {
+    val g = cedges(Seq((0L, 2L, 100L), (0L, 1L, 3L), (1L, 2L, 4L),
+      (2L, 3L, 1L), (1L, 3L, 50L)))
+    val ns = Seq(0L, 1L, 2L, 3L, 9L).toDF("node")
+    assert(distMap(Graph.sssp(ns, g, 0L, 3, broadcastDist = true))
+      == distMap(Graph.sssp(ns, g, 0L, 3, broadcastDist = false)))
+  }
+
   private def stageDocs(rows: Seq[(Long, String, String)]): String = {
     val dir = java.nio.file.Files
       .createTempDirectory("graft_chisq").toString

@@ -217,6 +217,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(byKey == Map(1L -> "a2", 2L -> "b3", 3L -> "c"))
   }
 
+  test("count-min counters are a LINEAR sketch: streamed per-batch " +
+    "sums equal the full-corpus sketch") {
+    // the property that makes CMS streamable/distributable at all:
+    // counter tables from independent micro-batches merge by plain
+    // addition into EXACTLY the sketch of the whole corpus — no
+    // approximation is introduced by the split
+    import org.apache.spark.sql.functions.{col, explode}
+    import graft.queries.{TextAnalytics, TextOps}
+    val docs = graft.Tables.documents(spark, TestSpark.sf0001)
+      .select(col("doc_id"), col("text"))
+    def counters(df: org.apache.spark.sql.DataFrame, k: Int) =
+      df.select(explode(TextOps.wordsOf(col("text"))).as("word"))
+        .groupBy(TextAnalytics.cmsBucket(k, col("word")).as("b"))
+        .count()
+        .collect().map(r => r.getAs[Long]("b") -> r.getAs[Long]("count"))
+        .toMap
+    val full = (0 until TextAnalytics.CmsD).map(k => counters(docs, k))
+    val batches = (0 until 3).map(i => docs.filter(col("doc_id") % 3 === i))
+    assert(batches.forall(_.count() > 0))
+    val acc = Array.fill(TextAnalytics.CmsD)(
+      scala.collection.mutable.Map.empty[Long, Long])
+    StreamingJobs.runForeachBatch(spark, batches, (batch, _) => {
+      for (k <- 0 until TextAnalytics.CmsD; (b, c) <- counters(batch, k))
+        acc(k)(b) = acc(k).getOrElse(b, 0L) + c
+    })
+    (0 until TextAnalytics.CmsD).foreach { k =>
+      assert(acc(k).toMap == full(k), s"row $k counters diverged")
+    }
+  }
+
   test("streaming session window == batch q37") {
     val stream = StreamingJobs.eventsStream(spark, TestSpark.sf0001)
     val got = StreamingJobs.runToCompletion(spark,

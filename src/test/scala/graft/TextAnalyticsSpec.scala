@@ -103,4 +103,70 @@ class TextAnalyticsSpec extends AnyFunSuite {
     val en = profiles.filter(_.getString(0) == "en").map(_.getString(1)).toSet
     assert(en.subsetOf(vocab("en").toSet ++ (100 to 109).map(_.toString)))
   }
+
+  test("group z-score: planted anchors and zero-variance NULL") {
+    // {1,2,3}: z = (n·x−Σx)/sqrt(nΣx²−(Σx)²) = −3/√6, 0, +3/√6;
+    // a constant stratum must yield NULL, never 0/0
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_zscore").toString
+    Seq((1L, "a", "x", "s", 1L), (2L, "a", "x", "s", 2L),
+      (3L, "a", "x", "s", 3L),
+      (10L, "b", "y", "s", 7L), (11L, "b", "y", "s", 7L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = SparkEntry.queries("q153_group_zscore")(spark, tmp)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        Option(r.getAs[java.lang.Double]("z")).map(_.toDouble)).toMap
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val a = r6(3.0 / math.sqrt(6.0))
+    assert(out(1L) == Some(-a) && out(2L) == Some(0.0) &&
+      out(3L) == Some(a), out.toString)
+    assert(out(10L).isEmpty && out(11L).isEmpty,
+      "zero-variance stratum must be NULL")
+  }
+
+  test("count-min sketch: never undercounts, exact when collision-free") {
+    val out = SparkEntry
+      .queries("q148_countmin_sketch")(spark, TestSpark.sf0001)
+      .collect()
+      .map(r => (r.getAs[String]("word"), r.getAs[Long]("n_exact"),
+        r.getAs[Long]("cms_est"), r.getAs[Long]("overestimate_ok")))
+    assert(out.nonEmpty)
+    // the algebraic invariant: collisions only ADD, so est >= exact on
+    // EVERY row — not an envelope, a certainty
+    assert(out.forall(_._4 == 1L), "CMS undercounted a word")
+    assert(out.forall { case (_, ex, est, _) => est >= ex })
+    // min-of-d recovery: the estimate is exact for a solid majority of
+    // the vocabulary even with a 64-bucket toy sketch
+    val exact = out.count { case (_, ex, est, _) => est == ex }
+    assert(exact * 2 > out.length,
+      s"min-of-${TextAnalytics.CmsD} left only $exact/${out.length} exact")
+  }
+
+  test("stratified exact-n: exactly n per stratum, and the pre-filtered " +
+    "top-n equals the unfiltered top-n") {
+    val out = SparkEntry
+      .queries("q149_stratified_exact_n")(spark, TestSpark.sf0001)
+      .collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[Long]("doc_id")))
+    val perLang = out.groupBy(_._1).view.mapValues(_.length).toMap
+    assert(perLang.nonEmpty &&
+      perLang.values.forall(_ == TextAnalytics.StratN),
+      s"per-stratum sizes: $perLang")
+    // semantics check: the 4x oversample pre-filter must not change the
+    // selected set — rank ALL docs per lang without any pre-filter
+    val docs = graft.Tables.documents(spark, TestSpark.sf0001)
+      .select(col("doc_id"), col("lang"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang"))
+      .orderBy(TextAnalytics.hashFraction(col("doc_id")), col("doc_id"))
+    val full = docs
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= TextAnalytics.StratN)
+      .collect().map(r => (r.getAs[String]("lang"), r.getAs[Long]("doc_id")))
+    assert(out.toSet == full.toSet,
+      "pre-filtered selection diverged from the true per-stratum top-n")
+  }
 }

@@ -55,4 +55,54 @@ class WarehouseSpec extends AnyFunSuite {
     val total = spark.read.parquet(s"$dir/orders.parquet").count()
     assert(sizes.sum == total)
   }
+
+  test("time travel: at most one covering interval per customer, and " +
+    "it really covers the as-of instant") {
+    import graft.queries.Warehouse
+    val asOf = lit(Warehouse.TimeTravelAsOf).cast("timestamp")
+    val df = Warehouse.queries("q152_time_travel")(spark, dir).cache()
+    assert(df.count() > 0)
+    assert(df.groupBy(col("o_custkey")).count()
+      .filter(col("count") > 1).count() == 0,
+      "a point-in-time lookup must return at most one interval per key")
+    // every returned interval really covers the as-of instant
+    assert(df.filter(col("valid_from") > asOf).count() == 0)
+    assert(df.filter(col("valid_to").isNotNull &&
+      col("valid_to") <= asOf).count() == 0)
+    // and it is exactly the SCD2 table filtered to the instant
+    val fromScd2 = scd2.filter(col("valid_from") <= asOf &&
+        (col("valid_to").isNull || col("valid_to") > asOf))
+      .count()
+    assert(fromScd2 == df.count())
+    df.unpersist()
+  }
+
+  test("benford: digit extraction and anchors on a planted column") {
+    import spark.implicits._
+    // plant first digits: 1 appears 4x (1.5, 10.0, 199.99, 1e6),
+    // 9 appears 2x, 5 once; 0.5 is below 1.0 and must be excluded
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_benford").toString
+    Seq(1.5, 10.0, 199.99, 1000000.0, 9.01, 950.0, 5.5, 0.5)
+      .zipWithIndex
+      .map { case (p, i) => (i.toLong, i.toLong, "O", p,
+        new java.sql.Timestamp(86400000L * i)) }
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate")
+      .write.mode("overwrite").parquet(s"$tmp/orders.parquet")
+    val out = graft.queries.Warehouse.queries("q147_benford")(spark, tmp)
+      .collect()
+      .map(r => r.getAs[Long]("digit") ->
+        (r.getAs[Long]("n"), r.getAs[Double]("share"),
+          r.getAs[Double]("benford_p"))).toMap
+    assert(out.keySet == Set(1L, 5L, 9L), out.toString)
+    assert(out(1L)._1 == 4L && out(9L)._1 == 2L && out(5L)._1 == 1L)
+    // Spark round() is BigDecimal HALF_UP — mirror it exactly
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(1L)._2 == r6(4.0 / 7.0))
+    // the Benford expectation anchors: p(1)=log10(2), p(9)=log10(10/9)
+    assert(out(1L)._3 == r6(math.log(2.0) / math.log(10.0)))
+    assert(out(9L)._3 == r6(math.log(10.0 / 9.0) / math.log(10.0)))
+  }
 }
