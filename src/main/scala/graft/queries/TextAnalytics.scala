@@ -189,19 +189,25 @@ object TextAnalytics {
     // invariant, not an envelope flag. Both engines build the
     // identical deterministic sketch (salted-sha256 buckets, the q130
     // discipline), so est values are fully hash-checked too. Scale
-    // shape: each counter build is a groupBy over w keys — map-side
-    // combine collapses the instance stream before any shuffle — and
-    // the estimate lookup is d broadcast joins of w-row dims.
+    // shape: one word-keyed map-side-combinable aggregate, d w-key
+    // counter aggregates over the vocabulary, and d broadcast joins of
+    // w-row dims for the estimate lookup.
     "q148_countmin_sketch" -> ((s, d) => {
-      val inst = documents(s, d)
+      // the instance stream collapses to (word, count) in ONE map-side-
+      // combinable aggregate BEFORE any hashing: counter rows are then
+      // sum(count) over the distinct vocabulary — identical counters
+      // (counts are additive), but the d·8-sha256 bucket expression
+      // runs |vocab| times instead of |corpus| times (22 s → ~1 s at
+      // sf0.1 for the instance-hashed form)
+      val exact = documents(s, d)
         .select(explode(TextOps.wordsOf(col("text"))).as("word"))
+        .groupBy(col("word")).agg(count(lit(1)).as("n_exact"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      graft.pipeline.Chunker.registerForCleanup(inst)
-      val exact = inst.groupBy(col("word")).agg(count(lit(1)).as("n_exact"))
-      val withCounters = (0 until CmsD).foldLeft(exact) { (acc, k) =>
-        val counters = inst
+      graft.pipeline.Chunker.registerForCleanup(exact)
+      val withCounters = (0 until CmsD).foldLeft(exact.toDF) { (acc, k) =>
+        val counters = exact
           .groupBy(cmsBucket(k, col("word")).as(s"b$k"))
-          .agg(count(lit(1)).as(s"c$k"))
+          .agg(sum(col("n_exact")).as(s"c$k"))
         acc.withColumn(s"b$k", cmsBucket(k, col("word")))
           .join(broadcast(counters), Seq(s"b$k"))
       }
@@ -802,8 +808,9 @@ object TextAnalytics {
         s"CAST(floor(${hashFractionSql(s"'cms$k:' || $inner")} * $CmsW) AS BIGINT)"
       val counterCtes = (0 until CmsD).map { k =>
         s"""ctr$k AS (
-           |  SELECT ${bucketSql(k, "word")} AS b, count(*) AS c
-           |  FROM inst GROUP BY 1)""".stripMargin
+           |  SELECT ${bucketSql(k, "word")} AS b,
+           |    CAST(sum(n_exact) AS BIGINT) AS c
+           |  FROM exact GROUP BY 1)""".stripMargin
       }.mkString(",\n")
       val joins = (0 until CmsD).map { k =>
         s"JOIN ctr$k x$k ON x$k.b = ${bucketSql(k, "e.word")}"
