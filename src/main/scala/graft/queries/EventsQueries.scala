@@ -138,6 +138,51 @@ object EventsQueries {
           col("n_events"))
     }),
 
+    // Interval-overlap join — the range-join family member beyond the
+    // as-of lookup (q33/q106): per user, which browsing ("view")
+    // sessions overlap which buying ("purchase") sessions in wall time.
+    // Attribution wants temporal CO-PRESENCE of two interval sets, not
+    // a nearest event. Sessionization is the q34 gap discipline applied
+    // per (user, type); the join is an EQUI-join on user_id with the
+    // overlap predicate (a.start <= b.end AND b.start <= a.end) as a
+    // residual filter, so it shuffles once on the user key and never
+    // plans as a nested loop — per-user session counts are bounded by
+    // user activity, not corpus size. Overlap lengths in exact integer
+    // epoch-microseconds on both engines.
+    "q154_interval_join" -> ((s, d) => {
+      def sess(tpe: String) = {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        events(s, d).filter(col("event_type") === tpe)
+          .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+          .withColumn("new_session",
+            when(col("prev_us").isNull ||
+              unix_micros(col("ts")) - col("prev_us") > 1800L * 1000000L, 1L)
+              .otherwise(0L))
+          .withColumn("session_idx",
+            sum(col("new_session")).over(
+              w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy(col("user_id"), col("session_idx"))
+          // a session extends one gap past its last event (the
+          // session_window convention, q37) — without the extension
+          // most sessions are point intervals and overlap degenerates
+          .agg(min(unix_micros(col("ts"))).as("start_us"),
+            (max(unix_micros(col("ts"))) + 1800L * 1000000L).as("end_us"))
+      }
+      val v = sess("view")
+        .select(col("user_id"), col("session_idx").cast("long").as("v_idx"),
+          col("start_us").as("v_start"), col("end_us").as("v_end"))
+      val p = sess("purchase")
+        .select(col("user_id"), col("session_idx").cast("long").as("p_idx"),
+          col("start_us").as("p_start"), col("end_us").as("p_end"))
+      v.join(p, Seq("user_id"))
+        .filter(col("v_start") <= col("p_end") &&
+          col("p_start") <= col("v_end"))
+        .select(col("user_id"), col("v_idx"), col("p_idx"),
+          (least(col("v_end"), col("p_end")) -
+            greatest(col("v_start"), col("p_start"))).as("overlap_us"))
+    }),
+
     // Sequential funnel: per user, the first view and the first purchase
     // AT OR AFTER it (event-order conversion, not mere co-occurrence).
     // Two filtered scans pre-aggregated/narrowed before the single
@@ -366,6 +411,34 @@ object EventsQueries {
       |)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q154_interval_join" ->
+      """WITH se AS (
+        |  SELECT user_id, event_type, ts, event_id,
+        |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM events WHERE event_type IN ('view', 'purchase')
+        |  WINDOW w AS (PARTITION BY user_id, event_type
+        |               ORDER BY ts, event_id)),
+        |sx AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS us,
+        |    sum(new_session) OVER (PARTITION BY user_id, event_type
+        |      ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS session_idx
+        |  FROM se),
+        |iv AS (
+        |  SELECT user_id, event_type,
+        |    CAST(session_idx AS BIGINT) AS session_idx,
+        |    min(us) AS start_us, max(us) + 1800000000 AS end_us
+        |  FROM sx GROUP BY 1, 2, 3)
+        |SELECT v.user_id, v.session_idx AS v_idx, p.session_idx AS p_idx,
+        |  least(v.end_us, p.end_us) - greatest(v.start_us, p.start_us)
+        |    AS overlap_us
+        |FROM iv v JOIN iv p ON p.user_id = v.user_id
+        |WHERE v.event_type = 'view' AND p.event_type = 'purchase'
+        |  AND v.start_us <= p.end_us AND p.start_us <= v.end_us""".stripMargin,
+
     "q129_grouped_approx_distinct" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_exact,
         |  CAST(1 AS BIGINT) AS within_5pct
