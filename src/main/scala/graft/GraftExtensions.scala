@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.expressions.{NfcNormalize, TokenCount, TokenCountCl100k, VecDot, WinnowFps}
+import graft.expressions.{HashFraction, NfcNormalize, TokenCount, TokenCountCl100k, VecDot, WinnowFps}
 
 /** Session extensions: registers graft's native expressions as SQL
   * functions, so `spark.sql("SELECT token_count(text) ...")` works for
@@ -62,6 +62,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             s"winnow_fps: $arg must be an integer literal, got $other")
         }
         WinnowFps(children.head, intLit(children(1), "k"), intLit(children(2), "w"))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("hash_fraction"),
+      info("hash_fraction", "hash_fraction(str) - deterministic sha256-derived uniform in [0,1) (see graft.expressions.HashFraction)"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1, "hash_fraction takes exactly 1 argument")
+        HashFraction(children.head)
       }))
   }
 }

@@ -37,4 +37,11 @@ object functions {
     */
   def winnow_fps(c: Column, k: Int, w: Int): Column =
     ExprBridge.column(expressions.WinnowFps(ExprBridge.expression(c), k, w))
+
+  /** Deterministic sha256-derived uniform in [0, 1) (see
+    * [[expressions.HashFraction]]); value-equal to the 8-term hex
+    * decode it replaces and to the DuckDB oracle mirror.
+    */
+  def hash_fraction(c: Column): Column =
+    ExprBridge.column(expressions.HashFraction(ExprBridge.expression(c)))
 }

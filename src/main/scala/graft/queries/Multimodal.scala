@@ -90,8 +90,39 @@ object Multimodal {
           octet_length(col("media")).cast("long").as("n_bytes"),
           sha2(col("media"), 256).as("fingerprint"),
           substring(hex(col("media")), 1, 8).as("magic"))
+    }),
+
+    // Media shard packing — the WebDataset/tar-shard layout step every
+    // multimodal training loader needs: opaque blobs packed into
+    // ~fixed-BYTE shards in stable id order (q144's token packing, at
+    // the byte granularity a media corpus is budgeted in). Shard id =
+    // floor((cumulative_bytes - 1) / budget) via the chunker's
+    // two-phase distributed prefix sum — only numPartitions rows ever
+    // touch the driver, and a blob straddling a boundary lands wholly
+    // in its cumulative-end shard, so shard_bytes < budget + max_blob
+    // — both reported so packing efficiency is auditable.
+    "q155_media_shards" -> ((s, d) => {
+      val blobs = documents(s, d)
+        .withColumn("media", col("text").cast("binary"))
+        .select(col("doc_id"),
+          octet_length(col("media")).cast("long").as("n_bytes"))
+      graft.pipeline.Chunker
+        .runningSum(blobs, "doc_id", "n_bytes", "cum_bytes")
+        .select(col("doc_id"), col("n_bytes"),
+          floor((col("cum_bytes") - 1) / MediaShardBytes).as("shard"))
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("n_bytes")).as("shard_bytes"),
+          min(col("doc_id")).as("first_id"),
+          max(col("doc_id")).as("last_id"))
     })
   )
+
+  /** q155 shard byte budget: ~32 fixture docs per shard, so every SF
+    * yields a multi-shard, multi-item-per-shard layout (production
+    * uses hundreds of MB; the packing arithmetic is scale-free).
+    */
+  val MediaShardBytes = 10000L
 
   val oracles: Map[String, String] = Map(
     "q44_props_struct" ->
@@ -131,6 +162,23 @@ object Multimodal {
         |  octet_length(encode(text)) AS n_bytes,
         |  sha256(text) AS fingerprint,
         |  substring(hex(encode(text)), 1, 8) AS magic
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+
+    "q155_media_shards" ->
+      s"""WITH b AS (
+         |  SELECT doc_id,
+         |    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, n_bytes,
+         |    sum(n_bytes) OVER (ORDER BY doc_id
+         |      ROWS UNBOUNDED PRECEDING) AS cum
+         |  FROM b)
+         |SELECT CAST(floor((cum - 1) / $MediaShardBytes) AS BIGINT)
+         |    AS shard,
+         |  count(*) AS n_items,
+         |  CAST(sum(n_bytes) AS BIGINT) AS shard_bytes,
+         |  min(doc_id) AS first_id, max(doc_id) AS last_id
+         |FROM c GROUP BY 1""".stripMargin
   )
 }

@@ -107,15 +107,24 @@ object TextAnalytics {
   def sampleByHash(docs: DataFrame, idCol: String, thresholdHex: Column): DataFrame =
     docs.filter(hashPrefix(col(idCol)) < thresholdHex)
 
-  /** The [[hashPrefix]] probe as a uniform double in [0, 1): each hex
-    * digit decodes via its ascii code (engine-portable, unlike
-    * hex→int conversion builtins), the 8-digit fold is exact integer
-    * arithmetic, and /2^32 is an exact power-of-two division — so the
-    * fraction is bit-identical across engines and comparable against
-    * DATA-DERIVED rates (which a baked hex-literal threshold cannot
-    * express).
+  /** The [[hashPrefix]] probe as a uniform double in [0, 1): the first
+    * 8 hex digits of the sha256 decode to an exact 32-bit integer and
+    * /2^32 is an exact power-of-two division — bit-identical across
+    * engines and comparable against DATA-DERIVED rates (which a baked
+    * hex-literal threshold cannot express). Since round 7 this is the
+    * native codegen'd [[graft.expressions.HashFraction]] (one digest
+    * per row); [[hashFractionColumnFormula]] is the original 8-term
+    * built-in formula it is spec-pinned value-equal to, and
+    * [[hashFractionSql]] stays the DuckDB mirror of both.
     */
-  def hashFraction(c: Column): Column = {
+  def hashFraction(c: Column): Column =
+    graft.functions.hash_fraction(c.cast("string"))
+
+  /** The pre-round-7 composition of built-ins (8 ascii-decoded hex
+    * digits over [[hashPrefix]]): kept as the independent definition
+    * that `HashFractionSpec` pins the native expression against.
+    */
+  def hashFractionColumnFormula(c: Column): Column = {
     val h = hashPrefix(c)
     val v = (0 until 8).map { i =>
       val d = ascii(substring(h, i + 1, 1))

@@ -32,6 +32,11 @@ class GraftExtensionsSpec extends AnyFunSuite {
       val r3 = ext.sql("SELECT size(winnow_fps('abcdefghijk', 8, 4)) AS n")
         .collect()(0).getInt(0)
       assert(r3 == 1) // 11 chars, k=8, w=4: exactly one full window
+      val r4 = ext.sql("SELECT hash_fraction('42') AS f")
+        .collect()(0).getDouble(0)
+      assert(r4 == graft.expressions.HashFraction.fraction(
+        org.apache.spark.unsafe.types.UTF8String.fromString("42")))
+      assert(r4 >= 0.0 && r4 < 1.0)
       // bad arity is a clean analysis error, not a crash
       intercept[Exception](ext.sql("SELECT token_count('a', 'b')").collect())
       // non-literal k/w is rejected loudly, not silently defaulted

@@ -50,4 +50,31 @@ class MultimodalSpec extends AnyFunSuite {
     val feats = BinaryMedia.decodeStub(recs, dim = 8)
     assert(feats.map(_.id) == recs.map(_.id))
   }
+
+  test("media shards: greedy byte-budget boundaries are exact and " +
+    "id ranges are contiguous") {
+    // the q144 characterization at byte granularity: cumulative bytes
+    // through shard b must land in (b*B, (b+1)*B], and the id ranges
+    // of consecutive shards must chain without gap or overlap
+    val out = SparkEntry
+      .queries("q155_media_shards")(TestSpark.spark, TestSpark.sf0001)
+      .collect()
+      .map(r => (r.getAs[Long]("shard"), r.getAs[Long]("n_items"),
+        r.getAs[Long]("shard_bytes"), r.getAs[Long]("first_id"),
+        r.getAs[Long]("last_id")))
+      .sortBy(_._1)
+    assert(out.length > 1, "fixture must span multiple shards")
+    assert(out.map(_._1).toSeq == (0L until out.length))
+    val b = graft.queries.Multimodal.MediaShardBytes
+    var cum = 0L
+    out.dropRight(1).foreach { case (shard, _, bytes, _, _) =>
+      cum += bytes
+      assert(cum > shard * b && cum <= (shard + 1) * b,
+        s"shard $shard boundary broke the greedy invariant")
+    }
+    out.sliding(2).foreach { case Array(a, c) =>
+      assert(a._5 < c._4, "shard id ranges must chain in order")
+    }
+    assert(out.forall(_._2 > 0))
+  }
 }
