@@ -15,6 +15,13 @@ import graft.Tables._
   */
 object EventsQueries {
 
+  /** KMV sketch size (q156/q157): (k−1)/h_(k) has ~1/√k relative
+    * error — 64 gives ~12%, plenty to demonstrate the algebra while
+    * keeping the oracle's LIMIT cheap; production tunes k to the
+    * error budget (state is k hashes total, regardless of corpus).
+    */
+  val KmvK = 64
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Per-group HLL next to the exact distinct count — the grouped form
@@ -136,6 +143,81 @@ object EventsQueries {
         .agg(count(lit(1)).as("n_events"))
         .select(col("user_id"), col("session_window.start").as("session_start"),
           col("n_events"))
+    }),
+
+    // KMV (k-minimum-values) distinct sketch, estimate vs exact — the
+    // SET-ALGEBRA distinct sketch next to q11/q129's HLL envelopes:
+    // keep the k smallest hash values of the key set; the kth smallest
+    // h_(k) estimates the cardinality as (k-1)/h_(k). Deterministic
+    // given the hash (the q130/q148 discipline), so estimates are fully
+    // hash-checked cross-engine — no envelope flags. Scale shape: the
+    // q149 trick bounds the per-type ranking window to O(k) rows — a
+    // 4k/n hash pre-filter from a types-sized broadcast rate dim keeps
+    // every true sketch member (h < rate by construction whenever
+    // n > 4k... the pre-filter keeps ~4k uniform-smallest hashes), and
+    // a type with fewer than k keys degenerates to the EXACT count.
+    "q156_kmv_distinct" -> ((s, d) => {
+      val K = KmvK
+      val du = events(s, d).select(col("event_type"), col("user_id"))
+        .distinct()
+        .withColumn("h", TextAnalytics.hashFraction(col("user_id")))
+      val counts = du.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_exact"))
+      val rates = counts.select(col("event_type"),
+        least(lit(1.0), lit(4.0 * K) / col("n_exact")).as("rate"))
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("h"), col("user_id"))
+      val sk = du.join(broadcast(rates), Seq("event_type"))
+        .filter(col("h") < col("rate"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= K)
+        .groupBy(col("event_type"))
+        .agg(max(col("h")).as("h_k"), count(lit(1)).as("k_actual"))
+      counts.join(sk, Seq("event_type"))
+        .select(col("event_type"), col("n_exact"),
+          round(when(col("k_actual") < K, col("n_exact").cast("double"))
+            .otherwise(lit((K - 1).toDouble) / col("h_k")), 6).as("kmv_est"))
+    }),
+
+    // KMV set algebra over two key sets — the operation HLL cannot do:
+    // the union sketch is just the k smallest of the merged sketches,
+    // and the intersection estimate is |union-sketch ∩ A ∩ B|/k times
+    // the union estimate (the standard KMV Jaccard form). One pass
+    // builds both membership sets; everything downstream is k-sized.
+    "q157_kmv_set_algebra" -> ((s, d) => {
+      val K = KmvK
+      val e = events(s, d)
+        .filter(col("event_type").isin("view", "purchase"))
+        .select(col("event_type"), col("user_id")).distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      graft.pipeline.Chunker.registerForCleanup(e)
+      val both = e.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_types"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      graft.pipeline.Chunker.registerForCleanup(both)
+      val exact = both.agg(
+        count(lit(1)).as("n_union_exact"),
+        sum((col("n_types") === 2).cast("long")).as("n_inter_exact"))
+      val un = both.select(col("user_id"), col("n_types"),
+        TextAnalytics.hashFraction(col("user_id")).as("h"))
+      // global k-smallest via orderBy+limit: plans as TakeOrdered —
+      // per-partition partial top-k then a k-sized merge, no global
+      // sort, no single-partition window, at any corpus size
+      val sk = un.orderBy(col("h"), col("user_id"))
+        .limit(K)
+        .agg(max(col("h")).as("h_k"), count(lit(1)).as("k_actual"),
+          sum((col("n_types") === 2).cast("long")).as("rho_k"))
+      exact.crossJoin(broadcast(sk))
+        .select(col("n_union_exact"), col("n_inter_exact"),
+          round(when(col("k_actual") < K,
+            col("n_union_exact").cast("double"))
+            .otherwise(lit((K - 1).toDouble) / col("h_k")), 6)
+            .as("union_est"),
+          round(when(col("k_actual") < K,
+            col("n_inter_exact").cast("double"))
+            .otherwise(col("rho_k").cast("double") / col("k_actual") *
+              (lit((K - 1).toDouble) / col("h_k"))), 6)
+            .as("inter_est"))
     }),
 
     // Interval-overlap join — the range-join family member beyond the
@@ -411,6 +493,62 @@ object EventsQueries {
       |)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q156_kmv_distinct" -> {
+      val K = KmvK
+      s"""WITH du AS (SELECT DISTINCT event_type, user_id FROM events),
+         |hs AS (SELECT event_type, user_id,
+         |         ${TextAnalytics.hashFractionSql("user_id")} AS h
+         |       FROM du),
+         |counts AS (SELECT event_type, count(*) AS n_exact
+         |           FROM du GROUP BY 1),
+         |rates AS (SELECT event_type,
+         |            least(1.0, ${4.0 * K} / n_exact) AS rate
+         |          FROM counts),
+         |sk AS (
+         |  SELECT event_type, h FROM (
+         |    SELECT hs.event_type, hs.h,
+         |      row_number() OVER (PARTITION BY hs.event_type
+         |        ORDER BY hs.h, hs.user_id) AS rn
+         |    FROM hs JOIN rates r ON r.event_type = hs.event_type
+         |    WHERE hs.h < r.rate)
+         |  WHERE rn <= $K),
+         |agg AS (SELECT event_type, max(h) AS h_k, count(*) AS k_actual
+         |        FROM sk GROUP BY 1)
+         |SELECT c.event_type, c.n_exact,
+         |  round(CASE WHEN a.k_actual < $K THEN CAST(c.n_exact AS DOUBLE)
+         |        ELSE ${(K - 1).toDouble} / a.h_k END, 6) AS kmv_est
+         |FROM counts c JOIN agg a ON a.event_type = c.event_type""".stripMargin
+    },
+
+    "q157_kmv_set_algebra" -> {
+      val K = KmvK
+      s"""WITH e AS (SELECT DISTINCT event_type, user_id FROM events
+         |           WHERE event_type IN ('view', 'purchase')),
+         |both_t AS (SELECT user_id, count(*) AS n_types
+         |           FROM e GROUP BY 1),
+         |x AS (SELECT count(*) AS n_union_exact,
+         |        CAST(sum(CASE WHEN n_types = 2 THEN 1 ELSE 0 END)
+         |          AS BIGINT) AS n_inter_exact
+         |      FROM both_t),
+         |un AS (SELECT user_id, n_types,
+         |         ${TextAnalytics.hashFractionSql("user_id")} AS h
+         |       FROM both_t),
+         |sk AS (SELECT * FROM un ORDER BY h, user_id LIMIT $K),
+         |a AS (SELECT max(h) AS h_k, count(*) AS k_actual,
+         |        CAST(sum(CASE WHEN n_types = 2 THEN 1 ELSE 0 END)
+         |          AS BIGINT) AS rho_k
+         |      FROM sk)
+         |SELECT x.n_union_exact, x.n_inter_exact,
+         |  round(CASE WHEN a.k_actual < $K
+         |        THEN CAST(x.n_union_exact AS DOUBLE)
+         |        ELSE ${(K - 1).toDouble} / a.h_k END, 6) AS union_est,
+         |  round(CASE WHEN a.k_actual < $K
+         |        THEN CAST(x.n_inter_exact AS DOUBLE)
+         |        ELSE CAST(a.rho_k AS DOUBLE) / a.k_actual
+         |             * (${(K - 1).toDouble} / a.h_k) END, 6) AS inter_est
+         |FROM x CROSS JOIN a""".stripMargin
+    },
+
     "q154_interval_join" ->
       """WITH se AS (
         |  SELECT user_id, event_type, ts, event_id,

@@ -58,6 +58,7 @@ class PlanGuardSpec extends AnyFunSuite {
     "q118_word_pmi" -> "1-row document count",
     "q120_chi_square" -> "1-row grand total, twice (rows/cols margins)",
     "q147_benford" -> "1-row digit-count total",
+    "q157_kmv_set_algebra" -> "1-row exact counts x 1-row k-sized sketch stats",
     "ref_token_cost" -> "1-row token total x 4-row model price table")
 
   /** Walk a physical plan AND every subquery plan hanging off its
