@@ -145,6 +145,27 @@ object EventsQueries {
           col("n_events"))
     }),
 
+    // Temporal debounce — keep only BURST INITIATORS per (user, type):
+    // an event survives iff the previous same-key event is more than
+    // the window (5 min) behind it, so bursts CHAIN (a long burst with
+    // sub-window gaps collapses to its first event — the gap-based
+    // debounce, consistent with q34's session-start flag). The
+    // duplicate-click / double-submit / retry-storm scrub that runs
+    // before any funnel or billing aggregate; distinct from
+    // dropDuplicates (identity = temporal proximity, not equality).
+    // One lag in exact epoch-micros over the (user_id, event_type)
+    // partition — bounded by per-user activity, never corpus-wide.
+    "q158_debounce" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("ts"), col("event_id"))
+      events(s, d)
+        .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+        .filter(col("prev_us").isNull ||
+          unix_micros(col("ts")) - col("prev_us") > 300L * 1000000L)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("ts"), col("value"))
+    }),
+
     // KMV (k-minimum-values) distinct sketch, estimate vs exact — the
     // SET-ALGEBRA distinct sketch next to q11/q129's HLL envelopes:
     // keep the k smallest hash values of the key set; the kth smallest
@@ -493,6 +514,15 @@ object EventsQueries {
       |)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q158_debounce" ->
+      """SELECT event_id, user_id, event_type, ts, value FROM (
+        |  SELECT event_id, user_id, event_type, ts, value,
+        |    lag(epoch_us(ts)) OVER (PARTITION BY user_id, event_type
+        |      ORDER BY ts, event_id) AS prev_us,
+        |    epoch_us(ts) AS us
+        |  FROM events)
+        |WHERE prev_us IS NULL OR us - prev_us > 300000000""".stripMargin,
+
     "q156_kmv_distinct" -> {
       val K = KmvK
       s"""WITH du AS (SELECT DISTINCT event_type, user_id FROM events),

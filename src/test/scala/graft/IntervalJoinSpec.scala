@@ -41,4 +41,20 @@ class IntervalJoinSpec extends AnyFunSuite {
       (3L, 1L, 1L, 25L * mUs)),
       s"got $out")
   }
+
+  test("debounce keeps burst initiators and chains suppression") {
+    // events at 0, 1m, 2m, 7m, 20m: 1m/2m are within 5m of their
+    // predecessor; 7m is exactly 5m after 2m (NOT > 5m, so the burst
+    // CHAINS through it); 20m is 13m clear and survives
+    val rows = Seq(0L, 1L, 2L, 7L, 20L).zipWithIndex.map {
+      case (t, i) => (i.toLong, t * M, 1L, "click", 1.0, "{}")
+    } :+ (99L, 0L * M, 2L, "click", 1.0, "{}") // other user untouched
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_debounce").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val kept = SparkEntry.queries("q158_debounce")(spark, dir)
+      .collect().map(_.getAs[Long]("event_id")).toSet
+    assert(kept == Set(0L, 4L, 99L), s"got $kept")
+  }
 }
