@@ -26,5 +26,11 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // Iterative-graph plans (pagerank/CC/SSSP unrolled sweeps) nest deep
+  // enough that AQE's per-update explainString materializes 100MB+
+  // strings — with a suite-long JVM that is an OOM (seen aborting
+  // GraphSpec in full `sbt test` runs). The cap only truncates DEBUG
+  // strings, never plans.
+  "-Dspark.sql.maxPlanStringLength=16384",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )

@@ -12,7 +12,7 @@ import graft.queries.{Clustering, TextAnalytics}
   * The sf0.01 oracle (q139) proves engine parity; this proves the
   * operator actually clusters.
   */
-class ClusteringSpec extends AnyFunSuite {
+class ClusteringSpec extends AnyFunSuite with CacheCleanup {
   import TestSpark.spark
   import spark.implicits._
 

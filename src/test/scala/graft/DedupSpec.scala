@@ -10,7 +10,7 @@ import graft.queries.Dedup
   * operator surfaces them — the fixture corpus has no dups by
   * construction, so these are the functional proofs.
   */
-class DedupSpec extends AnyFunSuite {
+class DedupSpec extends AnyFunSuite with CacheCleanup {
   import TestSpark.spark
   import spark.implicits._
 

@@ -9,7 +9,7 @@ import graft.queries.Dedup
   * the reference tolerates empty input (mapreduce_test.go:441-451); the
   * engine's operators must too.
   */
-class EmptyInputSpec extends AnyFunSuite {
+class EmptyInputSpec extends AnyFunSuite with CacheCleanup {
   import TestSpark.spark
   import spark.implicits._
 

@@ -10,7 +10,7 @@ import graft.queries.Graph
   * tables (fixture data can only prove oracle parity; the analytic
   * values need graphs whose fixpoint is known).
   */
-class GraphSpec extends AnyFunSuite {
+class GraphSpec extends AnyFunSuite with CacheCleanup {
   import TestSpark.spark
   import spark.implicits._
 

@@ -6,7 +6,7 @@ import org.scalatest.funsuite.AnyFunSuite
   * only show oracle parity; exact overlap lengths and the
   * no-cross-user / no-cross-session guarantees need planted sessions.
   */
-class IntervalJoinSpec extends AnyFunSuite {
+class IntervalJoinSpec extends AnyFunSuite with CacheCleanup {
   import TestSpark.spark
   import spark.implicits._
 

@@ -8,7 +8,7 @@ import org.scalatest.funsuite.AnyFunSuite
   * deterministic (sha256 hash order), so the bounds below are stable
   * run-to-run, not flaky statistics.
   */
-class KmvSpec extends AnyFunSuite {
+class KmvSpec extends AnyFunSuite with CacheCleanup {
   import TestSpark.spark
   import spark.implicits._
 

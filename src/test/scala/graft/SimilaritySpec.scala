@@ -10,7 +10,7 @@ import graft.queries.Similarity
   * recall bar on a planted-near-duplicate corpus, which the random
   * testdata embeddings cannot measure).
   */
-class SimilaritySpec extends AnyFunSuite {
+class SimilaritySpec extends AnyFunSuite with CacheCleanup {
   import TestSpark.spark
   import spark.implicits._
 

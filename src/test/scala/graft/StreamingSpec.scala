@@ -8,7 +8,7 @@ import graft.streaming.StreamingJobs
   * the batch catalog's q35/q37 results on the same data (sf0.001) —
   * same expressions, two execution modes (mirrors the SURVEY §5 plan).
   */
-class StreamingSpec extends AnyFunSuite {
+class StreamingSpec extends AnyFunSuite with CacheCleanup {
   import TestSpark.spark
 
   private def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
@@ -245,6 +245,59 @@ class StreamingSpec extends AnyFunSuite {
     (0 until TextAnalytics.CmsD).foreach { k =>
       assert(acc(k).toMap == full(k), s"row $k counters diverged")
     }
+  }
+
+  test("stateful debounce: multi-batch streaming output == batch q158") {
+    // the carried last-timestamp state must bridge micro-batch
+    // boundaries: chronological thirds, so most (user, type) groups
+    // span all three batches
+    import org.apache.spark.sql.functions.{col, unix_micros, min, max}
+    import graft.streaming.{KeyedEvent, StatefulDebounce}
+    val ev = graft.Tables.events(spark, TestSpark.sf0001)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        unix_micros(col("ts")).as("ts_us"))
+    val mm = ev.agg(min(col("ts_us")), max(col("ts_us"))).collect()(0)
+    val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+    val c1 = lo + (hi - lo) / 3
+    val c2 = lo + 2 * ((hi - lo) / 3)
+    val batches = Seq(
+      ev.filter(col("ts_us") <= c1),
+      ev.filter(col("ts_us") > c1 && col("ts_us") <= c2),
+      ev.filter(col("ts_us") > c2))
+    assert(batches.forall(_.count() > 0))
+    import spark.implicits._
+    val got = StreamingJobs.runIncremental(spark, batches,
+      df => StatefulDebounce.debounce(df.as[KeyedEvent]).toDF,
+      "t_debounce")
+      .select("event_id").as[Long].collect().toSet
+    val want = SparkEntry.queries("q158_debounce")(spark, TestSpark.sf0001)
+      .select("event_id").as[Long].collect().toSet
+    // (the fixture has no same-key bursts, so everything survives on
+    // both sides — the parity still pins the plumbing; the planted
+    // test below supplies the actual suppression)
+    assert(got == want,
+      s"streamed kept set diverged: ${got.size} vs ${want.size}")
+    assert(got.nonEmpty)
+  }
+
+  test("stateful debounce: carried state suppresses across the batch " +
+    "boundary") {
+    import graft.streaming.{KeyedEvent, StatefulDebounce}
+    import spark.implicits._
+    val mUs = 60L * 1000000L
+    // batch 1: t=0 (kept), t=4m (within 5m -> dropped);
+    // batch 2: t=6m — only 2m after the DROPPED 4m event, so the
+    //   checkpointed last-raw-ts must suppress it (chaining across the
+    //   micro-batch boundary); t=30m is clear and survives
+    val b1 = Seq(KeyedEvent(1L, "click", 10L, 0L),
+      KeyedEvent(1L, "click", 11L, 4L * mUs)).toDF
+    val b2 = Seq(KeyedEvent(1L, "click", 12L, 6L * mUs),
+      KeyedEvent(1L, "click", 13L, 30L * mUs)).toDF
+    val kept = StreamingJobs.runIncremental(spark, Seq(b1, b2),
+      df => StatefulDebounce.debounce(df.as[KeyedEvent]).toDF,
+      "t_debounce_planted")
+      .select("event_id").as[Long].collect().toSet
+    assert(kept == Set(10L, 13L), s"got $kept")
   }
 
   test("streaming session window == batch q37") {

@@ -10,7 +10,7 @@ import graft.queries.TextAnalytics
   * across langs, so quality can only be measured here — same pattern as
   * the ANN recall bar in SimilaritySpec).
   */
-class TextAnalyticsSpec extends AnyFunSuite {
+class TextAnalyticsSpec extends AnyFunSuite with CacheCleanup {
   import TestSpark.spark
   import spark.implicits._
 

@@ -10,7 +10,7 @@ import org.scalatest.funsuite.AnyFunSuite
   * entries read `documents.parquet` from a table dir, so each corpus
   * is staged into a temp dir and the REAL catalog query runs on it.
   */
-class TextSignalsSpec extends AnyFunSuite {
+class TextSignalsSpec extends AnyFunSuite with CacheCleanup {
   import TestSpark.spark
   import spark.implicits._
 
