@@ -640,6 +640,30 @@ object Dedup {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q151_prefix_join" -> ((s, d) =>
       prefixFilterJoin(documents(s, d), "doc_id", "text", PrefixJoinT)),
+
+    // Quality-aware canonicalization of near-dup clusters — the
+    // survivor of each q57 component is its LONGEST member (word
+    // count, min-id tie-break): the C4/CCNet "keep the fullest copy"
+    // heuristic, where q57/q145 pick by id or source rank. Cluster
+    // labels reuse the q57 propagation; the pick itself is ONE
+    // map-side-combinable struct-argmax per cluster (the q108
+    // discipline — max(struct(w, −id)), so the word-count winner takes
+    // the SMALLEST id on ties) — no window, no per-cluster sort.
+    "q159_cluster_canonical" -> ((s, d) => {
+      val docs = documents(s, d)
+      val labels = neardupClusters(docs,
+        minhashCandidates(docs, "doc_id", "text"), "doc_id")
+      val withW = labels.join(
+        docs.select(col("doc_id"),
+          size(TextOps.wordsOf(col("text"))).cast("long").as("n_words")),
+        Seq("doc_id"))
+      val top = max(struct(col("n_words").as("w"),
+        (-col("doc_id")).as("k")))
+      withW.groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("n_members"),
+          top.getField("w").as("survivor_words"),
+          (-top.getField("k")).as("survivor_id"))
+    }),
     "q40_dedup_exact" -> ((s, d) =>
       exactDedup(documents(s, d), "doc_id", "text")),
     // priority = the source's numeric rank (stand-in for a curated
@@ -841,6 +865,36 @@ object Dedup {
        |  FROM w WHERE len(ws) >= 3)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q159_cluster_canonical" ->
+      s"""WITH RECURSIVE ${minhashCtes.stripPrefix("WITH ")},
+         |cands AS (
+         |  SELECT a.doc AS doc_a, b.doc AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+         |    AND a.doc < b.doc
+         |  GROUP BY 1, 2),
+         |edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM cands
+         |  UNION SELECT doc_b, doc_a FROM cands),
+         |reach(doc, label) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.doc),
+         |labels AS (
+         |  SELECT doc AS doc_id, min(label) AS cluster_id
+         |  FROM reach GROUP BY doc),
+         |wd AS (
+         |  SELECT doc_id,
+         |    CAST(len(${TextOps.wordsSql}) AS BIGINT) AS n_words
+         |  FROM documents)
+         |SELECT l.cluster_id, count(*) AS n_members,
+         |  (max(struct_pack(w := wd.n_words, k := -l.doc_id))).w
+         |    AS survivor_words,
+         |  -(max(struct_pack(w := wd.n_words, k := -l.doc_id))).k
+         |    AS survivor_id
+         |FROM labels l JOIN wd ON wd.doc_id = l.doc_id
+         |GROUP BY 1""".stripMargin,
+
     "q151_prefix_join" -> {
       val t = PrefixJoinT
       s"""$shingleCtes,

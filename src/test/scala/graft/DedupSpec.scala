@@ -336,6 +336,41 @@ class DedupSpec extends AnyFunSuite with CacheCleanup {
     }
   }
 
+  test("cluster canonicalization keeps the LONGEST member, min id on ties") {
+    // 10 and 11 are near-dups; 11 is longer and must win despite the
+    // larger id. 20/21 are identical-length near-dups: min id wins.
+    val docs = Seq(
+      (10L, base),
+      (11L, base + " longer tail with extra detail words"),
+      (20L, "one two three four five six seven eight nine ten " * 3),
+      (21L, "one two three four five six seven eight nine ten " * 3 + " "),
+      (30L, "totally unrelated content about catalyst plan rewrites here"))
+      .toDF("doc_id", "text")
+    val labels = Dedup.neardupClusters(docs,
+      Dedup.minhashCandidates(docs, "doc_id", "text"), "doc_id")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Long]("cluster_id")).toMap
+    assert(labels(10L) == labels(11L) && labels(20L) == labels(21L),
+      s"planted near-dups must cluster: $labels")
+    val out = SparkEntry.queries("q159_cluster_canonical")(
+      spark, stage(docs))
+      .collect().map(r => r.getAs[Long]("cluster_id") ->
+        (r.getAs[Long]("survivor_id"), r.getAs[Long]("n_members"))).toMap
+    assert(out(labels(10L))._1 == 11L,
+      s"longest member must win the cluster: $out")
+    assert(out(labels(10L))._2 == 2L)
+    assert(out(labels(20L))._1 == 20L, "equal lengths fall back to min id")
+    assert(out(labels(30L)) == ((30L, 1L)), "singletons survive as-is")
+  }
+
+  /** Stage a documents table for catalog-query entry points. */
+  private def stage(docs: org.apache.spark.sql.DataFrame): String = {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_dedup_stage").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
   test("prefix-filter join is COMPLETE: finds every pair >= t that " +
     "brute force finds, and prunes the candidate space") {
     // 3 near-dup families (small edits) + unrelated filler docs
