@@ -89,17 +89,76 @@ object Clustering {
       .select(col("cent_id"), transform(col("m"), v => round(v, 6)).as("c_emb"))
   }
 
-  /** `iters` Lloyd sweeps from the hash seeds; returns the final
-    * assignment (vec_id, cluster, dist_sq).
+  /** `iters` Lloyd sweeps from the hash seeds; the final assignment
+    * WITH the embedding column retained
+    * (vec_id, embedding, cent_id, dist_sq) — q160's pairwise stage
+    * needs the vectors, q139/q142 project them away.
     */
-  def kmeans(emb: DataFrame, k: Int, iters: Int): DataFrame = {
+  def kmeansFull(emb: DataFrame, k: Int, iters: Int): DataFrame = {
     val e = emb.select(col("vec_id"), col("embedding"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     graft.pipeline.Chunker.registerForCleanup(e)
     var cents = seedCentroids(e, k)
     for (_ <- 1 to iters) cents = recentroid(assign(e, cents))
     assign(e, cents)
+  }
+
+  /** `iters` Lloyd sweeps from the hash seeds; returns the final
+    * assignment (vec_id, cluster, dist_sq).
+    */
+  def kmeans(emb: DataFrame, k: Int, iters: Int): DataFrame =
+    kmeansFull(emb, k, iters)
       .select(col("vec_id"), col("cent_id").as("cluster"), col("dist_sq"))
+
+  /** q160 cosine threshold (the q47 near-dup bar) and per-cluster
+    * pairwise cap.
+    */
+  val SemDedupTau = 0.35
+  val SemDedupCap = 256
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    * deduplication by k-means BLOCKING — cluster the embeddings, then
+    * compare pairs only WITHIN a cluster and drop every member that
+    * has a more-central cluster-mate above the cosine threshold. The
+    * survivor of a semantic group is its member CLOSEST to the
+    * centroid (min (dist_sq, vec_id) — the canonical, least-outlying
+    * copy), where q47 blocks by LSH signature and keeps min-id.
+    *
+    * Scale shape: the pairwise stage never sees a pair from different
+    * clusters, so cost is sum(|c|^2) bounded by [[SemDedupCap]]^2 per
+    * cluster (members ranked by centroid distance; ranks past the cap
+    * are kept unexamined — the same deterministic, oracle-mirrored
+    * truncation as Dedup's band-bucket cap). In production K grows
+    * with N (SemDeDup uses N/K ~ 1e4), so clusters stay bounded and
+    * the whole operator is: Lloyd (broadcast + projection + K-group
+    * aggregate per sweep), one cluster-keyed window, one cluster-keyed
+    * self-join of capped clusters, one anti-join.
+    *
+    * Returns every vector: (vec_id, cluster, kept 0/1).
+    */
+  def semDeDup(emb: DataFrame, k: Int, iters: Int, tau: Double): DataFrame = {
+    val a = kmeansFull(emb, k, iters)
+      .withColumn("nrm", Similarity.norm(col("embedding")))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("cent_id"))
+          .orderBy(col("dist_sq"), col("vec_id"))))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.pipeline.Chunker.registerForCleanup(a)
+    val capped = a.filter(col("rn") <= SemDedupCap)
+    val l = capped.select(col("cent_id"), col("embedding").as("emb_a"),
+      col("nrm").as("nrm_a"), col("rn").as("rn_a"))
+    val r = capped.select(col("cent_id").as("cent_b"),
+      col("vec_id").as("id_b"), col("embedding").as("emb_b"),
+      col("nrm").as("nrm_b"), col("rn").as("rn_b"))
+    val removed = l.join(r,
+        col("cent_id") === col("cent_b") && col("rn_a") < col("rn_b"))
+      .filter(Similarity.cosinePre(col("emb_a"), col("emb_b"),
+        col("nrm_a"), col("nrm_b")) >= tau)
+      .select(col("id_b").as("vec_id")).distinct()
+    a.join(removed.withColumn("rm", lit(1L)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cent_id").as("cluster"),
+        col("rm").isNull.cast("long").as("kept"))
   }
 
   /** Per-cluster sample target for q142. */
@@ -135,7 +194,10 @@ object Clustering {
     "q139_kmeans" -> ((s, d) => kmeans(embeddings(s, d), K, Iters)),
 
     "q142_cluster_sample" -> ((s, d) =>
-      clusterSample(kmeans(embeddings(s, d), K, Iters), SampleTarget))
+      clusterSample(kmeans(embeddings(s, d), K, Iters), SampleTarget)),
+
+    "q160_semdedup" -> ((s, d) =>
+      semDeDup(embeddings(s, d), K, Iters, SemDedupTau))
   )
 
   // ---- DuckDB mirrors --------------------------------------------------
@@ -205,6 +267,24 @@ object Clustering {
          |  FROM fin GROUP BY cent_id)
          |SELECT f.vec_id, f.cent_id AS cluster
          |FROM fin f JOIN rates r ON r.cent_id = f.cent_id
-         |WHERE ${TextAnalytics.hashFractionSql("f.vec_id")} < r.rate""".stripMargin
+         |WHERE ${TextAnalytics.hashFractionSql("f.vec_id")} < r.rate""".stripMargin,
+
+    "q160_semdedup" ->
+      s"""WITH $kmeansCteSql,
+         |rk AS (
+         |  SELECT vec_id, embedding, cent_id, dist_sq,
+         |    row_number() OVER (PARTITION BY cent_id
+         |      ORDER BY dist_sq, vec_id) AS rn
+         |  FROM fin),
+         |removed AS (
+         |  SELECT DISTINCT b.vec_id
+         |  FROM rk a JOIN rk b
+         |    ON a.cent_id = b.cent_id AND a.rn < b.rn
+         |    AND a.rn <= $SemDedupCap AND b.rn <= $SemDedupCap
+         |  WHERE ${Similarity.cosineSql("a.embedding", "b.embedding")}
+         |          >= $SemDedupTau)
+         |SELECT f.vec_id, f.cent_id AS cluster,
+         |  CAST(r.vec_id IS NULL AS BIGINT) AS kept
+         |FROM fin f LEFT JOIN removed r ON r.vec_id = f.vec_id""".stripMargin
   )
 }

@@ -818,6 +818,51 @@ object Dedup {
         .select(col("doc_id"), col("n_lines_in"), col("n_lines_out"),
           (col("n_lines_in") - col("n_lines_out")).as("n_dup_lines"),
           col("dedup_hash"))
+    }),
+
+    // Exact duplicate-SPAN detection — the substring-level dedup of
+    // Lee et al. 2021 ("Deduplicating Training Data Makes Language
+    // Models Better") at word-3-gram granularity: every MAXIMAL run of
+    // consecutive word positions whose 3-gram also occurs in ANOTHER
+    // document, i.e. the spans a substring-dedup pass would cut
+    // (license blocks, boilerplate headers, quoted chunks) where
+    // q40/q41/q57 only judge whole documents and q77 only ranks
+    // shingles. Pipeline: positional shingles (posexplode keeps the
+    // word offset) -> cross-doc duplicated-shingle set (one
+    // shingle-keyed aggregate, count(DISTINCT doc) >= 2) -> semi-join
+    // the positions against it -> gaps-islands merge (pos - row_number
+    // per doc, the q107 idiom) into maximal spans. Scale shape: the
+    // only corpus-wide shuffles are the shingle aggregate and the
+    // semi-join, both shingle-keyed and combiner-friendly (a suffix
+    // array, the paper's single-node tool, cannot shard this way); the
+    // island window partitions by doc, bounded by doc length, and
+    // rides the semi-join's exchange only when doc happens to collide
+    // — otherwise one doc-keyed exchange.
+    "q163_dup_spans" -> ((s, d) => {
+      val posh = documents(s, d)
+        .select(col("doc_id").as("doc"), TextOps.wordsOf(col("text")).as("ws"))
+        .filter(size(col("ws")) >= 3)
+        .select(col("doc"), posexplode(transform(
+          sequence(lit(0), size(col("ws")) - 3), i =>
+            concat_ws(" ", element_at(col("ws"), i + 1),
+              element_at(col("ws"), i + 2),
+              element_at(col("ws"), i + 3)))).as(Seq("pos", "shingle")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      Chunker.registerForCleanup(posh)
+      val dup = posh.groupBy(col("shingle"))
+        .agg(countDistinct(col("doc")).as("nd"))
+        .filter(col("nd") >= 2)
+        .select(col("shingle"))
+      val isl = posh.join(dup, Seq("shingle"), "left_semi")
+        .withColumn("g", col("pos") - row_number().over(
+          Window.partitionBy(col("doc")).orderBy(col("pos"))))
+      isl.groupBy(col("doc"), col("g"))
+        .agg(min(col("pos")).cast("long").as("span_start"),
+          (max(col("pos")) + 2).cast("long").as("span_end"),
+          count(lit(1)).as("n_grams"))
+        .select(col("doc").as("doc_id"), col("span_start"), col("span_end"),
+          (col("span_end") - col("span_start") + 1).as("span_words"),
+          col("n_grams"))
     })
   )
 
@@ -1227,6 +1272,29 @@ object Dedup {
          |         FROM batch GROUP BY 1)
          |SELECT s.doc_id, s.content_key FROM surv s
          |WHERE NOT EXISTS (
-         |  SELECT 1 FROM old o WHERE o.content_key = s.content_key)""".stripMargin
+         |  SELECT 1 FROM old o WHERE o.content_key = s.content_key)""".stripMargin,
+
+    "q163_dup_spans" ->
+      s"""WITH w AS (
+         |  SELECT doc_id AS doc, ${TextOps.wordsSql} AS ws FROM documents),
+         |p AS (
+         |  SELECT doc, ws, unnest(range(1, len(ws) - 1)) AS i
+         |  FROM w WHERE len(ws) >= 3),
+         |posh AS (
+         |  SELECT doc, CAST(i - 1 AS BIGINT) AS pos,
+         |    ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+         |  FROM p),
+         |dup AS (
+         |  SELECT shingle FROM posh GROUP BY shingle
+         |  HAVING count(DISTINCT doc) >= 2),
+         |isl AS (
+         |  SELECT doc, pos,
+         |    pos - row_number() OVER (PARTITION BY doc ORDER BY pos) AS g
+         |  FROM posh WHERE shingle IN (SELECT shingle FROM dup))
+         |SELECT doc AS doc_id, min(pos) AS span_start,
+         |  max(pos) + 2 AS span_end,
+         |  max(pos) + 2 - min(pos) + 1 AS span_words,
+         |  count(*) AS n_grams
+         |FROM isl GROUP BY doc, g""".stripMargin
   )
 }

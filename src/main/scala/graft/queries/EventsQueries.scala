@@ -490,6 +490,47 @@ object EventsQueries {
           (col("n_base") >= 12 && col("sd") > 0 &&
             abs((col("n") - col("mu")) / col("sd")) > 3).cast("long")
             .as("is_anomaly"))
+    }),
+
+    // Exponentially-weighted moving average of hourly event rates —
+    // q88's flat 24h mean replaced by exponential decay (half-life =
+    // 1 hour), the smoother a drift/alerting pipeline actually runs.
+    // FORMULATION: not a range join and not a window — each hourly
+    // count SCATTERS its 12 future contributions (lag 0..11, weight
+    // 2^-lag) via a map-side explode, and one (hour, type)-keyed
+    // aggregate gathers them; an inner join back to the counts keeps
+    // exactly the observed hours. At 100 TB that is: pre-aggregated
+    // input (hours x types, tiny vs raw events), a x12 flatMap, one
+    // hash aggregate — no self-join, no per-type skew (the shuffle key
+    // is (hour, type), never type alone).
+    // EXACTNESS: alpha = 1/2 makes every weight 2^-lag, exact in IEEE;
+    // n * 2^-lag is exact (n < 2^41); the partial sums stay dyadic
+    // rationals well under 53 bits, so SUM IS EXACT REGARDLESS OF
+    // ORDER — the one float aggregation in the catalog that needs no
+    // micro-unit trick. Hours travel as epoch seconds (bigint) to
+    // dodge interval-arithmetic divergence; ewma is normalized over
+    // the OBSERVED buckets in the 12-hour tail (documented semantics:
+    // missing hours contribute neither weight nor count).
+    "q162_ewma_hourly" -> ((s, d) => {
+      val c = events(s, d)
+        .select(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+        .groupBy(col("h"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("he", unix_timestamp(col("h")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      graft.pipeline.Chunker.registerForCleanup(c)
+      val contrib = c
+        .select(col("event_type").as("et"), col("n"), col("he"),
+          explode(sequence(lit(0), lit(11))).as("lag"))
+        .select(col("et"),
+          (col("he") + col("lag") * 3600L).as("te"),
+          (col("n") * pow(lit(0.5), col("lag"))).as("wn"),
+          pow(lit(0.5), col("lag")).as("w"))
+      val ew = contrib.groupBy(col("te"), col("et"))
+        .agg(sum(col("wn")).as("num"), sum(col("w")).as("den"))
+      c.join(ew, col("he") === col("te") && col("event_type") === col("et"))
+        .select(col("h").as("hour_start"), col("event_type"), col("n"),
+          round(col("num") / col("den"), 6).as("ewma"))
     })
   )
 
@@ -791,6 +832,22 @@ object EventsQueries {
         |    AS z,
         |  CAST((n_base >= 12 AND sd > 0 AND abs((n - mu) / sd) > 3) AS BIGINT)
         |    AS is_anomaly
-        |FROM b""".stripMargin
+        |FROM b""".stripMargin,
+
+    "q162_ewma_hourly" ->
+      """WITH c AS (
+        |  SELECT date_trunc('hour', ts) AS h, event_type, count(*) AS n,
+        |    CAST(epoch_us(date_trunc('hour', ts)) / 1000000 AS BIGINT) AS he
+        |  FROM events GROUP BY 1, 2),
+        |contrib AS (
+        |  SELECT event_type, he + lag * 3600 AS te,
+        |    n * power(0.5, lag) AS wn, power(0.5, lag) AS w
+        |  FROM c CROSS JOIN (SELECT unnest(range(0, 12)) AS lag) l),
+        |ew AS (
+        |  SELECT te, event_type, sum(wn) AS num, sum(w) AS den
+        |  FROM contrib GROUP BY 1, 2)
+        |SELECT c.h AS hour_start, c.event_type, c.n,
+        |  round(ew.num / ew.den, 6) AS ewma
+        |FROM c JOIN ew ON ew.te = c.he AND ew.event_type = c.event_type""".stripMargin
   )
 }

@@ -364,7 +364,90 @@ object Graph {
     */
   val SsspSweeps = 3
 
+  /** q166 sweeps (unrolled in the oracle) and the out-edge fan-in cap:
+    * LPA runs on the TOP-[[LpaTopK]]-weighted out-edges per node — the
+    * kNN-graph sparsification every embedding-space community pipeline
+    * applies first. It is also what makes the demo non-degenerate: the
+    * raw trade graph is near-complete (25 nations all shipping to all),
+    * so unsparsified LPA correctly collapses it to ONE community, while
+    * the k-strongest-partners graph resolves real blocks (12 on the
+    * sf0.01 fixture).
+    */
+  val LpaIters = 3
+  val LpaTopK = 3
+
+  /** Directed trade edges with their RAW weight (shipment count) —
+    * the [[costedTradeEdges]] build without the cost inversion.
+    */
+  def weightedTradeEdges(s: SparkSession, d: String): DataFrame = {
+    val co = orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+      .join(customer(s, d).select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("c_nationkey").as("dst"))
+    val ls = lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
+      .join(broadcast(supplier(s, d).select(col("s_suppkey"), col("s_nationkey"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("l_orderkey"), col("s_nationkey").as("src"))
+    ls.join(co, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
+      .select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"), col("w"))
+  }
+
+  /** Synchronous weighted label propagation (Raghavan et al. 2007) —
+    * community detection, the MODE-label complement to
+    * [[connectedComponents]]' min-label reachability: labels start as
+    * the node id and each sweep every node adopts the label with the
+    * LARGEST incoming edge-weight sum among its in-neighbors (min
+    * label on weight ties; a node with no in-edges keeps its own).
+    * Fully deterministic: weights are exact integer counts and the
+    * argmax is a struct-max over (wsum, -label) — map-side
+    * combinable, no per-node sort, no floats anywhere.
+    *
+    * Scale shape per sweep: one labels⋈edges equi-join on src (labels
+    * are node-sized; broadcast OR shuffle join both correct — the
+    * optimizer picks by size, exactly the q119 freedom), one
+    * (dst, label)-keyed partial-aggregated vote count, one dst-keyed
+    * argmax, one node-sized left join. The edge table is persisted
+    * once and reused by every sweep.
+    */
+  def labelProp(nodes: DataFrame, edges: DataFrame, iters: Int): DataFrame = {
+    val e = edges.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.pipeline.Chunker.registerForCleanup(e)
+    var labels = nodes.select(col("node"), col("node").as("label"))
+    for (_ <- 1 to iters) {
+      val votes = e
+        .join(labels.select(col("node").as("src"), col("label")), Seq("src"))
+        .groupBy(col("dst"), col("label"))
+        .agg(sum(col("w")).as("wsum"))
+      val best = votes.groupBy(col("dst"))
+        .agg(max(struct(col("wsum").as("w"), (-col("label")).as("k"))).as("b"))
+        .select(col("dst").as("node"), (-col("b.k")).as("nbr_label"))
+      labels = nodes.select(col("node"))
+        .join(best, Seq("node"), "left")
+        .select(col("node"),
+          coalesce(col("nbr_label"), col("node")).as("label"))
+    }
+    labels.select(col("node"), col("label").as("community"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q166_label_prop" -> ((s, d) => {
+      val nodes = nation(s, d)
+        .select(col("n_nationkey").cast("long").as("node"))
+      // kNN-graph sparsification: keep each node's LpaTopK strongest
+      // out-edges ((w desc, dst) order — deterministic). The window
+      // partitions by src: it rides the edge aggregate's exchange and
+      // its input is one node's out-list, never the corpus.
+      val sparse = weightedTradeEdges(s, d)
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("src"))
+            .orderBy(col("w").desc, col("dst"))))
+        .filter(col("rn") <= LpaTopK).drop("rn")
+      labelProp(nodes, sparse, LpaIters)
+    }),
+
     "q146_sssp" -> ((s, d) => {
       val nodes = nation(s, d)
         .select(col("n_nationkey").cast("long").as("node"))
@@ -476,7 +559,50 @@ object Graph {
        |    WHERE p2.dist IS NOT NULL
        |    GROUP BY e.dst) m ON m.dst = p.node)""".stripMargin
 
+  /** One unrolled LPA sweep (mirrors [[labelProp]]: weighted vote,
+    * argmax by (wsum DESC, label ASC), keep-own fallback).
+    */
+  private def lpaIterSql(prev: String, cur: String): String =
+    s"""$cur AS (
+       |  SELECT n.node, coalesce(b.lab, n.node) AS label
+       |  FROM nodes n LEFT JOIN (
+       |    SELECT dst, lab FROM (
+       |      SELECT dst, v.label AS lab,
+       |        row_number() OVER (PARTITION BY dst
+       |          ORDER BY wsum DESC, v.label) AS rn
+       |      FROM (
+       |        SELECT e.dst, p.label, CAST(sum(e.w) AS BIGINT) AS wsum
+       |        FROM e JOIN $prev p ON p.node = e.src
+       |        GROUP BY e.dst, p.label) v)
+       |    WHERE rn = 1) b ON b.dst = n.node)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q166_label_prop" -> {
+      val sweeps = (1 to LpaIters)
+        .map(i => lpaIterSql(s"l${i - 1}", s"l$i")).mkString(",\n")
+      s"""WITH co AS (
+         |  SELECT o.o_orderkey, c.c_nationkey AS dst
+         |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+         |ls AS (
+         |  SELECT l.l_orderkey, s.s_nationkey AS src
+         |  FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey),
+         |ew AS (
+         |  SELECT CAST(src AS BIGINT) AS src, CAST(dst AS BIGINT) AS dst,
+         |    count(*) AS w
+         |  FROM ls JOIN co ON ls.l_orderkey = co.o_orderkey
+         |  GROUP BY 1, 2),
+         |e AS (
+         |  SELECT src, dst, w FROM (
+         |    SELECT src, dst, w, row_number() OVER (PARTITION BY src
+         |      ORDER BY w DESC, dst) AS rn
+         |    FROM ew)
+         |  WHERE rn <= $LpaTopK),
+         |nodes AS (SELECT CAST(n_nationkey AS BIGINT) AS node FROM nation),
+         |l0 AS (SELECT node, node AS label FROM nodes),
+         |$sweeps
+         |SELECT node, label AS community FROM l$LpaIters""".stripMargin
+    },
+
     "q146_sssp" -> {
       val sweeps = (1 to SsspSweeps)
         .map(i => ssspIterSql(s"d${i - 1}", s"d$i")).mkString(",\n")

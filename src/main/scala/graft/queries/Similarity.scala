@@ -413,13 +413,46 @@ object Similarity {
           round(array_max(col("errs")), 6).as("max_err"),
           round(aggregate(col("errs"), lit(0.0), (acc, e) => acc + e)
             / size(col("embedding")), 6).as("mean_err"))
+    }),
+
+    // Johnson-Lindenstrauss random projection (64 -> 16 dims) — the
+    // dimensionality-reduction pre-step of an ANN/clustering pipeline
+    // (project once, index the short vectors, re-rank survivors in
+    // full dimension). Dense Rademacher JL (Achlioptas 2003): proj_j =
+    // <v, plane_j> / sqrt(m) over [[JlDim]] of the SAME PlanePool
+    // planes the LSH family uses — products by ±1 are exact in IEEE,
+    // and sqrt(16) = 4 makes the scale an exact power of two, so the
+    // whole projection is bit-identical cross-engine. norm_ratio
+    // (||proj|| / ||v||) is the per-row distortion JL bounds; its
+    // sum-of-squares runs in the same left-to-right order as the
+    // oracle's `+` chain. A pure projection: zero shuffle, native
+    // codegen'd VecDot per output dim, trivially scale-free.
+    "q165_jl_projection" -> ((s, d) => {
+      val e = embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val raw = (0 until JlDim).map(j =>
+        (dot(col("embedding"), typedlit(PlanePool(JlOffset + j))) / 4.0)
+          .as(s"r$j"))
+      val p = e.select(col("vec_id") +: col("embedding") +: raw: _*)
+      val sq = (0 until JlDim).map(j => col(s"r$j") * col(s"r$j"))
+        .reduce(_ + _)
+      p.select(col("vec_id"),
+        array((0 until JlDim).map(j => round(col(s"r$j"), 6)): _*).as("proj"),
+        round(sqrt(sq) / norm(col("embedding")), 6).as("norm_ratio"))
     })
   )
+
+  /** q165 JL target dimensionality (sqrt(16) = 4 keeps the scale
+    * exact) and the PlanePool offset (the tail 16 planes — disjoint
+    * from every LSH consumer, though overlap would only correlate the
+    * families, not break either).
+    */
+  val JlDim = 16
+  val JlOffset = 24
 
   /** DuckDB fragment: cosine of two list columns, identical fold order
     * to [[cosine]].
     */
-  private def cosineSql(a: String, b: String): String =
+  private[queries] def cosineSql(a: String, b: String): String =
     s"""round(
        |  list_sum(list_transform(list_zip($a, $b),
        |           p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
@@ -554,6 +587,28 @@ object Similarity {
         |  round(mn, 6) AS v_min, round(mx, 6) AS v_max,
         |  round(list_max(errs), 6) AS max_err,
         |  round(list_sum(errs) / len(embedding), 6) AS mean_err
-        |FROM e""".stripMargin
+        |FROM e""".stripMargin,
+
+    "q165_jl_projection" -> {
+      val rawCols = (0 until JlDim).map { j =>
+        s"""list_sum(list_transform(
+           |      list_zip(embedding, ${planeSql(PlanePool(JlOffset + j))}),
+           |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) / 4.0
+           |      AS r$j""".stripMargin
+      }.mkString(",\n    ")
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+         |p AS (
+         |  SELECT vec_id, embedding,
+         |    $rawCols
+         |  FROM e)
+         |SELECT vec_id,
+         |  [${(0 until JlDim).map(j => s"round(r$j, 6)").mkString(", ")}]
+         |    AS proj,
+         |  round(sqrt(${(0 until JlDim).map(j => s"r$j * r$j").mkString(" + ")})
+         |    / sqrt(list_sum(list_transform(embedding,
+         |        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6)
+         |    AS norm_ratio
+         |FROM p""".stripMargin
+    }
   )
 }

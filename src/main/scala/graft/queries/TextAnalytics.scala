@@ -157,6 +157,43 @@ object TextAnalytics {
   val Bm25K1 = 1.2
   val Bm25B = 0.75
 
+  /** q161 RRF constants: the standard c=60 damping and per-arm list
+    * depth.
+    */
+  val RrfC = 60
+  val RrfN = 50
+
+  /** The q114 DuckDB mirror, hoisted so the q161 fusion oracle can
+    * embed the SAME sparse arm (a map self-reference inside the
+    * `oracles` initializer would NPE).
+    */
+  private lazy val bm25OracleSql: String =
+    s"""WITH words AS (
+       |  SELECT doc_id, unnest(${TextOps.wordsSql}) AS word FROM documents),
+       |dl AS (SELECT doc_id, count(*) AS dl FROM words GROUP BY 1),
+       |stats AS (SELECT count(*) AS n_docs,
+       |                 CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+       |          FROM dl),
+       |tf AS (SELECT doc_id, word, count(*) AS tf FROM words
+       |       WHERE word IN (${Bm25Terms.map(t => s"'$t'").mkString(", ")})
+       |       GROUP BY 1, 2),
+       |idf AS (
+       |  SELECT word,
+       |    round(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0), 6) AS idf,
+       |    avgdl
+       |  FROM (SELECT word, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1)
+       |  CROSS JOIN stats),
+       |scored AS (
+       |  SELECT tf.doc_id,
+       |    round(idf.idf * (tf.tf * ($Bm25K1 + 1.0)) /
+       |      (tf.tf + $Bm25K1 * (1.0 - $Bm25B +
+       |        $Bm25B * CAST(dl.dl AS DOUBLE) / idf.avgdl)), 6) AS term_score
+       |  FROM tf JOIN idf USING (word) JOIN dl USING (doc_id))
+       |SELECT doc_id, count(*) AS n_hit_terms,
+       |  floor((CAST(sum(CAST(round(term_score * 1000000.0) AS BIGINT))
+       |         AS BIGINT) + 50) / 100.0) / 10000.0 AS bm25
+       |FROM scored GROUP BY doc_id""".stripMargin
+
   /** Sliding-window chunk geometry (q121): window of [[ChunkW]] words
     * advancing by [[ChunkS]] — 25% overlap, the RAG/pretraining default
     * shape. Chunk i covers words [i·S+1, i·S+W]; chunk count =
@@ -808,6 +845,50 @@ object TextAnalytics {
         (regexp_count(scrub, lit(emailPat)) + regexp_count(scrub, lit(phonePat))
           + regexp_count(scrub, lit(ipPat))).cast("long").as("n_residual"),
         sha2(scrub, 256).as("scrubbed_hash"))
+    }),
+
+    // Hybrid-retrieval fusion (Cormack et al. 2009 reciprocal rank
+    // fusion, the standard RAG two-arm merge): the q114 BM25 arm and a
+    // q38-style dense-cosine arm each produce a per-query TOP-N
+    // ranking, and the fused score is sum over arms of
+    // 1/(RrfC + rank) — rank-based, so the two score scales never
+    // need calibrating. One deterministic probe (min vec_id with
+    // label 0, vec_id ≡ doc_id per FIXTURES.md): its embedding is the
+    // dense query, the fixed Bm25Terms are the sparse query.
+    // Scale shape: each arm's candidate list is retrieval-bounded
+    // (BM25 only scores docs hitting a query term; the dense arm is
+    // any ANN family member — brute here to stay oracle-exact), both
+    // rankings window per q_id (multi-query fans out by partition, no
+    // global window), and the fuse is a full outer join of two N-row
+    // lists + one rounded double add. All ranks travel as BIGINT; the
+    // 1/(c+rank) divisions are single IEEE ops, identical cross-engine.
+    "q161_rrf_fusion" -> ((s, d) => {
+      val probe = embeddings(s, d).filter(col("label") === 0)
+        .orderBy(col("vec_id")).limit(1)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val sparse = queries("q114_bm25")(s, d)
+        .crossJoin(broadcast(probe.select(col("q_id"))))
+        .withColumn("sparse_rn", row_number().over(
+          Window.partitionBy(col("q_id"))
+            .orderBy(col("bm25").desc, col("doc_id"))).cast("long"))
+        .filter(col("sparse_rn") <= RrfN)
+        .select(col("q_id"), col("doc_id"), col("sparse_rn"))
+      val e = embeddings(s, d)
+      val dense = e.crossJoin(broadcast(probe))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id").as("doc_id"),
+          Similarity.cosine(col("q_emb"), col("embedding")).as("cosine"))
+        .withColumn("dense_rn", row_number().over(
+          Window.partitionBy(col("q_id"))
+            .orderBy(col("cosine").desc, col("doc_id"))).cast("long"))
+        .filter(col("dense_rn") <= RrfN)
+        .select(col("q_id"), col("doc_id"), col("dense_rn"))
+      sparse.join(dense, Seq("q_id", "doc_id"), "full")
+        .select(col("q_id"), col("doc_id"), col("sparse_rn"), col("dense_rn"),
+          round(
+            coalesce(lit(1.0) / (lit(RrfC) + col("sparse_rn")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(RrfC) + col("dense_rn")), lit(0.0)),
+            6).as("rrf_score"))
     })
   )
 
@@ -897,32 +978,7 @@ object TextAnalytics {
         |  sha256(nfc_normalize(t)) AS nfc_hash
         |FROM planted""".stripMargin,
 
-    "q114_bm25" ->
-      s"""WITH words AS (
-         |  SELECT doc_id, unnest(${TextOps.wordsSql}) AS word FROM documents),
-         |dl AS (SELECT doc_id, count(*) AS dl FROM words GROUP BY 1),
-         |stats AS (SELECT count(*) AS n_docs,
-         |                 CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
-         |          FROM dl),
-         |tf AS (SELECT doc_id, word, count(*) AS tf FROM words
-         |       WHERE word IN (${Bm25Terms.map(t => s"'$t'").mkString(", ")})
-         |       GROUP BY 1, 2),
-         |idf AS (
-         |  SELECT word,
-         |    round(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0), 6) AS idf,
-         |    avgdl
-         |  FROM (SELECT word, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1)
-         |  CROSS JOIN stats),
-         |scored AS (
-         |  SELECT tf.doc_id,
-         |    round(idf.idf * (tf.tf * ($Bm25K1 + 1.0)) /
-         |      (tf.tf + $Bm25K1 * (1.0 - $Bm25B +
-         |        $Bm25B * CAST(dl.dl AS DOUBLE) / idf.avgdl)), 6) AS term_score
-         |  FROM tf JOIN idf USING (word) JOIN dl USING (doc_id))
-         |SELECT doc_id, count(*) AS n_hit_terms,
-         |  floor((CAST(sum(CAST(round(term_score * 1000000.0) AS BIGINT))
-         |         AS BIGINT) + 50) / 100.0) / 10000.0 AS bm25
-         |FROM scored GROUP BY doc_id""".stripMargin,
+    "q114_bm25" -> bm25OracleSql,
 
     "q115_word_entropy" ->
       s"""WITH words AS (
@@ -1220,6 +1276,36 @@ object TextAnalytics {
         |     + len(regexp_extract_all(scrub, '10\.[0-9]{1,3}\.0\.1'))
         |    AS BIGINT) AS n_residual,
         |  sha256(scrub) AS scrubbed_hash
-        |FROM s""".stripMargin
+        |FROM s""".stripMargin,
+
+    "q161_rrf_fusion" ->
+      s"""WITH q AS (
+         |  SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
+         |  WHERE label = 0 ORDER BY vec_id LIMIT 1),
+         |s50 AS (
+         |  SELECT q_id, doc_id, sparse_rn FROM (
+         |    SELECT q.q_id, s.doc_id,
+         |      CAST(row_number() OVER (PARTITION BY q.q_id
+         |        ORDER BY s.bm25 DESC, s.doc_id) AS BIGINT) AS sparse_rn
+         |    FROM ($bm25OracleSql) s CROSS JOIN q)
+         |  WHERE sparse_rn <= $RrfN),
+         |d50 AS (
+         |  SELECT q_id, doc_id, dense_rn FROM (
+         |    SELECT q_id, doc_id,
+         |      CAST(row_number() OVER (PARTITION BY q_id
+         |        ORDER BY cosine DESC, doc_id) AS BIGINT) AS dense_rn
+         |    FROM (
+         |      SELECT q.q_id, e.vec_id AS doc_id,
+         |        ${Similarity.cosineSql("q.q_emb", "e.embedding")} AS cosine
+         |      FROM embeddings e CROSS JOIN q
+         |      WHERE e.vec_id <> q.q_id))
+         |  WHERE dense_rn <= $RrfN)
+         |SELECT coalesce(s.q_id, d.q_id) AS q_id,
+         |  coalesce(s.doc_id, d.doc_id) AS doc_id,
+         |  s.sparse_rn, d.dense_rn,
+         |  round(coalesce(1.0 / ($RrfC + s.sparse_rn), 0.0) +
+         |        coalesce(1.0 / ($RrfC + d.dense_rn), 0.0), 6) AS rrf_score
+         |FROM s50 s FULL JOIN d50 d
+         |  ON s.q_id = d.q_id AND s.doc_id = d.doc_id""".stripMargin
   )
 }

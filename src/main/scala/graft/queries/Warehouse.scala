@@ -164,6 +164,33 @@ object Warehouse {
           round(col("n") / col("n_total"), 6).as("share"),
           round(p, 6).as("benford_p"),
           round(delta * delta / (col("n_total") * p), 6).as("chi2_term"))
+    }),
+
+    // CDC log apply with TOMBSTONES — the consumer of a q95-style
+    // change feed and the delete-aware half the q93 upsert lacks:
+    // replay an ordered insert/update/delete log per key and emit the
+    // final table state, where a key whose LAST entry is a delete is
+    // ABSENT (not null-valued) — MERGE-with-deletes semantics
+    // (Delta/Hudi CDC apply) without a table format. The log derives
+    // in-plan from orders (each order = one change to its customer's
+    // record; status 'F' = tombstone) so the oracle replays the
+    // identical feed. Scale shape: ONE o_custkey exchange shared by
+    // the latest-row window and the op-count window (same partition
+    // key); output is key-sized, never log-sized.
+    "q164_cdc_apply" -> ((s, d) => {
+      val log = orders(s, d).select(col("o_custkey").as("key"),
+        col("o_orderdate").as("ts"), col("o_orderkey").as("seq"),
+        when(col("o_orderstatus") === "F", lit("D")).otherwise(lit("U"))
+          .as("op"),
+        round(col("o_totalprice"), 2).as("val"))
+      val latest = Window.partitionBy(col("key"))
+        .orderBy(col("ts").desc, col("seq").desc)
+      log.withColumn("rn", row_number().over(latest))
+        .withColumn("n_ops", count(lit(1)).over(
+          Window.partitionBy(col("key"))))
+        .filter(col("rn") === 1 && col("op") =!= "D")
+        .select(col("key").as("o_custkey"), col("val").as("last_value"),
+          col("ts").as("last_ts"), col("n_ops"))
     })
   )
 
@@ -266,6 +293,21 @@ object Warehouse {
         |  round(p, 6) AS benford_p,
         |  round((n - n_total * p) * (n - n_total * p)
         |        / (n_total * p), 6) AS chi2_term
-        |FROM terms""".stripMargin
+        |FROM terms""".stripMargin,
+
+    "q164_cdc_apply" ->
+      """WITH log AS (
+        |  SELECT o_custkey AS key, o_orderdate AS ts, o_orderkey AS seq,
+        |    CASE WHEN o_orderstatus = 'F' THEN 'D' ELSE 'U' END AS op,
+        |    round(o_totalprice, 2) AS val
+        |  FROM orders),
+        |r AS (
+        |  SELECT key, ts, op, val,
+        |    row_number() OVER (PARTITION BY key
+        |      ORDER BY ts DESC, seq DESC) AS rn,
+        |    count(*) OVER (PARTITION BY key) AS n_ops
+        |  FROM log)
+        |SELECT key AS o_custkey, val AS last_value, ts AS last_ts, n_ops
+        |FROM r WHERE rn = 1 AND op <> 'D'""".stripMargin
   )
 }

@@ -60,6 +60,35 @@ class ClusteringSpec extends AnyFunSuite with CacheCleanup {
       .forall(_.getAs[Double]("dist_sq") < 1.0))
   }
 
+  test("semDeDup removes exactly the worse-ranked copy of planted duplicates") {
+    // three noisy points around one center, two around another, plus
+    // EXACT copies of ids 2 and 5 under larger ids. At tau = 1.0 only
+    // pairs whose ROUNDED cosine is 1.0 can dedup — the planted copies
+    // (identical vectors) qualify; the merely-nearby points round to
+    // 0.99999x and never do. The assertion therefore holds for ANY
+    // cluster arrangement (identical vectors always land in the same
+    // cluster with the same dist_sq, so the tie falls to min vec_id).
+    val base = Map(
+      1L -> Array(10f, 0f, 0.1f, 0f),
+      2L -> Array(10f, 0.2f, 0f, 0f),
+      3L -> Array(10f, 0f, 0f, 0.3f),
+      4L -> Array(0f, 10f, 0.1f, 0f),
+      5L -> Array(0f, 10f, 0f, 0.2f))
+    val emb = (base.toSeq ++ Seq(
+      101L -> base(2L), 102L -> base(5L))).toDF("vec_id", "embedding")
+    val out = Clustering.semDeDup(emb, k = 2, iters = 2, tau = 1.0)
+      .collect().map(r =>
+        r.getAs[Long]("vec_id") -> r.getAs[Long]("kept")).toMap
+    assert(out.size == 7)
+    assert(out.filter(_._2 == 0L).keySet == Set(101L, 102L),
+      s"expected exactly the planted copies removed: $out")
+    // copies share their original's cluster (identical assignment)
+    val clusters = Clustering.semDeDup(emb, 2, 2, 1.0)
+      .collect().map(r =>
+        r.getAs[Long]("vec_id") -> r.getAs[Long]("cluster")).toMap
+    assert(clusters(101L) == clusters(2L) && clusters(102L) == clusters(5L))
+  }
+
   test("cluster sample: big clusters capped near target, small kept whole") {
     // cluster 1: 100 members, cluster 2: 5 members, target 20
     val assigned = ((1L to 100L).map(i => (i, 1L)) ++

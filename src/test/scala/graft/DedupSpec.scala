@@ -404,4 +404,40 @@ class DedupSpec extends AnyFunSuite with CacheCleanup {
     assert(out.length < ids.length * (ids.length - 1) / 2,
       s"prefix filter pruned nothing (${out.length} candidates)")
   }
+
+  test("q163 dup spans equal an independent sequential recomputation") {
+    val d = TestSpark.sf0001
+    val docs = Tables.documents(spark, d).select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text"))
+    // the whole pipeline again, in plain Scala collections: positional
+    // 3-gram shingles -> cross-doc duplicated set -> run-merge
+    val posh = docs.flatMap { case (id, text) =>
+      val ws = text.toLowerCase.split("[ \t\n\r\f]+").filter(_.nonEmpty)
+      (0 to ws.length - 3).map(i =>
+        (id, i, s"${ws(i)} ${ws(i + 1)} ${ws(i + 2)}"))
+    }
+    val dup = posh.groupBy(_._3)
+      .filter(_._2.map(_._1).distinct.length >= 2).keySet
+    val expected = posh.filter(p => dup(p._3)).groupBy(_._1)
+      .flatMap { case (id, ps) =>
+        val sorted = ps.map(_._2).sorted
+        val runs = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Int)]
+        var start = sorted.head; var prev = sorted.head; var cnt = 1
+        for (p <- sorted.tail) {
+          if (p == prev + 1) { prev = p; cnt += 1 }
+          else { runs += ((start, prev, cnt)); start = p; prev = p; cnt = 1 }
+        }
+        runs += ((start, prev, cnt))
+        runs.map { case (a, b, c) =>
+          (id, a.toLong, (b + 2).toLong, (b + 2 - a + 1).toLong, c.toLong) }
+      }.toSet
+    assert(expected.nonEmpty, "fixture must contain cross-doc duplicate spans")
+    val got = SparkEntry.queries("q163_dup_spans")(spark, d).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("span_start"),
+        r.getAs[Long]("span_end"), r.getAs[Long]("span_words"),
+        r.getAs[Long]("n_grams"))).toSet
+    assert(got == expected,
+      s"spans diverge: missing=${(expected -- got).take(3)} " +
+        s"extra=${(got -- expected).take(3)}")
+  }
 }

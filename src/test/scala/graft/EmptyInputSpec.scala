@@ -56,6 +56,11 @@ class EmptyInputSpec extends AnyFunSuite with CacheCleanup {
       .map(r => r.getAs[Long]("node") ->
         Option(r.getAs[java.lang.Long]("dist"))).toMap
     assert(d == Map(0L -> Some(0L), 1L -> None))
+    // semDeDup: empty corpus -> empty; singleton corpus -> kept whole
+    assert(graft.queries.Clustering.semDeDup(noVecs, 2, 2, 0.5).count() == 0)
+    val lone = Seq((1L, Seq(1f, 0f))).toDF("vec_id", "embedding")
+    val kept = graft.queries.Clustering.semDeDup(lone, 2, 2, 0.5).collect()
+    assert(kept.length == 1 && kept.head.getAs[Long]("kept") == 1L)
   }
 
   test("round-6 operators on empty and degenerate inputs") {

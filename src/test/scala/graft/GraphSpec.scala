@@ -253,4 +253,22 @@ class GraphSpec extends AnyFunSuite with CacheCleanup {
     assert(out.getAs[Double]("chi2") == 10.0,
       s"perfect association must score N=10, got ${out.getAs[Double]("chi2")}")
   }
+
+  test("label propagation resolves two planted communities") {
+    import spark.implicits._
+    // two symmetric triangles (internal weight 10) joined by one weak
+    // bridge 2<->3 (weight 1): LPA must settle on one label per
+    // triangle and never let the bridge merge them
+    val tri = Seq((0L, 1L), (1L, 2L), (0L, 2L), (3L, 4L), (4L, 5L), (3L, 5L))
+    val edges = (tri.flatMap { case (a, b) =>
+      Seq((a, b, 10L), (b, a, 10L)) } ++ Seq((2L, 3L, 1L), (3L, 2L, 1L)))
+      .toDF("src", "dst", "w")
+    val nodes = (0L to 5L).toDF("node")
+    val got = graft.queries.Graph.labelProp(nodes, edges, iters = 3)
+      .collect().map(r =>
+        r.getAs[Long]("node") -> r.getAs[Long]("community")).toMap
+    assert(got == Map(0L -> 0L, 1L -> 0L, 2L -> 0L,
+      3L -> 3L, 4L -> 3L, 5L -> 3L),
+      s"planted communities not recovered: $got")
+  }
 }

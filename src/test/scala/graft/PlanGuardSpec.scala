@@ -59,6 +59,8 @@ class PlanGuardSpec extends AnyFunSuite {
     "q120_chi_square" -> "1-row grand total, twice (rows/cols margins)",
     "q147_benford" -> "1-row digit-count total",
     "q157_kmv_set_algebra" -> "1-row exact counts x 1-row k-sized sketch stats",
+    "q160_semdedup" -> "inherits q139's per-sweep single-broadcast-row crossJoins",
+    "q161_rrf_fusion" -> "1-row probe (both arms) + q114's 1-row corpus stats",
     "ref_token_cost" -> "1-row token total x 4-row model price table")
 
   /** Walk a physical plan AND every subquery plan hanging off its

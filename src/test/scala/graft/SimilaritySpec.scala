@@ -185,4 +185,40 @@ class SimilaritySpec extends AnyFunSuite with CacheCleanup {
     assert(graft.queries.Similarity.queries("q52_ann_multiprobe")(spark, d)
       .count() > 0)
   }
+
+  test("q165 JL projection is bit-equal to a sequential recompute") {
+    val d = TestSpark.sf0001
+    def r6(x: Double) = BigDecimal(java.math.BigDecimal.valueOf(x))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val vecs = graft.Tables.embeddings(spark, d)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[scala.collection.Seq[Float]]("embedding").toArray).toMap
+    val got = SparkEntry.queries("q165_jl_projection")(spark, d).collect()
+    assert(got.length == vecs.size)
+    got.foreach { r =>
+      val v = vecs(r.getAs[Long]("vec_id"))
+      // same left-to-right fold as VecDot: ((a0*b0)+a1*b1)+...
+      val raw = (0 until Similarity.JlDim).map { j =>
+        val p = Similarity.PlanePool(Similarity.JlOffset + j)
+        var acc = 0.0
+        for (i <- v.indices) acc += v(i).toDouble * p(i).toDouble
+        acc / 4.0
+      }
+      val proj = r.getAs[scala.collection.Seq[Double]]("proj")
+      assert(proj == raw.map(r6),
+        s"vec ${r.getAs[Long]("vec_id")} projection diverged")
+      var sq = 0.0
+      raw.foreach(x => sq += x * x)
+      var nrm = 0.0
+      v.foreach(x => nrm += x.toDouble * x.toDouble)
+      assert(r.getAs[Double]("norm_ratio") ==
+        r6(math.sqrt(sq) / math.sqrt(nrm)))
+    }
+    // JL concentration sanity: most norm ratios sit near 1
+    val ratios = got.map(_.getAs[Double]("norm_ratio"))
+    val near = ratios.count(x => x > 0.5 && x < 1.5)
+    assert(near.toDouble / ratios.length > 0.8,
+      s"JL distortion out of family: ${ratios.take(10).mkString(",")}")
+  }
 }

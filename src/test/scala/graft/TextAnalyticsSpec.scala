@@ -169,4 +169,37 @@ class TextAnalyticsSpec extends AnyFunSuite with CacheCleanup {
     assert(out.toSet == full.toSet,
       "pre-filtered selection diverged from the true per-stratum top-n")
   }
+
+  test("q161 rrf fusion: rank lists well-formed, scores recomputable") {
+    val rows = SparkEntry.queries("q161_rrf_fusion")(spark, TestSpark.sf0001)
+      .collect()
+    assert(rows.nonEmpty)
+    def ranks(field: String): Seq[Long] =
+      rows.filterNot(_.isNullAt(rows.head.fieldIndex(field)))
+        .map(_.getAs[Long](field)).toSeq
+    // each arm is a dense 1..n ranking, no gaps or duplicates
+    Seq("sparse_rn", "dense_rn").foreach { f =>
+      val rs = ranks(f).sorted
+      assert(rs == (1L to rs.length).toSeq, s"$f not dense: $rs")
+      assert(rs.length <= TextAnalytics.RrfN)
+    }
+    // the fused score is exactly 1/(c+rank) summed over present arms
+    rows.foreach { r =>
+      val s = if (r.isNullAt(r.fieldIndex("sparse_rn"))) 0.0
+        else 1.0 / (TextAnalytics.RrfC + r.getAs[Long]("sparse_rn"))
+      val dn = if (r.isNullAt(r.fieldIndex("dense_rn"))) 0.0
+        else 1.0 / (TextAnalytics.RrfC + r.getAs[Long]("dense_rn"))
+      val e = BigDecimal(java.math.BigDecimal.valueOf(s + dn))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getAs[Double]("rrf_score") == e,
+        s"row $r: expected $e")
+      assert(!(r.isNullAt(r.fieldIndex("sparse_rn")) &&
+        r.isNullAt(r.fieldIndex("dense_rn"))))
+    }
+    // docs surfacing in BOTH arms must outrank a same-rank single-arm
+    // doc — the whole point of fusion
+    val both = rows.filter(r => !r.isNullAt(r.fieldIndex("sparse_rn")) &&
+      !r.isNullAt(r.fieldIndex("dense_rn")))
+    assert(both.nonEmpty, "fixture should have overlap between arms")
+  }
 }

@@ -105,4 +105,31 @@ class WarehouseSpec extends AnyFunSuite {
     assert(out(1L)._3 == r6(math.log(2.0) / math.log(10.0)))
     assert(out(9L)._3 == r6(math.log(10.0 / 9.0) / math.log(10.0)))
   }
+
+  test("q164 cdc apply equals a sequential log replay") {
+    val d = TestSpark.sf0001
+    val log = graft.Tables.orders(spark, d)
+      .select(col("o_custkey"),
+        unix_millis(col("o_orderdate").cast("timestamp")).as("ms"),
+        col("o_orderkey"), col("o_orderstatus"),
+        round(col("o_totalprice"), 2).as("v"))
+      .collect()
+      .map(r => (r.getAs[Long]("o_custkey"), r.getAs[Long]("ms"),
+        r.getAs[Long]("o_orderkey"),
+        r.getAs[String]("o_orderstatus"), r.getAs[Double]("v")))
+    // replay: last (ts, seq) entry wins; 'F' status tombstones the key
+    val expected = log.groupBy(_._1).flatMap { case (key, entries) =>
+      val last = entries.maxBy(e => (e._2, e._3))
+      if (last._4 == "F") None
+      else Some(key -> ((last._5, entries.length.toLong)))
+    }
+    val got = SparkEntry.queries("q164_cdc_apply")(spark, d).collect()
+      .map(r => r.getAs[Long]("o_custkey") ->
+        ((r.getAs[Double]("last_value"), r.getAs[Long]("n_ops")))).toMap
+    assert(got == expected,
+      s"sizes: got=${got.size} expected=${expected.size}")
+    // tombstones are real: some customers must have been deleted
+    assert(expected.size < log.map(_._1).distinct.length,
+      "fixture must contain tombstoned keys or the delete path is vacuous")
+  }
 }
