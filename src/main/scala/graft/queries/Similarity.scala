@@ -438,6 +438,43 @@ object Similarity {
       p.select(col("vec_id"),
         array((0 until JlDim).map(j => round(col(s"r$j"), 6)): _*).as("proj"),
         round(sqrt(sq) / norm(col("embedding")), 6).as("norm_ratio"))
+    }),
+
+    // Hard-negative mining — the contrastive-training data op (triplet
+    // construction for embedding fine-tuning): for every anchor (the
+    // label-0 query set, as q38), the nearest SAME-label neighbor is
+    // the positive, the nearest DIFFERENT-label neighbor the hard
+    // negative, margin = pos − neg (negative margin = the anchor's
+    // hardest confusions, exactly the pairs a contrastive batch
+    // wants). Pairing is the documented exact O(N·Q) baseline (any
+    // ANN family member substitutes the candidate step at scale); the
+    // two argmax selections are per-anchor windows over the SAME
+    // scored pairs (one scan), both partitioned by q_id.
+    "q168_hard_negatives" -> ((s, d) => {
+      val e = embeddings(s, d)
+        .select(col("vec_id"), col("embedding"), col("label"),
+          norm(col("embedding")).as("nrm"))
+      val q = e.filter(col("label") === 0)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+          col("label").as("q_label"), col("nrm").as("q_nrm"))
+      val scored = e.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id").as("n_id"),
+          (col("label") === col("q_label")).as("same"),
+          cosinePre(col("q_emb"), col("embedding"),
+            col("q_nrm"), col("nrm")).as("cos"))
+      def top1(same: Boolean, idc: String, cosc: String): DataFrame =
+        scored.filter(col("same") === same)
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("q_id"))
+              .orderBy(col("cos").desc, col("n_id"))))
+          .filter(col("rn") === 1)
+          .select(col("q_id"), col("n_id").as(idc), col("cos").as(cosc))
+      top1(same = true, "pos_id", "pos_cos")
+        .join(top1(same = false, "neg_id", "neg_cos"), Seq("q_id"))
+        .select(col("q_id"), col("pos_id"), col("pos_cos"),
+          col("neg_id"), col("neg_cos"),
+          round(col("pos_cos") - col("neg_cos"), 6).as("margin"))
     })
   )
 
@@ -609,6 +646,32 @@ object Similarity {
          |        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6)
          |    AS norm_ratio
          |FROM p""".stripMargin
-    }
+    },
+
+    "q168_hard_negatives" ->
+      s"""WITH q AS (
+         |  SELECT vec_id AS q_id, embedding AS q_emb, label AS q_label
+         |  FROM embeddings WHERE label = 0),
+         |scored AS (
+         |  SELECT q.q_id, e.vec_id AS n_id,
+         |    (e.label = q.q_label) AS same,
+         |    ${cosineSql("q.q_emb", "e.embedding")} AS cos
+         |  FROM embeddings e CROSS JOIN q
+         |  WHERE e.vec_id <> q.q_id),
+         |pos AS (
+         |  SELECT q_id, n_id AS pos_id, cos AS pos_cos FROM (
+         |    SELECT q_id, n_id, cos, row_number() OVER (PARTITION BY q_id
+         |      ORDER BY cos DESC, n_id) AS rn
+         |    FROM scored WHERE same)
+         |  WHERE rn = 1),
+         |neg AS (
+         |  SELECT q_id, n_id AS neg_id, cos AS neg_cos FROM (
+         |    SELECT q_id, n_id, cos, row_number() OVER (PARTITION BY q_id
+         |      ORDER BY cos DESC, n_id) AS rn
+         |    FROM scored WHERE NOT same)
+         |  WHERE rn = 1)
+         |SELECT q_id, pos_id, pos_cos, neg_id, neg_cos,
+         |  round(pos_cos - neg_cos, 6) AS margin
+         |FROM pos JOIN neg USING (q_id)""".stripMargin
   )
 }

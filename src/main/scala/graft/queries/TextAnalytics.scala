@@ -889,6 +889,43 @@ object TextAnalytics {
             coalesce(lit(1.0) / (lit(RrfC) + col("sparse_rn")), lit(0.0)) +
             coalesce(lit(1.0) / (lit(RrfC) + col("dense_rn")), lit(0.0)),
             6).as("rrf_score"))
+    }),
+
+    // Bigram-LM negative log-likelihood — the sequential-structure
+    // quality signal q98's unigram surprisal cannot see (a bag of
+    // common words in scrambled order scores the same under a unigram
+    // model; a bigram model lights it up). Add-one-smoothed
+    // conditional p(w2|w1) = (c(w1,w2)+1)/(c(w1·)+V) trained on the
+    // corpus itself, V = continuation vocabulary, scored back over
+    // each doc's bigrams. Scale shape: the bigram table feeds the
+    // model counts AND the scoring join (persisted once); both count
+    // aggregates are combiner-friendly; V is a broadcast 1-row scalar;
+    // the scoring join keys are (w1, w2) — corpus-frequency-shaped,
+    // same skew class as every word-count op here. Per-doc mean runs
+    // in exact integer micro-units (the q98/q114 parity rule).
+    "q167_bigram_nll" -> ((s, d) => {
+      val bg = documents(s, d)
+        .select(col("doc_id"), TextOps.wordsOf(col("text")).as("ws"))
+        .filter(size(col("ws")) >= 2)
+        .select(col("doc_id"), explode(transform(
+          sequence(lit(0), size(col("ws")) - 2), i =>
+            struct(element_at(col("ws"), i + 1).as("w1"),
+              element_at(col("ws"), i + 2).as("w2")))).as("b"))
+        .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      graft.pipeline.Chunker.registerForCleanup(bg)
+      val c2 = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+      val c1 = bg.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+      val v = bg.agg(countDistinct(col("w2")).as("vsize"))
+      bg.join(c2, Seq("w1", "w2")).join(c1, Seq("w1"))
+        .crossJoin(broadcast(v))
+        .select(col("doc_id"),
+          round(-log((col("c2") + 1.0) / (col("c1") + col("vsize"))), 6)
+            .as("nll"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"),
+          round(sum(round(col("nll") * 1e6).cast("long")) / 1e6
+            / count(lit(1)), 4).as("mean_nll"))
     })
   )
 
@@ -1306,6 +1343,25 @@ object TextAnalytics {
          |  round(coalesce(1.0 / ($RrfC + s.sparse_rn), 0.0) +
          |        coalesce(1.0 / ($RrfC + d.dense_rn), 0.0), 6) AS rrf_score
          |FROM s50 s FULL JOIN d50 d
-         |  ON s.q_id = d.q_id AND s.doc_id = d.doc_id""".stripMargin
+         |  ON s.q_id = d.q_id AND s.doc_id = d.doc_id""".stripMargin,
+
+    "q167_bigram_nll" ->
+      s"""WITH w AS (
+         |  SELECT doc_id, ${TextOps.wordsSql} AS ws FROM documents),
+         |p AS (
+         |  SELECT doc_id, ws, unnest(range(1, len(ws))) AS i
+         |  FROM w WHERE len(ws) >= 2),
+         |bg AS (SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2 FROM p),
+         |c2 AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY 1, 2),
+         |c1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY 1),
+         |v AS (SELECT count(DISTINCT w2) AS vsize FROM bg),
+         |scored AS (
+         |  SELECT doc_id,
+         |    round(-ln((c2.c2 + 1.0) / (c1.c1 + v.vsize)), 6) AS nll
+         |  FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v)
+         |SELECT doc_id, count(*) AS n_bigrams,
+         |  round(sum(CAST(round(nll * 1000000.0) AS BIGINT)) / 1000000.0
+         |        / count(*), 4) AS mean_nll
+         |FROM scored GROUP BY doc_id""".stripMargin
   )
 }

@@ -61,6 +61,8 @@ class PlanGuardSpec extends AnyFunSuite {
     "q157_kmv_set_algebra" -> "1-row exact counts x 1-row k-sized sketch stats",
     "q160_semdedup" -> "inherits q139's per-sweep single-broadcast-row crossJoins",
     "q161_rrf_fusion" -> "1-row probe (both arms) + q114's 1-row corpus stats",
+    "q167_bigram_nll" -> "1-row vocabulary-size scalar",
+    "q168_hard_negatives" -> "documented exact O(N*Q) baseline: corpus x broadcast query set (q38 pattern)",
     "ref_token_cost" -> "1-row token total x 4-row model price table")
 
   /** Walk a physical plan AND every subquery plan hanging off its

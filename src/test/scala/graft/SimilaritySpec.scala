@@ -221,4 +221,44 @@ class SimilaritySpec extends AnyFunSuite with CacheCleanup {
     assert(near.toDouble / ratios.length > 0.8,
       s"JL distortion out of family: ${ratios.take(10).mkString(",")}")
   }
+
+  test("q168 hard negatives equal a sequential argmax recompute") {
+    val d = TestSpark.sf0001
+    def r6(x: Double) = BigDecimal(java.math.BigDecimal.valueOf(x))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val vecs = graft.Tables.embeddings(spark, d)
+      .select("vec_id", "embedding", "label").collect()
+      .map(r => (r.getAs[Long]("vec_id"),
+        r.getAs[scala.collection.Seq[Float]]("embedding").toArray,
+        r.getAs[Int]("label")))
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d0 = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) {
+        d0 += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+      }
+      r6(d0 / (math.sqrt(na) * math.sqrt(nb)))
+    }
+    val expected = vecs.filter(_._3 == 0).map { case (qid, qv, ql) =>
+      val others = vecs.filter(_._1 != qid)
+      // argmax by (cos desc, id asc) — the engine's rounded tie-break
+      def best(pred: Int => Boolean) =
+        others.filter(v => pred(v._3))
+          .map(v => (v._1, cos(qv, v._2)))
+          .minBy { case (id, c) => (-c, id) }
+      val p = best(_ == ql); val n = best(_ != ql)
+      qid -> ((p._1, p._2, n._1, n._2, r6(p._2 - n._2)))
+    }.toMap
+    val got = SparkEntry.queries("q168_hard_negatives")(spark, d).collect()
+      .map(r => r.getAs[Long]("q_id") ->
+        ((r.getAs[Long]("pos_id"), r.getAs[Double]("pos_cos"),
+          r.getAs[Long]("neg_id"), r.getAs[Double]("neg_cos"),
+          r.getAs[Double]("margin")))).toMap
+    assert(got == expected,
+      s"sizes got=${got.size} expected=${expected.size}")
+    // the mining is non-vacuous: some anchor's hardest negative beats
+    // its positive (that is what "hard" means on a random corpus)
+    assert(got.values.exists(_._5 < 0), "no hard confusions found")
+  }
 }

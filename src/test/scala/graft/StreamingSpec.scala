@@ -300,6 +300,43 @@ class StreamingSpec extends AnyFunSuite with CacheCleanup {
     assert(kept == Set(10L, 13L), s"got $kept")
   }
 
+  test("stateful ewma: closed-hour streaming output == batch q162") {
+    import org.apache.spark.sql.functions.{col, unix_micros, unix_timestamp}
+    import graft.streaming.{StatefulEwma, TypedTick}
+    import spark.implicits._
+    val ev = graft.Tables.events(spark, TestSpark.sf0001)
+      .select(col("event_type"), unix_micros(col("ts")).as("ts_us"))
+    val mm = ev.agg(org.apache.spark.sql.functions.min(col("ts_us")),
+      org.apache.spark.sql.functions.max(col("ts_us"))).collect()(0)
+    val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+    val c1 = lo + (hi - lo) / 3
+    val c2 = lo + 2 * ((hi - lo) / 3)
+    val batches = Seq(
+      ev.filter(col("ts_us") <= c1),
+      ev.filter(col("ts_us") > c1 && col("ts_us") <= c2),
+      ev.filter(col("ts_us") > c2))
+    assert(batches.forall(_.count() > 0))
+    val got = StreamingJobs.runIncremental(spark, batches,
+      df => StatefulEwma.smooth(df.as[TypedTick]).toDF, "t_ewma")
+      .collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("hour_sec")) ->
+        ((r.getAs[Long]("n"), r.getAs[Double]("ewma")))).toMap
+    // the batch q162 rows for every hour that CLOSED in the stream
+    // (each type's final observed hour never closes)
+    val batch = SparkEntry.queries("q162_ewma_hourly")(spark, TestSpark.sf0001)
+      .select(col("event_type"),
+        unix_timestamp(col("hour_start")).as("hs"), col("n"), col("ewma"))
+      .collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("hs")) ->
+        ((r.getAs[Long]("n"), r.getAs[Double]("ewma")))).toMap
+    val lastPerType = batch.keys.groupBy(_._1)
+      .map { case (t, ks) => t -> ks.map(_._2).max }
+    val want = batch.filter { case ((t, h), _) => h < lastPerType(t) }
+    assert(got == want,
+      s"streamed ewma diverged: got=${got.size} want=${want.size}")
+    assert(got.nonEmpty)
+  }
+
   test("streaming session window == batch q37") {
     val stream = StreamingJobs.eventsStream(spark, TestSpark.sf0001)
     val got = StreamingJobs.runToCompletion(spark,

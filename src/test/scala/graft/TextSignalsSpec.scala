@@ -99,4 +99,26 @@ class TextSignalsSpec extends AnyFunSuite with CacheCleanup {
     // gamma+delta: c_ab=5, c_a=c_b=10 -> pmi = ln(20*5/100) = 0
     assert(math.abs(out(("delta", "gamma"))) < 1e-4)
   }
+
+  test("bigram nll: scrambled word order scores worse than the " +
+    "corpus-dominant order at identical unigram content") {
+    // six docs repeat the natural pattern, one doc has the SAME word
+    // multiset scrambled — a unigram model (q98) cannot tell them
+    // apart; the bigram model must
+    val natural = "the quick fox jumps over dogs " * 4
+    val scrambled = "the the the the quick quick quick quick " +
+      "fox fox fox fox jumps jumps jumps jumps over over over over " +
+      "dogs dogs dogs dogs"
+    val dir = stage((1L to 6L).map(i => doc(i, natural.trim)) :+
+      doc(99L, scrambled))
+    val out = SparkEntry.queries("q167_bigram_nll")(spark, dir)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Double]("mean_nll")).toMap
+    assert(out.size == 7)
+    val naturalNll = out(1L)
+    assert((2L to 6L).forall(i => out(i) == naturalNll),
+      "identical docs must score identically")
+    assert(out(99L) > naturalNll + 0.5,
+      s"scrambled ${out(99L)} must clearly exceed natural $naturalNll")
+  }
 }
