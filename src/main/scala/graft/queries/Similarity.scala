@@ -475,6 +475,29 @@ object Similarity {
         .select(col("q_id"), col("pos_id"), col("pos_cos"),
           col("neg_id"), col("neg_cos"),
           round(col("pos_cos") - col("neg_cos"), 6).as("margin"))
+    }),
+
+    // ANN index EVALUATION — recall@3 of the q52 multi-probe LSH
+    // against the q38 exact baseline, per query, IN-ENGINE (the spec's
+    // recall bar turned into a measurable catalog surface, the q130
+    // estimate-vs-exact move for the dense family): an index rebuild /
+    // parameter change shows up as a recall drop in this table, not as
+    // a silent quality regression. Cost is the two arms it evaluates;
+    // the comparison itself is one semi-join + one anchor-sized left
+    // join.
+    "q170_ann_recall" -> ((s, d) => {
+      val e = embeddings(s, d)
+      val truth = bruteTopK(e, 5).filter(col("rn") <= 3)
+        .select(col("q_id"), col("neighbor_id"))
+      val approx = annMultiprobe(e, Q52Bits, 3)
+        .select(col("q_id"), col("neighbor_id"))
+      val hits = approx.join(truth, Seq("q_id", "neighbor_id"), "left_semi")
+        .groupBy(col("q_id")).agg(count(lit(1)).as("n_hits"))
+      truth.select(col("q_id")).distinct()
+        .join(hits, Seq("q_id"), "left")
+        .na.fill(0L, Seq("n_hits"))
+        .select(col("q_id"), col("n_hits"),
+          round(col("n_hits") / 3.0, 6).as("recall_at_3"))
     })
   )
 
@@ -527,16 +550,38 @@ object Similarity {
        |  FROM $candsCte)
        |WHERE rn <= $k""".stripMargin
 
+  /** q38 / q52 mirrors, hoisted so the q170 recall oracle can embed
+    * the SAME two arms (a map self-reference inside the `oracles`
+    * initializer would NPE — the bm25OracleSql rule).
+    */
+  private lazy val q38OracleSql: String =
+    s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb
+       |           FROM embeddings WHERE label = 0),
+       |scored AS (
+       |  SELECT q.q_id, e.vec_id AS neighbor_id,
+       |         ${cosineSql("q.q_emb", "e.embedding")} AS cosine
+       |  FROM embeddings e CROSS JOIN q
+       |  WHERE e.vec_id <> q.q_id)
+       |${topKSql("scored", 5)}""".stripMargin
+
+  private lazy val q52OracleSql: String =
+    s"""WITH sigs AS (
+       |  SELECT vec_id, embedding, label,
+       |    ${hyperplaneSigSql("embedding", Q52Bits)} AS sig
+       |  FROM embeddings),
+       |q AS (
+       |  SELECT vec_id AS q_id, embedding AS q_emb,
+       |    unnest(${probeSigsSql("sig", Q52Bits)}) AS sig
+       |  FROM sigs WHERE label = 0),
+       |cands AS (
+       |  SELECT q.q_id, e.vec_id AS neighbor_id,
+       |         ${cosineSql("q.q_emb", "e.embedding")} AS cosine
+       |  FROM sigs e JOIN q ON e.sig = q.sig
+       |  WHERE e.vec_id <> q.q_id)
+       |${topKSql("cands", 3)}""".stripMargin
+
   val oracles: Map[String, String] = Map(
-    "q38_cosine_topk" ->
-      s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb
-         |           FROM embeddings WHERE label = 0),
-         |scored AS (
-         |  SELECT q.q_id, e.vec_id AS neighbor_id,
-         |         ${cosineSql("q.q_emb", "e.embedding")} AS cosine
-         |  FROM embeddings e CROSS JOIN q
-         |  WHERE e.vec_id <> q.q_id)
-         |${topKSql("scored", 5)}""".stripMargin,
+    "q38_cosine_topk" -> q38OracleSql,
 
     "q39_ann_buckets" ->
       s"""WITH sigs AS (
@@ -581,21 +626,7 @@ object Similarity {
          |FROM ranked WHERE crn = 1
          |GROUP BY cent_id""".stripMargin,
 
-    "q52_ann_multiprobe" ->
-      s"""WITH sigs AS (
-         |  SELECT vec_id, embedding, label,
-         |    ${hyperplaneSigSql("embedding", Q52Bits)} AS sig
-         |  FROM embeddings),
-         |q AS (
-         |  SELECT vec_id AS q_id, embedding AS q_emb,
-         |    unnest(${probeSigsSql("sig", Q52Bits)}) AS sig
-         |  FROM sigs WHERE label = 0),
-         |cands AS (
-         |  SELECT q.q_id, e.vec_id AS neighbor_id,
-         |         ${cosineSql("q.q_emb", "e.embedding")} AS cosine
-         |  FROM sigs e JOIN q ON e.sig = q.sig
-         |  WHERE e.vec_id <> q.q_id)
-         |${topKSql("cands", 3)}""".stripMargin,
+    "q52_ann_multiprobe" -> q52OracleSql,
 
     "q86_vec_quantize" ->
       """WITH t AS (
@@ -672,6 +703,21 @@ object Similarity {
          |  WHERE rn = 1)
          |SELECT q_id, pos_id, pos_cos, neg_id, neg_cos,
          |  round(pos_cos - neg_cos, 6) AS margin
-         |FROM pos JOIN neg USING (q_id)""".stripMargin
+         |FROM pos JOIN neg USING (q_id)""".stripMargin,
+
+    "q170_ann_recall" ->
+      s"""WITH truth AS (
+         |  SELECT q_id, neighbor_id FROM ($q38OracleSql) WHERE rn <= 3),
+         |approx AS (
+         |  SELECT q_id, neighbor_id FROM ($q52OracleSql)),
+         |hits AS (
+         |  SELECT a.q_id, count(*) AS n_hits
+         |  FROM approx a JOIN truth t
+         |    ON t.q_id = a.q_id AND t.neighbor_id = a.neighbor_id
+         |  GROUP BY a.q_id)
+         |SELECT q.q_id, CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+         |  round(coalesce(h.n_hits, 0) / 3.0, 6) AS recall_at_3
+         |FROM (SELECT DISTINCT q_id FROM truth) q
+         |LEFT JOIN hits h ON h.q_id = q.q_id""".stripMargin
   )
 }

@@ -926,6 +926,35 @@ object TextAnalytics {
         .agg(count(lit(1)).as("n_bigrams"),
           round(sum(round(col("nll") * 1e6).cast("long")) / 1e6
             / count(lit(1)), 4).as("mean_nll"))
+    }),
+
+    // Retrieval-arm agreement@k — the EVALUATION surface for the q161
+    // hybrid: how much do the sparse and dense arms actually agree at
+    // each cut depth (overlap@k = |S_k ∩ D_k|/k, plus Jaccard)? Low
+    // agreement is precisely when fusion pays; a collapse to 1.0
+    // after an index/config change means one arm became redundant.
+    // Pure composition over the fused table (per-query-bounded), a ×4
+    // literal-k explode, one (q_id, k) aggregate — all integer counts,
+    // single IEEE divisions.
+    "q169_retrieval_agreement" -> ((s, d) => {
+      val ks = typedlit(Seq(5L, 10L, 25L, 50L))
+      val fused = queries("q161_rrf_fusion")(s, d)
+      val inBoth = when(col("sparse_rn") <= col("k") &&
+        col("dense_rn") <= col("k"), 1L).otherwise(0L)
+      fused.select(col("q_id"), col("sparse_rn"), col("dense_rn"),
+          explode(ks).as("k"))
+        .groupBy(col("q_id"), col("k"))
+        .agg(sum(inBoth).as("n_both"),
+          sum(when(col("sparse_rn") <= col("k"), 1L).otherwise(0L))
+            .as("n_s"),
+          sum(when(col("dense_rn") <= col("k"), 1L).otherwise(0L))
+            .as("n_d"))
+        .select(col("q_id"), col("k"), col("n_both"),
+          round(col("n_both") / col("k").cast("double"), 6)
+            .as("overlap_at_k"),
+          round(col("n_both").cast("double") /
+            (col("n_s") + col("n_d") - col("n_both")), 6)
+            .as("jaccard_at_k"))
     })
   )
 
@@ -1315,7 +1344,33 @@ object TextAnalytics {
         |  sha256(scrub) AS scrubbed_hash
         |FROM s""".stripMargin,
 
-    "q161_rrf_fusion" ->
+    "q161_rrf_fusion" -> rrfOracleSql,
+
+    "q169_retrieval_agreement" ->
+      s"""WITH fused AS ($rrfOracleSql),
+         |ks AS (SELECT CAST(unnest([5, 10, 25, 50]) AS BIGINT) AS k)
+         |SELECT q_id, k,
+         |  CAST(sum(CASE WHEN sparse_rn <= k AND dense_rn <= k
+         |                THEN 1 ELSE 0 END) AS BIGINT) AS n_both,
+         |  round(sum(CASE WHEN sparse_rn <= k AND dense_rn <= k
+         |                 THEN 1 ELSE 0 END) / CAST(k AS DOUBLE), 6)
+         |    AS overlap_at_k,
+         |  round(sum(CASE WHEN sparse_rn <= k AND dense_rn <= k
+         |                 THEN 1 ELSE 0 END)
+         |    / CAST(sum(CASE WHEN sparse_rn <= k THEN 1 ELSE 0 END)
+         |         + sum(CASE WHEN dense_rn <= k THEN 1 ELSE 0 END)
+         |         - sum(CASE WHEN sparse_rn <= k AND dense_rn <= k
+         |               THEN 1 ELSE 0 END) AS DOUBLE), 6) AS jaccard_at_k
+         |FROM fused CROSS JOIN ks
+         |GROUP BY q_id, k""".stripMargin,
+
+    "q167_bigram_nll" -> q167OracleSql
+  )
+
+  /** The q161 mirror, hoisted for the q169 agreement oracle (the
+    * bm25OracleSql rule).
+    */
+  private lazy val rrfOracleSql: String =
       s"""WITH q AS (
          |  SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
          |  WHERE label = 0 ORDER BY vec_id LIMIT 1),
@@ -1343,9 +1398,9 @@ object TextAnalytics {
          |  round(coalesce(1.0 / ($RrfC + s.sparse_rn), 0.0) +
          |        coalesce(1.0 / ($RrfC + d.dense_rn), 0.0), 6) AS rrf_score
          |FROM s50 s FULL JOIN d50 d
-         |  ON s.q_id = d.q_id AND s.doc_id = d.doc_id""".stripMargin,
+         |  ON s.q_id = d.q_id AND s.doc_id = d.doc_id""".stripMargin
 
-    "q167_bigram_nll" ->
+  private lazy val q167OracleSql: String =
       s"""WITH w AS (
          |  SELECT doc_id, ${TextOps.wordsSql} AS ws FROM documents),
          |p AS (
@@ -1363,5 +1418,4 @@ object TextAnalytics {
          |  round(sum(CAST(round(nll * 1000000.0) AS BIGINT)) / 1000000.0
          |        / count(*), 4) AS mean_nll
          |FROM scored GROUP BY doc_id""".stripMargin
-  )
 }

@@ -261,4 +261,31 @@ class SimilaritySpec extends AnyFunSuite with CacheCleanup {
     // its positive (that is what "hard" means on a random corpus)
     assert(got.values.exists(_._5 < 0), "no hard confusions found")
   }
+
+  test("q170 ann recall equals a recount of the two arms") {
+    val d = TestSpark.sf0001
+    val truth = SparkEntry.queries("q38_cosine_topk")(spark, d)
+      .filter(col("rn") <= 3).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("neighbor_id")))
+    val approx = SparkEntry.queries("q52_ann_multiprobe")(spark, d)
+      .collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("neighbor_id")))
+      .toSet
+    def r6(x: Double) = BigDecimal(java.math.BigDecimal.valueOf(x))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expected = truth.groupBy(_._1).map { case (q, rows) =>
+      val hits = rows.count(approx.contains).toLong
+      q -> ((hits, r6(hits / 3.0)))
+    }
+    val got = SparkEntry.queries("q170_ann_recall")(spark, d).collect()
+      .map(r => r.getAs[Long]("q_id") ->
+        ((r.getAs[Long]("n_hits"), r.getAs[Double]("recall_at_3")))).toMap
+    assert(got == expected, s"sizes got=${got.size} exp=${expected.size}")
+    // Non-vacuity: the arms really intersect somewhere. (The VALUE is
+    // honestly low on this fixture — uniform random vectors have weak
+    // nearest neighbors, which hash-bucket LSH misses; measuring that
+    // is exactly what the surface is for. The planted-near-dup recall
+    // >= 0.8 spec above is the quality bar where recall is earnable.)
+    assert(got.values.exists(_._1 > 0), "no overlap at all between arms")
+  }
 }

@@ -202,4 +202,28 @@ class TextAnalyticsSpec extends AnyFunSuite with CacheCleanup {
       !r.isNullAt(r.fieldIndex("dense_rn")))
     assert(both.nonEmpty, "fixture should have overlap between arms")
   }
+
+  test("q169 agreement@k equals a recount over the fused table") {
+    val d = TestSpark.sf0001
+    val fused = SparkEntry.queries("q161_rrf_fusion")(spark, d).collect()
+      .map { r =>
+        def opt(f: String): Option[Long] =
+          if (r.isNullAt(r.fieldIndex(f))) None else Some(r.getAs[Long](f))
+        (opt("sparse_rn"), opt("dense_rn"))
+      }
+    def r6(x: Double) = BigDecimal(java.math.BigDecimal.valueOf(x))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expected = Seq(5L, 10L, 25L, 50L).map { k =>
+      val nb = fused.count { case (s, dn) =>
+        s.exists(_ <= k) && dn.exists(_ <= k) }.toLong
+      val ns = fused.count(_._1.exists(_ <= k)).toLong
+      val nd = fused.count(_._2.exists(_ <= k)).toLong
+      k -> ((nb, r6(nb.toDouble / k), r6(nb.toDouble / (ns + nd - nb))))
+    }.toMap
+    val got = SparkEntry.queries("q169_retrieval_agreement")(spark, d)
+      .collect().map(r => r.getAs[Long]("k") ->
+        ((r.getAs[Long]("n_both"), r.getAs[Double]("overlap_at_k"),
+          r.getAs[Double]("jaccard_at_k")))).toMap
+    assert(got == expected, s"got $got\nexpected $expected")
+  }
 }
