@@ -863,6 +863,50 @@ object Dedup {
         .select(col("doc").as("doc_id"), col("span_start"), col("span_end"),
           (col("span_end") - col("span_start") + 1).as("span_words"),
           col("n_grams"))
+    }),
+
+    // Incremental append NEAR-dup — q78's ingestion gate upgraded from
+    // exact content keys to the MinHash index: the arriving batch
+    // (doc_id % 10 = 7, q78's convention) probes the existing corpus's
+    // band index and reports which corpus docs each batch doc
+    // collides with. In production the corpus bands are a persisted
+    // index and only the batch side computes signatures — per-batch
+    // cost is batch-sized, never corpus-sized; here both sides derive
+    // in-plan from one table (same lineage as q41, same bucket cap) so
+    // the oracle replays the identical probe.
+    "q171_append_neardup" -> ((s, d) => {
+      val bands = capBuckets(
+          minhashBands(shingleTable(documents(s, d), "doc_id", "text")),
+          Seq("band_idx", "band_hash"), "doc")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      Chunker.registerForCleanup(bands)
+      bands.as("a").join(bands.as("b"),
+          col("a.band_idx") === col("b.band_idx") &&
+            col("a.band_hash") === col("b.band_hash"))
+        .filter(col("a.doc") % 10 === 7 && col("b.doc") % 10 =!= 7)
+        .groupBy(col("a.doc").as("batch_doc"), col("b.doc").as("corpus_doc"))
+        .agg(count(lit(1)).as("n_shared_bands"))
+    }),
+
+    // Cross-source duplication matrix — WHICH sources copy from which:
+    // the q41 candidate pairs rolled up to unordered (source, source)
+    // cells. The diagonal is intra-source duplication, off-diagonal is
+    // cross-source contamination (mirror sites, scraped re-posts) —
+    // the provenance surface a mixture-weighting pass (q99) reads
+    // before trusting per-source token counts. Pair volume is
+    // candidate-sized (LSH-bounded), the rollup is sources²-bounded.
+    "q172_source_overlap" -> ((s, d) => {
+      val docs = documents(s, d)
+      val src = docs.select(col("doc_id"), col("source"))
+      minhashCandidates(docs, "doc_id", "text")
+        .join(src.withColumnRenamed("doc_id", "doc_a")
+          .withColumnRenamed("source", "src_a"), Seq("doc_a"))
+        .join(src.withColumnRenamed("doc_id", "doc_b")
+          .withColumnRenamed("source", "src_b"), Seq("doc_b"))
+        .groupBy(least(col("src_a"), col("src_b")).as("source_x"),
+          greatest(col("src_a"), col("src_b")).as("source_y"))
+        .agg(count(lit(1)).as("n_pairs"),
+          round(avg(col("n_shared_bands")), 6).as("avg_bands"))
     })
   )
 
@@ -1295,6 +1339,33 @@ object Dedup {
          |  max(pos) + 2 AS span_end,
          |  max(pos) + 2 - min(pos) + 1 AS span_words,
          |  count(*) AS n_grams
-         |FROM isl GROUP BY doc, g""".stripMargin
+         |FROM isl GROUP BY doc, g""".stripMargin,
+
+    "q171_append_neardup" ->
+      s"""$minhashCtes
+         |SELECT a.doc AS batch_doc, b.doc AS corpus_doc,
+         |  count(*) AS n_shared_bands
+         |FROM bands a JOIN bands b
+         |  ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+         |WHERE a.doc % 10 = 7 AND b.doc % 10 <> 7
+         |GROUP BY 1, 2""".stripMargin,
+
+    "q172_source_overlap" ->
+      s"""$minhashCtes,
+         |cands AS (
+         |  SELECT a.doc AS doc_a, b.doc AS doc_b,
+         |    count(*) AS n_shared_bands
+         |  FROM bands a JOIN bands b
+         |    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+         |    AND a.doc < b.doc
+         |  GROUP BY 1, 2)
+         |SELECT least(sa.source, sb.source) AS source_x,
+         |  greatest(sa.source, sb.source) AS source_y,
+         |  count(*) AS n_pairs,
+         |  round(avg(n_shared_bands), 6) AS avg_bands
+         |FROM cands c
+         |JOIN documents sa ON sa.doc_id = c.doc_a
+         |JOIN documents sb ON sb.doc_id = c.doc_b
+         |GROUP BY 1, 2""".stripMargin
   )
 }

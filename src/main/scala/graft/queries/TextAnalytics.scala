@@ -163,6 +163,9 @@ object TextAnalytics {
   val RrfC = 60
   val RrfN = 50
 
+  /** q173 total sample budget (exact, corpus-wide). */
+  val PropN = 100L
+
   /** The q114 DuckDB mirror, hoisted so the q161 fusion oracle can
     * embed the SAME sparse arm (a map self-reference inside the
     * `oracles` initializer would NPE).
@@ -955,6 +958,43 @@ object TextAnalytics {
           round(col("n_both").cast("double") /
             (col("n_s") + col("n_d") - col("n_both")), 6)
             .as("jaccard_at_k"))
+    }),
+
+    // Proportional stratified sampling with an EXACT total budget —
+    // the eval-set constructor q149 (fixed n per stratum) and q99
+    // (rate-based) cannot express: allocate exactly [[PropN]] docs
+    // across language strata by the largest-remainder (Hamilton)
+    // method, then draw each stratum's quota deterministically. All
+    // integer arithmetic: base = (N·n_l) div total, remainders ranked
+    // through the two-phase plans/Ranks (no single-partition window
+    // even on the strata dim), per-stratum draw = the q149 hash-order
+    // window. Output is exactly N rows whenever N <= corpus size.
+    "q173_proportional_sample" -> ((s, d) => {
+      val docs = documents(s, d).select(col("doc_id"), col("lang"))
+      val strata = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_l"))
+      val tot = strata.agg(sum(col("n_l")).as("total"))
+      val q = strata.crossJoin(broadcast(tot))
+        .select(col("lang"), col("n_l"),
+          expr(s"($PropN * n_l) div total").as("base"),
+          (lit(PropN) * col("n_l") -
+            expr(s"($PropN * n_l) div total") * col("total")).as("rem"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      graft.pipeline.Chunker.registerForCleanup(q)
+      val ranked = graft.plans.Ranks.withGlobalRanks(q,
+        Seq(col("rem").desc, col("lang")), Seq(col("rem"), col("lang")),
+        rankCol = "seat_rank", denseCol = "_graft_dr")
+      val sumBase = q.agg(sum(col("base")).as("base_total"))
+      val alloc = ranked.crossJoin(broadcast(sumBase))
+        .select(col("lang"),
+          (col("base") + when(
+            col("seat_rank") <= lit(PropN) - col("base_total"), 1L)
+            .otherwise(0L)).as("k_l"))
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(hashFraction(col("doc_id")), col("doc_id"))
+      docs.join(broadcast(alloc), Seq("lang"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= col("k_l"))
+        .select(col("doc_id"), col("lang"), col("rn"), col("k_l"))
     })
   )
 
@@ -1364,7 +1404,30 @@ object TextAnalytics {
          |FROM fused CROSS JOIN ks
          |GROUP BY q_id, k""".stripMargin,
 
-    "q167_bigram_nll" -> q167OracleSql
+    "q167_bigram_nll" -> q167OracleSql,
+
+    "q173_proportional_sample" ->
+      s"""WITH s AS (SELECT lang, count(*) AS n_l FROM documents GROUP BY 1),
+         |t AS (SELECT CAST(sum(n_l) AS BIGINT) AS total FROM s),
+         |q AS (
+         |  SELECT lang, n_l, ($PropN * n_l) // total AS base,
+         |    $PropN * n_l - (($PropN * n_l) // total) * total AS rem
+         |  FROM s CROSS JOIN t),
+         |b AS (SELECT CAST(sum(base) AS BIGINT) AS base_total FROM q),
+         |alloc AS (
+         |  SELECT lang,
+         |    base + CASE WHEN row_number() OVER (ORDER BY rem DESC, lang)
+         |                     <= $PropN - base_total
+         |                THEN 1 ELSE 0 END AS k_l
+         |  FROM q CROSS JOIN b),
+         |ranked AS (
+         |  SELECT d.doc_id, d.lang,
+         |    CAST(row_number() OVER (PARTITION BY d.lang
+         |      ORDER BY ${hashFractionSql("d.doc_id")}, d.doc_id)
+         |      AS BIGINT) AS rn,
+         |    a.k_l
+         |  FROM documents d JOIN alloc a ON a.lang = d.lang)
+         |SELECT doc_id, lang, rn, k_l FROM ranked WHERE rn <= k_l""".stripMargin
   )
 
   /** The q161 mirror, hoisted for the q169 agreement oracle (the

@@ -65,6 +65,7 @@ class PlanGuardSpec extends AnyFunSuite {
     "q168_hard_negatives" -> "documented exact O(N*Q) baseline: corpus x broadcast query set (q38 pattern)",
     "q169_retrieval_agreement" -> "inherits q161's 1-row probe + q114 stats crossJoins",
     "q170_ann_recall" -> "inherits q38's exact-baseline corpus x query-set crossJoin",
+    "q173_proportional_sample" -> "1-row corpus total + 1-row base-seat sum, both broadcast",
     "ref_token_cost" -> "1-row token total x 4-row model price table")
 
   /** Walk a physical plan AND every subquery plan hanging off its
