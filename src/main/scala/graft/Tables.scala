@@ -21,22 +21,50 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 refuses to
-    * read natively (PARQUET_TYPE_ILLEGAL). Read the nanos as a long and
-    * truncate to microseconds — the same truncation DuckDB applies when
-    * it loads TIMESTAMP_NS into its µs-precision TIMESTAMP, so both
-    * engines see identical values. Integer `div` (not `/`): ns epochs
-    * (~1.7e18) overflow double's 2^53 mantissa.
+  /** The events table has shipped `ts` in two physical encodings
+    * across testdata generations: parquet TIMESTAMP(NANOS) (which
+    * Spark 4 only reads as a raw long under
+    * `spark.sql.legacy.parquet.nanosAsLong`) and parquet
+    * timestamp[us] with isAdjustedToUTC=false (which Spark loads as
+    * TIMESTAMP_NTZ). Normalize both to a session-TZ TimestampType at
+    * microsecond precision by inspecting the LOADED dtype, so a
+    * testdata regeneration can never silently break the loader:
     *
-    * The nanosAsLong conf should be set at session build (all graft
-    * mains do); the guard below only repairs sessions that didn't, and
-    * never re-mutates a correctly-configured session.
+    *  - LongType        → nanos-as-long: integer-div to µs (not `/`:
+    *    ns epochs ~1.7e18 overflow double's 2^53 mantissa), then
+    *    `timestamp_micros`. Matches DuckDB's ns→µs truncation.
+    *  - TimestampNTZType → cast to TimestampType. The session TZ is
+    *    pinned UTC by every graft main, so the wall-clock fields are
+    *    reinterpreted 1:1 and the µs instant is unchanged.
+    *  - TimestampType   → already what downstream expects; no-op.
+    *
+    * The nanosAsLong conf must be set BEFORE the read so the legacy
+    * encoding doesn't throw PARQUET_TYPE_ILLEGAL at schema inference;
+    * it is a no-op for the µs encoding.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     val key = "spark.sql.legacy.parquet.nanosAsLong"
     if (s.conf.get(key, "false") != "true") s.conf.set(key, "true")
-    table(s, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    normalizeTs(table(s, d, "events"))
+  }
+
+  /** Schema-adaptive `ts` normalization shared by the batch loader and
+    * the streaming source (graft.streaming.StreamingJobs). See
+    * [[events]] for the encoding matrix.
+    */
+  def normalizeTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types._
+    df.schema("ts").dataType match {
+      case LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _: TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast(TimestampType))
+      case _: TimestampType => df
+      case other =>
+        throw new IllegalStateException(
+          s"events.ts has unsupported type $other; expected long nanos, " +
+            "timestamp_ntz, or timestamp")
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")

@@ -21,14 +21,16 @@ object StreamingJobs {
     new java.util.concurrent.ConcurrentHashMap[String, java.nio.file.Path]()
 
   /** Streaming read of the events table. Schema comes from a batch
-    * probe (file sources require an explicit schema); the nanos->micros
-    * timestamp normalization matches graft.Tables.events.
+    * probe (file sources require an explicit schema); the `ts`
+    * normalization is the SAME schema-adaptive branch as the batch
+    * loader (graft.Tables.normalizeTs) — the probed schema makes the
+    * branch statically decidable before the stream starts.
     */
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
     if (spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true")
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val path = s"$dir/events.parquet"
-    val schema = spark.read.parquet(path).schema // ts is LongType (nanos)
+    val schema = spark.read.parquet(path).schema // long nanos OR timestamp[us]
     // The file source demands a DIRECTORY (in production the events
     // table is one); the fixture is a single file, so stage a symlink
     // dir in tmp — memoized per source path so repeated streams don't
@@ -41,8 +43,8 @@ object StreamingJobs {
         java.nio.file.Files.createSymbolicLink(d.resolve(src.getFileName), src)
         d
       })
-    spark.readStream.schema(schema).parquet(stage.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    graft.Tables.normalizeTs(
+      spark.readStream.schema(schema).parquet(stage.toString))
   }
 
   /** Tumbling 1h counts by event type — streaming twin of

@@ -115,12 +115,32 @@ class PlanGuardSpec extends AnyFunSuite {
   test("no catalog plan ships a cartesian, stray nested-loop join, or global window") {
     val d = TestSpark.sf0001
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
+    val badShapes = scala.collection.mutable.ArrayBuffer.empty[String]
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      inspect(name, fn(spark, d).queryExecution.sparkPlan, offenders)
+      val df = fn(spark, d)
+      inspect(name, df.queryExecution.sparkPlan, offenders)
+      // Oracle-backed outputs must be all-scalar columns: the driver's
+      // pandas compare hashes cell values and dies on array/map/struct
+      // cells ("unhashable type") — the exact failure that cost q165
+      // its r6 verdict. Rows-only entries (no oracleSql) may keep
+      // complex columns.
+      if (SparkEntry.oracleSql.contains(name)) {
+        df.schema.fields.foreach { f =>
+          f.dataType match {
+            case _: org.apache.spark.sql.types.ArrayType |
+                 _: org.apache.spark.sql.types.MapType |
+                 _: org.apache.spark.sql.types.StructType =>
+              badShapes += s"$name: ${f.name} is ${f.dataType.simpleString}"
+            case _ =>
+          }
+        }
+      }
     }
     // free the persisted intermediates the constructions registered
     pipeline.Chunker.clearCaches()
     assert(offenders.isEmpty,
       s"scale-killer shapes found:\n${offenders.mkString("\n")}")
+    assert(badShapes.isEmpty,
+      s"oracle-compared queries with non-scalar output columns:\n${badShapes.mkString("\n")}")
   }
 }

@@ -205,7 +205,10 @@ class SimilaritySpec extends AnyFunSuite with CacheCleanup {
         for (i <- v.indices) acc += v(i).toDouble * p(i).toDouble
         acc / 4.0
       }
-      val proj = r.getAs[scala.collection.Seq[Double]]("proj")
+      // one scalar column per dim (p00..p15) — the array form broke
+      // the driver's pandas oracle compare (VERDICT r6 #3)
+      val proj = (0 until Similarity.JlDim)
+        .map(j => r.getAs[Double](f"p$j%02d"))
       assert(proj == raw.map(r6),
         s"vec ${r.getAs[Long]("vec_id")} projection diverged")
       var sq = 0.0
