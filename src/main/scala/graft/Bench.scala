@@ -87,12 +87,16 @@ object Bench {
       if (s.size % 2 == 1) s(s.size / 2)
       else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
     }
-    val med = names.map(n => n -> median(timings.map(_(n))))
-    val mins = names.map(n => n -> timings.map(_(n)).min)
+    // An errored query's wall time is a fast-fail, not a measurement —
+    // reporting it as a timing made error-vs-fast indistinguishable in
+    // the r6 artifact (ADVICE r6). Errored names live ONLY in `errors`.
+    val timed = names.filterNot(errors.contains)
+    val med = timed.map(n => n -> median(timings.map(_(n))))
+    val mins = timed.map(n => n -> timings.map(_(n)).min)
     // Per-query spread (max - min across passes): lets a reader classify
     // 1.3-1.6x run-to-run drift as noise from the artifact alone,
     // without a fresh bench run (VERDICT r5 #6).
-    val spread = names.map(n => n -> (timings.map(_(n)).max - timings.map(_(n)).min))
+    val spread = timed.map(n => n -> (timings.map(_(n)).max - timings.map(_(n)).min))
 
     def jstr(s: String) = "\"" + s.flatMap {
       case '"'  => "\\\""
@@ -123,9 +127,15 @@ object Bench {
     // VERY LAST stdout line is a compact (<200 char) summary that is
     // guaranteed to sit, complete, inside any bounded tail capture.
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/graft_bench.json")
-    try java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
-      (line + "\n").getBytes("UTF-8"))
-    catch { case NonFatal(e) => System.err.println(s"bench detail write failed: $e") }
+    // /tmp is volatile across rounds; also persist the detail next to
+    // the build (cwd = repo root under the driver's sbt fork) so the
+    // full per-query map survives in-repo regardless of tail-capture
+    // size (ADVICE r6).
+    val repoDetail = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPO_OUT", "BENCH_detail.json")
+    for (p <- Seq(detailPath, repoDetail).distinct)
+      try java.nio.file.Files.write(java.nio.file.Paths.get(p),
+        (line + "\n").getBytes("UTF-8"))
+      catch { case NonFatal(e) => System.err.println(s"bench detail write failed ($p): $e") }
     println(line)
     spark.stop()
     val compact = s"""{"metric":"total","value":${jnum(total)},"unit":"sec","passes":$passes,"n_queries":${plans.size},"n_errors":${errors.size},"sf":"$sfDir","detail":"$detailPath"}"""

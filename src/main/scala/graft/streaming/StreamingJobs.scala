@@ -14,6 +14,13 @@ import org.apache.spark.sql.functions._
   * the driver but reads on executors; the windowed aggregation is
   * keyed state (window x key) in the state store, bounded by the
   * watermark, and shuffles exactly like its batch twin.
+  *
+  * Checkpoint portability: windowed state serializes event-time
+  * values, so checkpoints written against one `ts` physical encoding
+  * (the pre-r7 long-nanos testdata) are NOT portable to data loaded
+  * under another (timestamp[us]); StreamingSpec proves restart
+  * recovery from a FRESH checkpoint on the current encoding — resume
+  * across a testdata regeneration by starting a new checkpoint dir.
   */
 object StreamingJobs {
 
