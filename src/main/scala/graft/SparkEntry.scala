@@ -36,7 +36,8 @@ object SparkEntry {
       (graft.queries.FileFormats.queries, graft.queries.FileFormats.oracles),
       (graft.queries.Warehouse.queries, graft.queries.Warehouse.oracles),
       (graft.queries.Graph.queries, graft.queries.Graph.oracles),
-      (graft.queries.Clustering.queries, graft.queries.Clustering.oracles)
+      (graft.queries.Clustering.queries, graft.queries.Clustering.oracles),
+      (graft.queries.Curation.queries, graft.queries.Curation.oracles)
     )
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -1,0 +1,229 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables.documents
+import graft.queries.TextAnalytics.{hashFraction, hashFractionSql}
+
+/** Corpus-curation operators #2 (round 7): the retrieval-index,
+  * mixture-design, and export-layout side of a training-data pipeline.
+  * Reference scope anchor: the reference's pipeline stops at
+  * chunk→LLM-map→combine (/root/reference/internal/cli/mapreduce.go:30-281);
+  * everything here is the surrounding large-scale curation surface the
+  * task brief names as first-class.
+  *
+  * Shared engineering contract with the rest of the catalog:
+  * deterministic outputs (every sampled/hashed decision rides the
+  * sha256-derived [[TextAnalytics.hashFraction]], bit-identical in
+  * DuckDB), no unbounded fan-out (every self-join is blocked AND
+  * capped), and no global single-partition windows.
+  */
+object Curation {
+
+  /** Mid-band document-frequency window for the inverted index: terms
+    * below keep no discriminating power to prune (hapaxes bloat the
+    * index), terms above are effectively stopwords whose posting lists
+    * are the classic index skew (a stopword's postings ~= the corpus).
+    */
+  val IndexMinDf = 5L
+  val IndexMaxDf = 40L
+
+  val ShardCount = 64
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Inverted-index build — the retrieval side of a curation stack
+    // (BM25/q114 scores ad hoc; this MATERIALIZES the postings): one
+    // row per (term, doc) with tf, annotated with the term's df, kept
+    // only for mid-band terms ([[IndexMinDf]], [[IndexMaxDf]]).
+    // Scale shape: both aggregations and the df join key on `term`, so
+    // the df annotation rides the tf aggregation's exchange
+    // (co-partitioned, no extra shuffle); the df band-pass prunes
+    // stopword posting lists BEFORE they are materialized — the skew
+    // defense (a stopword's bucket is the whole corpus). At 100 TB the
+    // posting table is hive-partitioned by a term-hash prefix on write
+    // (q91's clustered-write layout); the build plan is unchanged.
+    "q174_inverted_index" -> ((s, d) => {
+      val words = documents(s, d).select(col("doc_id"),
+        explode(TextOps.wordsOf(col("text"))).as("term"))
+      val tf = words.groupBy(col("term"), col("doc_id"))
+        .agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+        .filter(col("df").between(IndexMinDf, IndexMaxDf))
+      tf.join(df, Seq("term"))
+        .select(col("term"), col("df"), col("doc_id"), col("tf"))
+    }),
+
+    // Temperature-scaled mixture sampling (alpha = 0.5) — the
+    // multilingual/multi-source rebalance every LLM data recipe uses
+    // (sampling share ∝ natural share^alpha: big sources damped, small
+    // sources boosted, vs q99's hard rebalance-to-min). Target volume
+    // is half the corpus; per-source keep rate = min(1, target_s/n_s),
+    // membership decided by the engine-portable hash fraction.
+    // Float parity: the alpha-weights go through exact integer
+    // micro-units (round(sqrt(n)*1e6) summed as BIGINT) so the
+    // weight-sum is order-independent; every later step is a fixed
+    // association of exact values. Scale shape: two tiny aggregates
+    // (per-source counts, 1-row totals) broadcast back over a pure
+    // projection filter — no data shuffle at all.
+    "q175_temperature_mixture" -> ((s, d) => {
+      val docs = documents(s, d)
+      val counts = docs.groupBy(col("source")).agg(count(lit(1)).as("n_src"))
+        .withColumn("w_micro", round(sqrt(col("n_src")) * 1e6, 0).cast("long"))
+      val tot = counts.agg(sum(col("w_micro")).as("w_tot"),
+        sum(col("n_src")).as("n_tot"))
+      val rates = counts.crossJoin(broadcast(tot))
+        .select(col("source"), col("n_src"),
+          least(lit(1.0),
+            (col("w_micro").cast("double") / col("w_tot"))
+              * (col("n_tot") * lit(0.5)) / col("n_src")).as("rate"))
+      docs.join(broadcast(rates), Seq("source"))
+        .filter(hashFraction(col("doc_id")) < col("rate"))
+        .groupBy(col("source"), col("n_src"), round(col("rate"), 6).as("rate"))
+        .agg(count(lit(1)).as("n_kept"),
+          min(col("doc_id")).as("min_doc"),
+          max(col("doc_id")).as("max_doc"))
+    }),
+
+    // Fuzzy entity linkage by deletion neighborhoods (the SymSpell
+    // blocking): every name at edit distance EXACTLY 1 from another —
+    // the record-linkage / near-identical-entity primitive (OCR'd
+    // names, typo'd usernames, id-collision sweeps). Candidate key set
+    // of a name = the name itself plus its |name| single-character
+    // deletions; two names within edit distance 1 ALWAYS share a key
+    // (substitution at i → same deletion-at-i; insertion/deletion →
+    // the longer name's deletion set contains the shorter name), so
+    // recall is EXACT — unlike prefix/suffix blocking, which a
+    // first-position edit escapes. levenshtein (O(len^2) per pair)
+    // runs only inside key buckets, and a bucket is bounded by
+    // ~2x alphabet size per deleted position, never by corpus size:
+    // the index is |names| x len keys, linear in the corpus, and the
+    // one shuffle keys on the deletion string. distinct() collapses
+    // pairs that collide on several keys before the verify.
+    "q176_fuzzy_linkage" -> ((s, d) => {
+      val names = graft.Tables.customer(s, d)
+        .select(lower(col("c_name")).as("name")).distinct()
+      val keys = names.select(col("name"),
+        explode(array_distinct(concat(
+          array(col("name")),
+          transform(sequence(lit(1), length(col("name"))), i =>
+            concat(col("name").substr(lit(1), i - 1),
+              col("name").substr(i + 1, length(col("name")) - i))))))
+          .as("key"))
+      // banded verify: levenshtein with threshold 1 computes a 3-cell
+      // band per row instead of the full len^2 DP (−1 = "exceeds 1"),
+      // ~8x cheaper over the ~1M candidate rows the key join emits
+      keys.as("a").join(keys.as("b"),
+          col("a.key") === col("b.key") && col("a.name") < col("b.name"))
+        .select(col("a.name").as("name_a"), col("b.name").as("name_b"))
+        .distinct()
+        .filter(levenshtein(col("name_a"), col("name_b"), 1) === 1)
+    }),
+
+    // Training-shard manifest: deterministic hash-assignment of every
+    // document to one of [[ShardCount]] export shards plus the
+    // per-shard audit row (doc count, word volume, id bounds) a
+    // reproducible training run checks against. Assignment is a pure
+    // projection on the portable hash fraction — stable across runs,
+    // engines, and cluster sizes — and the manifest aggregate shuffles
+    // to exactly ShardCount groups. The actual export is q91's
+    // clustered write partitioned by shard_id; this op is the
+    // assignment + manifest contract.
+    "q177_training_shards" -> ((s, d) => {
+      documents(s, d)
+        .select(col("doc_id"),
+          floor(hashFraction(col("doc_id")) * ShardCount).cast("int")
+            .as("shard_id"),
+          size(TextOps.wordsOf(col("text"))).cast("long").as("n_words"))
+        .groupBy(col("shard_id"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_words")).as("n_words"),
+          min(col("doc_id")).as("min_doc"),
+          max(col("doc_id")).as("max_doc"))
+    }),
+
+    // Per-source quantile normalization of a quality signal — the fair
+    // cross-source mixing primitive: raw scores from heterogeneous
+    // sources aren't comparable (one crawl's "long" is another's
+    // median), so each doc gets its source-relative percentile and a
+    // decile bin; downstream mixing filters on the NORMALIZED score.
+    // percent_rank over (source, length, doc_id) — the doc_id
+    // tie-break makes ranks unique hence engine-identical, and the
+    // window partitions by source (never global: PlanGuard). Rank is
+    // (rk-1)/(n-1), a single int/int double division — exact parity.
+    "q178_quantile_normalize" -> ((s, d) => {
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("n_chars"), col("doc_id"))
+      documents(s, d)
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          round(percent_rank().over(w), 6).as("pct"),
+          least(lit(9), floor(percent_rank().over(w) * 10)).cast("int")
+            .as("decile"))
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+
+    "q174_inverted_index" ->
+      s"""WITH w AS (
+         |  SELECT doc_id, unnest(${TextOps.wordsSql}) AS term FROM documents),
+         |tf AS (SELECT term, doc_id, count(*) AS tf FROM w GROUP BY 1, 2),
+         |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1)
+         |SELECT t.term, d.df, t.doc_id, t.tf
+         |FROM tf t JOIN df d USING (term)
+         |WHERE d.df BETWEEN $IndexMinDf AND $IndexMaxDf""".stripMargin,
+
+    "q175_temperature_mixture" ->
+      s"""WITH counts AS (
+         |  SELECT source, count(*) AS n_src,
+         |    CAST(round(sqrt(n_src) * 1e6, 0) AS BIGINT) AS w_micro
+         |  FROM documents GROUP BY source),
+         |t AS (SELECT sum(w_micro) AS w_tot, sum(n_src) AS n_tot FROM counts),
+         |rates AS (
+         |  SELECT source, n_src,
+         |    least(1.0,
+         |      (CAST(w_micro AS DOUBLE) / w_tot)
+         |        * (n_tot * 0.5) / n_src) AS rate
+         |  FROM counts CROSS JOIN t)
+         |SELECT d.source, r.n_src, round(r.rate, 6) AS rate,
+         |  count(*) AS n_kept,
+         |  min(d.doc_id) AS min_doc, max(d.doc_id) AS max_doc
+         |FROM documents d JOIN rates r ON d.source = r.source
+         |WHERE ${hashFractionSql("d.doc_id")} < r.rate
+         |GROUP BY 1, 2, 3""".stripMargin,
+
+    "q176_fuzzy_linkage" ->
+      """WITH names AS (SELECT DISTINCT lower(c_name) AS name FROM customer),
+        |keys AS (
+        |  SELECT name, unnest(list_distinct(list_append(
+        |    list_transform(range(1, length(name) + 1),
+        |      i -> substring(name, 1, i - 1)
+        |        || substring(name, i + 1, length(name) - i)), name))) AS key
+        |  FROM names),
+        |cand AS (
+        |  SELECT DISTINCT a.name AS name_a, b.name AS name_b
+        |  FROM keys a JOIN keys b
+        |    ON a.key = b.key AND a.name < b.name)
+        |SELECT name_a, name_b FROM cand
+        |WHERE levenshtein(name_a, name_b) = 1""".stripMargin,
+
+    "q177_training_shards" ->
+      s"""SELECT CAST(floor(${hashFractionSql("doc_id")} * $ShardCount) AS INTEGER)
+         |    AS shard_id,
+         |  count(*) AS n_docs,
+         |  CAST(sum(len(${TextOps.wordsSql})) AS BIGINT) AS n_words,
+         |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
+         |FROM documents
+         |GROUP BY 1""".stripMargin,
+
+    "q178_quantile_normalize" ->
+      """SELECT doc_id, source, n_chars,
+        |  round(percent_rank() OVER w, 6) AS pct,
+        |  CAST(least(9, floor(percent_rank() OVER w * 10)) AS INTEGER)
+        |    AS decile
+        |FROM documents
+        |WINDOW w AS (PARTITION BY source ORDER BY n_chars, doc_id)""".stripMargin
+  )
+}

@@ -236,6 +236,92 @@ object Dedup {
           / (col("n_a") + col("n_b") - col("n_inter")), 6).as("jaccard"))
   }
 
+  /** df band for containment-candidate blocking: a shingle shared by
+    * more than [[RareShingleMaxDf]] docs is boilerplate (its bucket
+    * self-join would approach N^2); one shared by exactly 1 doc pairs
+    * nothing. High-containment pairs share MANY shingles, so requiring
+    * ONE shared mid-band shingle costs essentially no recall — the
+    * only misses are docs built entirely from >maxDf boilerplate,
+    * which q77 flags separately.
+    */
+  val RareShingleMaxDf = 20L
+  val ContainmentThreshold = 0.8
+
+  /** Asymmetric containment dedup (Broder's containment coefficient):
+    * |A ∩ B| / min(|A|, |B|) over shingle sets — catches the
+    * short-doc-quoted-inside-long-doc duplicates that symmetric
+    * Jaccard structurally misses (a 50-shingle doc fully contained in
+    * a 5000-shingle doc has Jaccard ~= 0.01 but containment 1.0, and
+    * MinHash bands keyed on the full signature would rarely collide).
+    *
+    * Candidates = pairs sharing at least one mid-band-df shingle
+    * (df in [2, maxDf]): the per-shingle self-join fan-out is bounded
+    * by maxDf^2, the shuffle keys on the shingle, and the exact
+    * intersection then runs on candidates only — the same
+    * block-then-verify shape as q49/q151, with a frequency block
+    * instead of an LSH or prefix block.
+    */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+                       maxDf: Long = RareShingleMaxDf,
+                       threshold: Double = ContainmentThreshold): DataFrame = {
+    val sh = shingleTable(docs, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    Chunker.registerForCleanup(sh)
+    // Per-shingle df partitions the shingle space three ways: df = 1
+    // can never be shared, df in [2, maxDf] is the candidate-blocking
+    // mid-band, df > maxDf is "common" (boilerplate). The annotate
+    // join and the df aggregate share the shingle-keyed exchange.
+    val sdf = sh.groupBy(col("shingle")).agg(count(lit(1)).as("sdf"))
+    val shAnnot = sh.join(sdf, Seq("shingle"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    Chunker.registerForCleanup(shAnnot)
+    val counts = shAnnot.groupBy(col("doc")).agg(
+      count(lit(1)).as("n_sh"),
+      sum(when(col("sdf") > maxDf, 1L).otherwise(0L)).as("n_common"))
+    val rare = shAnnot.filter(col("sdf").between(2L, maxDf))
+      .select(col("shingle"), col("doc"))
+    // Shared-mid-band count per pair straight off the blocking join —
+    // a map-side-combinable aggregate, NOT a materialized pair list.
+    val sharedMid = rare.as("a").join(rare.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc") < col("b.doc"))
+      .groupBy(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
+      .agg(count(lit(1)).as("n_mid"))
+    // PPJoin-style upper-bound prune BEFORE the expensive exact
+    // intersection: a df-1 shingle is never shared, so
+    //   n_inter <= n_mid + min(n_common_a, n_common_b).
+    // Any pair whose bound sits below t*min(n_a, n_b) cannot reach the
+    // threshold and is dropped without ever touching the shingle sets
+    // again. On the dense fixture this collapses ~1.1M blocking pairs
+    // to the handful that can qualify, and the exact intersection
+    // (candidates x shingles — the quadratic-feeling stage) runs on
+    // survivors only. Blocking volume itself is LINEAR by design:
+    // sum over mid-band shingles of C(df, 2) <= (maxDf/2) x |shingle
+    // rows|.
+    val survivors = sharedMid
+      .join(counts.select(col("doc").as("doc_a"), col("n_sh").as("n_a"),
+        col("n_common").as("common_a")), Seq("doc_a"))
+      .join(counts.select(col("doc").as("doc_b"), col("n_sh").as("n_b"),
+        col("n_common").as("common_b")), Seq("doc_b"))
+      .filter((col("n_mid") + least(col("common_a"), col("common_b")))
+        >= lit(threshold) * least(col("n_a"), col("n_b")))
+      .select(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    Chunker.registerForCleanup(survivors)
+    val inter = survivors
+      .join(sh.as("sa"), col("doc_a") === col("sa.doc"))
+      .join(sh.as("sb"),
+        col("doc_b") === col("sb.doc") && col("sa.shingle") === col("sb.shingle"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    survivors
+      .join(inter, Seq("doc_a", "doc_b"))
+      .withColumn("containment",
+        col("n_inter").cast("double") / least(col("n_a"), col("n_b")))
+      .filter(col("containment") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"),
+        col("n_inter"), round(col("containment"), 6).as("containment"))
+  }
+
   val WinnowK = 8 // char-gram width
   val WinnowW = 4 // winnowing window (consecutive grams per min)
 
@@ -679,6 +765,8 @@ object Dedup {
       simhash(documents(s, d), "doc_id", "text")),
     "q49_ngram_jaccard" -> ((s, d) =>
       ngramJaccard(documents(s, d), "doc_id", "text")),
+    "q179_containment_dedup" -> ((s, d) =>
+      containmentPairs(documents(s, d), "doc_id", "text")),
     // Character-level verify stage: exact edit distance, again on the
     // CANDIDATE pairs only (levenshtein is O(len^2) per pair — the
     // bucketed candidate set is what makes it affordable at scale).
@@ -1139,6 +1227,33 @@ object Dedup {
          |LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
          |JOIN counts ca ON ca.doc = c.doc_a
          |JOIN counts cb ON cb.doc = c.doc_b""".stripMargin,
+
+    "q179_containment_dedup" ->
+      s"""$shingleCtes,
+         |counts AS (SELECT doc, count(*) AS n_sh FROM shingles GROUP BY 1),
+         |mid AS (
+         |  SELECT shingle FROM shingles
+         |  GROUP BY shingle HAVING count(*) BETWEEN 2 AND $RareShingleMaxDf),
+         |rare AS (
+         |  SELECT s.shingle, s.doc FROM shingles s JOIN mid USING (shingle)),
+         |cands AS (
+         |  SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+         |  FROM rare a JOIN rare b
+         |    ON a.shingle = b.shingle AND a.doc < b.doc),
+         |inter AS (
+         |  SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+         |  FROM cands c
+         |  JOIN shingles sa ON sa.doc = c.doc_a
+         |  JOIN shingles sb ON sb.doc = c.doc_b AND sb.shingle = sa.shingle
+         |  GROUP BY 1, 2)
+         |SELECT i.doc_a, i.doc_b, ca.n_sh AS n_a, cb.n_sh AS n_b, i.n_inter,
+         |  round(CAST(i.n_inter AS DOUBLE) / least(ca.n_sh, cb.n_sh), 6)
+         |    AS containment
+         |FROM inter i
+         |JOIN counts ca ON ca.doc = i.doc_a
+         |JOIN counts cb ON cb.doc = i.doc_b
+         |WHERE CAST(i.n_inter AS DOUBLE) / least(ca.n_sh, cb.n_sh)
+         |  >= $ContainmentThreshold""".stripMargin,
 
     "q55_edit_distance" ->
       s"""$minhashCtes,

@@ -1,0 +1,158 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.queries.{Curation, Dedup}
+
+/** Round-7 curation operators: each test recomputes the operator's
+  * contract sequentially on collected sf0.001 data (or a planted
+  * fixture) and asserts exact equality — the same independent-oracle
+  * discipline as DedupSpec/SimilaritySpec.
+  */
+class CurationSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  private val d = TestSpark.sf0001
+
+  private def words(text: String): Seq[String] =
+    text.toLowerCase.split("[ \t\n\r\f]+").filter(_.nonEmpty).toSeq
+
+  test("q174 postings equal a sequential tf/df recompute") {
+    val docs = Tables.documents(spark, d).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> words(r.getString(1)))
+    val tf = docs.flatMap { case (id, ws) => ws.map(w => (w, id)) }
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val df = tf.keys.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val expected = tf.collect {
+      case ((term, doc), n)
+        if df(term) >= Curation.IndexMinDf && df(term) <= Curation.IndexMaxDf =>
+        (term, df(term), doc, n)
+    }.toSet
+    val got = SparkEntry.queries("q174_inverted_index")(spark, d)
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(got == expected)
+  }
+
+  test("q175 keep decisions follow the temperature-scaled rates exactly") {
+    val docs = Tables.documents(spark, d).select("doc_id", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val bySource = docs.groupBy(_._2).view.mapValues(_.map(_._1)).toMap
+    val wMicro = bySource.view.mapValues(ids =>
+      math.round(math.sqrt(ids.size.toDouble) * 1e6)).toMap
+    val wTot = wMicro.values.sum
+    val nTot = docs.length.toLong
+    def frac(id: Long) = expressions.HashFraction.fraction(
+      org.apache.spark.unsafe.types.UTF8String.fromString(id.toString))
+    val expected = bySource.flatMap { case (src, ids) =>
+      val rate = math.min(1.0,
+        (wMicro(src).toDouble / wTot) * (nTot * 0.5) / ids.size)
+      val kept = ids.filter(frac(_) < rate)
+      if (kept.isEmpty) None
+      else Some((src, ids.size.toLong,
+        BigDecimal(rate).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        kept.size.toLong, kept.min, kept.max))
+    }.toSet
+    val got = SparkEntry.queries("q175_temperature_mixture")(spark, d)
+      .as[(String, Long, Double, Long, Long, Long)].collect().toSet
+    assert(got == expected)
+    // the temperature property itself: keep RATE is non-increasing in
+    // source size (bigger sources damped harder) — the deterministic
+    // form of "alpha < 1 flattens the mixture" (per-row hash noise at
+    // 500 docs makes share-based assertions flaky, rate-based ones not)
+    val bySize = got.toSeq.sortBy(_._2)
+    bySize.sliding(2).foreach {
+      case Seq(smaller, larger) =>
+        assert(larger._3 <= smaller._3,
+          s"rate must not increase with source size: $smaller vs $larger")
+      case _ =>
+    }
+  }
+
+  test("q176 deletion-neighborhood linkage = brute-force distance-1 pairs") {
+    val names = Tables.customer(spark, d)
+      .select(lower(col("c_name"))).distinct().as[String].collect()
+    def lev(a: String, b: String): Int = {
+      val m = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        m(i)(j) = math.min(math.min(m(i - 1)(j) + 1, m(i)(j - 1) + 1),
+          m(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      m(a.length)(b.length)
+    }
+    val expected = (for {
+      a <- names; b <- names
+      if a < b && math.abs(a.length - b.length) <= 1 && lev(a, b) == 1
+    } yield (a, b)).toSet
+    val got = SparkEntry.queries("q176_fuzzy_linkage")(spark, d)
+      .as[(String, String)].collect().toSet
+    assert(got == expected, "deletion-neighborhood blocking must have EXACT recall at distance 1")
+  }
+
+  test("q177 shard manifest covers every doc exactly once with the right assignment") {
+    val docs = Tables.documents(spark, d).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), words(r.getString(1)).size.toLong))
+    def shard(id: Long) = math.floor(expressions.HashFraction.fraction(
+      org.apache.spark.unsafe.types.UTF8String.fromString(id.toString))
+      * Curation.ShardCount).toInt
+    val expected = docs.groupBy(t => shard(t._1)).map { case (s, ds) =>
+      (s, ds.length.toLong, ds.map(_._2).sum, ds.map(_._1).min, ds.map(_._1).max)
+    }.toSet
+    val got = SparkEntry.queries("q177_training_shards")(spark, d)
+      .as[(Int, Long, Long, Long, Long)].collect().toSet
+    assert(got == expected)
+    assert(got.toSeq.map(_._2).sum == docs.length.toLong, "every doc in exactly one shard")
+  }
+
+  test("q178 per-source percentiles are rank-exact and deciles bounded") {
+    val rows = SparkEntry.queries("q178_quantile_normalize")(spark, d)
+      .as[(Long, String, Long, Double, Int)].collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_._2).foreach { case (_, grp) =>
+      val n = grp.length
+      val sorted = grp.sortBy(r => (r._3, r._1))
+      sorted.zipWithIndex.foreach { case (r, i) =>
+        val pct = if (n == 1) 0.0 else i.toDouble / (n - 1)
+        assert(r._4 == BigDecimal(pct).setScale(6,
+          BigDecimal.RoundingMode.HALF_UP).toDouble)
+        assert(r._5 == math.min(9, math.floor(pct * 10).toInt))
+      }
+    }
+  }
+
+  test("q179 containment finds a planted short-in-long duplicate Jaccard misses") {
+    val long = (1 to 60).map(i => s"w$i").mkString(" ")
+    val short = (21 to 40).map(i => s"w$i").mkString(" ") // contained span
+    val other = (100 to 160).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, long), (2L, short), (3L, other)).toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(docs, "doc_id", "text")
+      .as[(Long, Long, Long, Long, Long, Double)].collect()
+    assert(got.map(r => (r._1, r._2)).toSet == Set((1L, 2L)))
+    val (_, _, nA, nB, nInter, c) = got.head
+    assert(nA == 58L && nB == 18L && nInter == 18L && c == 1.0,
+      s"short doc fully contained: got n_a=$nA n_b=$nB n_inter=$nInter c=$c")
+    // symmetric Jaccard on the same pair would be 18/58 < the near-dup
+    // threshold — the case this operator exists for
+    assert(nInter.toDouble / (nA + nB - nInter) < 0.5)
+  }
+
+  test("q179 catalog values match a sequential recompute on candidate pairs") {
+    val docs = Tables.documents(spark, d).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> {
+        val ws = words(r.getString(1))
+        ws.sliding(3).filter(_.size == 3).map(_.mkString(" ")).toSet
+      }).toMap
+    val got = SparkEntry.queries("q179_containment_dedup")(spark, d)
+      .as[(Long, Long, Long, Long, Long, Double)].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (a, b, nA, nB, nInter, c) =>
+      val (sa, sb) = (docs(a), docs(b))
+      assert(nA == sa.size && nB == sb.size && nInter == sa.intersect(sb).size)
+      val raw = nInter.toDouble / math.min(nA, nB)
+      assert(raw >= Dedup.ContainmentThreshold)
+      assert(c == BigDecimal(raw).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+  }
+}
