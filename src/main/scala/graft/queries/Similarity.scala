@@ -503,8 +503,52 @@ object Similarity {
         .na.fill(0L, Seq("n_hits"))
         .select(col("q_id"), col("n_hits"),
           round(col("n_hits") / 3.0, 6).as("recall_at_3"))
+    }),
+
+    // k-center greedy coreset (Gonzalez '85, the 2-approximation) —
+    // the diversity-maximizing DATA-SELECTION op (pick K exemplars so
+    // every vector is near one; the facility-location/coverage shape
+    // fine-tuning-set selection and annotation budgeting use, vs
+    // q139's density-seeking k-means). Each sweep is ONE distributed
+    // pass: ≤K broadcast-literal cosine distances per row (no join at
+    // all — the centers are typedlit constants in the projection), a
+    // running `least()` min, and a TakeOrdered(1) argmax (per-partition
+    // top-1 + driver merge, never a global sort); the driver collects
+    // exactly one row per sweep (the Ranks/Chunker driver-sized-collect
+    // pattern). Selection ranks on the ROUNDED cosine with a vec_id
+    // tie-break — the house rule that keeps both engines' argmax off
+    // sub-ulp noise. O(K·N·d) total; at much larger K, persist the
+    // running min as a materialized column per sweep to make each
+    // sweep O(N·d) — same algorithm, same outputs.
+    "q180_kcenter_coreset" -> ((s, d) => {
+      import s.implicits._
+      val e = embeddings(s, d).select(col("vec_id"), col("embedding"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      graft.pipeline.Chunker.registerForCleanup(e)
+      val seed = e.orderBy(col("vec_id")).limit(1)
+        .select(col("vec_id"), col("embedding"))
+        .as[(Long, Seq[Float])].collect().head
+      var centers = Vector[(Long, Seq[Float], Option[Double])](
+        (seed._1, seed._2, None))
+      while (centers.size < KCenterK) {
+        val mind = centers.map(c =>
+          lit(1.0) - cosine(col("embedding"), typedlit(c._2))).reduce(least(_, _))
+        val next = e.select(col("vec_id"), col("embedding"), mind.as("mind"))
+          .orderBy(col("mind").desc, col("vec_id")).limit(1)
+          .as[(Long, Seq[Float], Double)].collect().head
+        centers = centers :+ ((next._1, next._2, Some(next._3)))
+      }
+      centers.zipWithIndex.map { case ((id, _, r), i) =>
+        (i + 1, id, r.map(x => BigDecimal(x).setScale(6,
+          BigDecimal.RoundingMode.HALF_UP).toDouble))
+      }.toDF("step", "vec_id", "radius")
     })
   )
+
+  /** Coreset size for q180 — big enough to exercise the greedy, small
+    * enough that the K distributed sweeps stay visibly cheap.
+    */
+  val KCenterK = 8
 
   /** q165 JL target dimensionality (sqrt(16) = 4 keeps the scale
     * exact) and the PlanePool offset (the tail 16 planes — disjoint
@@ -722,6 +766,39 @@ object Similarity {
          |SELECT q.q_id, CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
          |  round(coalesce(h.n_hits, 0) / 3.0, 6) AS recall_at_3
          |FROM (SELECT DISTINCT q_id FROM truth) q
-         |LEFT JOIN hits h ON h.q_id = q.q_id""".stripMargin
+         |LEFT JOIN hits h ON h.q_id = q.q_id""".stripMargin,
+
+    // The greedy unrolled: c_i = argmax of the running min-distance,
+    // m_i = the min-distance table after adding c_i. Same rounded-
+    // cosine distances, same (mind DESC, vec_id) ranking as the Spark
+    // sweeps, so the SELECTIONS agree, not just the final numbers.
+    "q180_kcenter_coreset" -> {
+      val steps = (2 to KCenterK).map { i =>
+        val cCte =
+          s"""c$i AS (
+             |  SELECT vec_id, embedding, mind FROM m${i - 1}
+             |  ORDER BY mind DESC, vec_id LIMIT 1)""".stripMargin
+        val mCte = if (i == KCenterK) "" else
+          s""",
+             |m$i AS (
+             |  SELECT m.vec_id, m.embedding,
+             |    least(m.mind,
+             |      1.0 - ${cosineSql("m.embedding", s"c$i.embedding")}) AS mind
+             |  FROM m${i - 1} m CROSS JOIN c$i)""".stripMargin
+        cCte + mCte
+      }.mkString(",\n")
+      val unions = (2 to KCenterK).map(i =>
+        s"UNION ALL SELECT $i, vec_id, round(mind, 6) FROM c$i").mkString("\n")
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+         |c1 AS (SELECT vec_id, embedding FROM e ORDER BY vec_id LIMIT 1),
+         |m1 AS (
+         |  SELECT e.vec_id, e.embedding,
+         |    1.0 - ${cosineSql("e.embedding", "c1.embedding")} AS mind
+         |  FROM e CROSS JOIN c1),
+         |$steps
+         |SELECT CAST(1 AS INTEGER) AS step, vec_id,
+         |  CAST(NULL AS DOUBLE) AS radius FROM c1
+         |$unions""".stripMargin
+    }
   )
 }

@@ -291,4 +291,46 @@ class SimilaritySpec extends AnyFunSuite with CacheCleanup {
     // >= 0.8 spec above is the quality bar where recall is earnable.)
     assert(got.values.exists(_._1 > 0), "no overlap at all between arms")
   }
+
+  test("q180 k-center greedy equals a sequential Gonzalez recompute") {
+    val d = TestSpark.sf0001
+    def r6(x: Double) = BigDecimal(java.math.BigDecimal.valueOf(x))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val vecs = graft.Tables.embeddings(spark, d)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getAs[Long]("vec_id"),
+        r.getAs[scala.collection.Seq[Float]]("embedding").toArray))
+      .sortBy(_._1)
+    def cosDist(a: Array[Float], b: Array[Float]): Double = {
+      var d0 = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) {
+        d0 += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+      }
+      1.0 - r6(d0 / (math.sqrt(na) * math.sqrt(nb)))
+    }
+    var chosen = Vector((vecs.head._1, Option.empty[Double]))
+    val mind = scala.collection.mutable.Map(
+      vecs.map(v => v._1 -> cosDist(v._2, vecs.head._2)): _*)
+    val byId = vecs.toMap
+    while (chosen.size < graft.queries.Similarity.KCenterK) {
+      val (nextId, radius) = vecs.map(v => (v._1, mind(v._1)))
+        .minBy { case (id, m) => (-m, id) } // (mind desc, id asc)
+      chosen = chosen :+ ((nextId, Some(radius)))
+      vecs.foreach { v =>
+        mind(v._1) = math.min(mind(v._1), cosDist(v._2, byId(nextId)))
+      }
+    }
+    val expected = chosen.zipWithIndex
+      .map { case ((id, r), i) => (i + 1, id, r.map(r6)) }
+    val got = SparkEntry.queries("q180_kcenter_coreset")(spark, d).collect()
+      .map(r => (r.getAs[Int]("step"), r.getAs[Long]("vec_id"),
+        Option(r.getAs[java.lang.Double]("radius")).map(_.doubleValue)))
+      .sortBy(_._1).toVector
+    assert(got == expected)
+    // greedy invariant: the coverage radius never increases
+    val radii = got.flatMap(_._3)
+    assert(radii == radii.sorted.reverse, s"radii must be non-increasing: $radii")
+  }
 }
