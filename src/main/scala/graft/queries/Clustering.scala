@@ -190,8 +190,58 @@ object Clustering {
       .select(col("vec_id"), col("cluster"))
   }
 
+  // ---- Product quantization (q181) ------------------------------------
+
+  val PqM = 4      // subspaces (64 dims -> 4 x 16)
+  val PqK = 4      // centroids per subspace (codebook size)
+  val PqIters = 2  // Lloyd sweeps per sub-codebook
+
+  /** Product quantization (Jégou et al., TPAMI'11) — the memory side
+    * of a production ANN stack (IVF-PQ): split each vector into
+    * [[PqM]] subvectors, learn a tiny k-means codebook PER SUBSPACE,
+    * and represent the vector by its M nearest-sub-centroid ids. The
+    * code is M·log2(K) bits (here 4x2 = one byte per vector vs 256
+    * bytes of floats); distance queries scan codes against a
+    * broadcast lookup table instead of raw vectors (q86's int8 scheme
+    * compresses 4:1 with per-vector scales; PQ compresses 256:1 by
+    * sharing TRAINED structure across vectors).
+    *
+    * Built entirely from the q139 Lloyd machinery run on slices —
+    * deterministic hash seeds, broadcast-packed assignment
+    * projections, K-group typed-Aggregator re-centroids — so every
+    * scale property carries over; the M per-subspace runs join back
+    * on vec_id (co-partitioned after the first exchange). Output per
+    * vector: the code (one scalar column per subspace, labeled by the
+    * winning sub-centroid's stable seed id) and the total squared
+    * reconstruction error (sum of the M per-subspace assignment
+    * distances — exactly the quantization distortion PQ trades for
+    * memory).
+    */
+  def productQuantize(emb: DataFrame, m: Int, k: Int, iters: Int,
+                      dim: Int = 64): DataFrame = {
+    val subDim = dim / m
+    val e = emb.select(col("vec_id"), col("embedding"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.pipeline.Chunker.registerForCleanup(e)
+    val parts = (0 until m).map { j =>
+      val sub = e.select(col("vec_id"),
+        slice(col("embedding"), j * subDim + 1, subDim).as("embedding"))
+      kmeansFull(sub, k, iters)
+        .select(col("vec_id"), col("cent_id").as(s"code$j"),
+          col("dist_sq").as(s"err$j"))
+    }
+    parts.reduce(_.join(_, Seq("vec_id")))
+      .select(col("vec_id") +:
+        (0 until m).map(j => col(s"code$j")) :+
+        round((0 until m).map(j => col(s"err$j")).reduce(_ + _), 6)
+          .as("err_total"): _*)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q139_kmeans" -> ((s, d) => kmeans(embeddings(s, d), K, Iters)),
+
+    "q181_product_quantization" -> ((s, d) =>
+      productQuantize(embeddings(s, d), PqM, PqK, PqIters)),
 
     "q142_cluster_sample" -> ((s, d) =>
       clusterSample(kmeans(embeddings(s, d), K, Iters), SampleTarget)),
@@ -208,7 +258,8 @@ object Clustering {
        |  p -> (CAST(p[1] AS DOUBLE) - p[2]) * (CAST(p[1] AS DOUBLE) - p[2]))), 6)""".stripMargin
 
   /** One assignment CTE: argmin via row_number over (d, cent_id). */
-  private def assignSql(name: String, cents: String): String =
+  private def assignSql(name: String, cents: String,
+                        base: String = "e"): String =
     s"""$name AS (
        |  SELECT vec_id, embedding, cent_id, d AS dist_sq FROM (
        |    SELECT vec_id, embedding, cent_id, d,
@@ -217,7 +268,7 @@ object Clustering {
        |    FROM (
        |      SELECT e.vec_id, e.embedding, c.cent_id,
        |        ${distSqSql("e.embedding", "c.c_emb")} AS d
-       |      FROM e CROSS JOIN $cents c))
+       |      FROM $base e CROSS JOIN $cents c))
        |  WHERE rn = 1)""".stripMargin
 
   /** One re-centroid CTE: per-dim mean (q70 pattern), reassembled into
@@ -254,10 +305,49 @@ object Clustering {
        |${assignSql("fin", s"c$Iters")}""".stripMargin
   }
 
+  /** The PQ run unrolled: per subspace, the same seed → assign →
+    * re-centroid CTE chain as [[kmeansCteSql]], over the sliced
+    * embedding, joined back on vec_id at the end.
+    */
+  private lazy val pqCteSql: String = {
+    val subDim = 64 / PqM
+    (0 until PqM).map { j =>
+      val steps = (1 to PqIters).flatMap(i => Seq(
+        assignSql(s"a${j}x$i", if (i == 1) s"c${j}x0" else s"c${j}x${i - 1}",
+          s"e$j"),
+        recentroidSql(s"c${j}x$i", s"a${j}x$i"))).mkString(",\n")
+      s"""e$j AS (
+         |  SELECT vec_id,
+         |    list_slice(embedding, ${j * subDim + 1}, ${(j + 1) * subDim})
+         |      AS embedding
+         |  FROM embeddings),
+         |c${j}x0 AS (
+         |  SELECT vec_id AS cent_id,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS c_emb
+         |  FROM e$j
+         |  ORDER BY ${TextAnalytics.hashFractionSql("vec_id")}, vec_id
+         |  LIMIT $PqK),
+         |$steps,
+         |${assignSql(s"fin$j", s"c${j}x$PqIters", s"e$j")}""".stripMargin
+    }.mkString(",\n")
+  }
+
   val oracles: Map[String, String] = Map(
     "q139_kmeans" ->
       s"""WITH $kmeansCteSql
          |SELECT vec_id, cent_id AS cluster, dist_sq FROM fin""".stripMargin,
+
+    "q181_product_quantization" -> {
+      val joins = (1 until PqM)
+        .map(j => s"JOIN fin$j f$j ON f$j.vec_id = f0.vec_id").mkString("\n")
+      s"""WITH $pqCteSql
+         |SELECT f0.vec_id,
+         |  ${(0 until PqM).map(j => s"f$j.cent_id AS code$j").mkString(", ")},
+         |  round(${(0 until PqM).map(j => s"f$j.dist_sq").mkString(" + ")}, 6)
+         |    AS err_total
+         |FROM fin0 f0
+         |$joins""".stripMargin
+    },
 
     "q142_cluster_sample" ->
       s"""WITH $kmeansCteSql,

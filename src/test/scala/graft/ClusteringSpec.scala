@@ -127,4 +127,56 @@ class ClusteringSpec extends AnyFunSuite with CacheCleanup {
       prev = cur
     }
   }
+
+  test("q181 PQ recovers all pattern COMBINATIONS with only k centroids per subspace") {
+    // The property PQ exists for: the codebook is the CARTESIAN PRODUCT
+    // of per-subspace codebooks, so 2 centroids per subspace represent
+    // 4 distinct vector families — a plain kmeans with 2 centers can't.
+    // 8-dim vectors, m=2 subspaces of 4: subspace 0 carries pattern A or
+    // B, subspace 1 carries C or D; all four combos are planted. The
+    // seeds (the 2 smallest-hash ids, same ids for every subspace) are
+    // placed on combos (A,C) and (B,D), so each subspace starts with
+    // both of ITS patterns seeded, and the un-seeded combos (A,D) and
+    // (B,C) must still be coded exactly — by mixing sub-codes.
+    val a = Array(10f, 0f, 0f, 0f); val b = Array(0f, 10f, 0f, 0f)
+    val c = Array(0f, 0f, 10f, 0f); val dd = Array(0f, 0f, 0f, 10f)
+    val ids = (1L to 24L)
+    val seedIds = ids.toDF("vec_id")
+      .select(col("vec_id"),
+        TextAnalytics.hashFraction(col("vec_id")).as("hf"))
+      .orderBy(col("hf"), col("vec_id"))
+      .limit(2).collect().map(_.getLong(0)).toSeq
+    val combos = Seq((a, c), (b, dd), (a, dd), (b, c))
+    val rest = ids.filterNot(seedIds.contains)
+    val planted: Map[Long, Int] =
+      Map(seedIds.head -> 0, seedIds(1) -> 1) ++
+        rest.zipWithIndex.map { case (id, i) => id -> (i % 4) }.toMap
+    val emb = ids.map { id =>
+      val (p0, p1) = combos(planted(id))
+      val v = p0 ++ p1
+      val noisy = if (seedIds.contains(id)) v
+        else v.zipWithIndex.map { case (x, j) => x + 0.01f * ((id + j) % 3) }
+      (id, noisy)
+    }.toDF("vec_id", "embedding")
+    val out = Clustering.productQuantize(emb, m = 2, k = 2, iters = 2, dim = 8)
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        ((r.getAs[Long]("code0"), r.getAs[Long]("code1")),
+          r.getAs[Double]("err_total"))).toMap
+    assert(out.size == 24)
+    // same planted combo -> same code pair; all four combos distinct
+    val codeOf: Map[Int, (Long, Long)] =
+      (0 until 4).map(cb => cb ->
+        out(planted.collectFirst { case (id, `cb`) => id }.get)._1).toMap
+    assert(codeOf.values.toSet.size == 4, s"4 combos must get 4 codes: $codeOf")
+    planted.foreach { case (id, cb) =>
+      assert(out(id)._1 == codeOf(cb), s"vec $id combo $cb coded ${out(id)._1}")
+    }
+    // sub-code SHARING across combos: (A,C) and (A,D) share code0 but
+    // not code1 — the cartesian structure itself
+    assert(codeOf(0)._1 == codeOf(2)._1 && codeOf(1)._1 == codeOf(3)._1)
+    assert(codeOf(0)._2 == codeOf(3)._2 && codeOf(1)._2 == codeOf(2)._2)
+    // reconstruction error is the planted noise, never a pattern miss
+    assert(out.values.forall(_._2 < 1.0),
+      s"err_total should be noise-scale: ${out.values.map(_._2).max}")
+  }
 }
