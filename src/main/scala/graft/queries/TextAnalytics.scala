@@ -995,8 +995,78 @@ object TextAnalytics {
         .withColumn("rn", row_number().over(w).cast("long"))
         .filter(col("rn") <= col("k_l"))
         .select(col("doc_id"), col("lang"), col("rn"), col("k_l"))
+    }),
+
+    // BPE merge induction (Sennrich et al. 2016) — the TOKENIZER-
+    // TRAINING loop itself, run in-engine: start from characters (plus
+    // the </w> end-of-word marker), repeatedly count adjacent symbol
+    // pairs weighted by word frequency and merge the most frequent,
+    // [[BpeMergeSteps]] times. Output is the learned merge table
+    // (step, left, right, weighted pair count) — the artifact a BPE
+    // tokenizer ships.
+    //
+    // Engine-parity trick: the symbol sequence is ONE string with each
+    // symbol pipe-wrapped ("|h| |a| |s| |h| |</w>|"), so greedy
+    // left-to-right non-overlapping merge application is literal
+    // `replace(repr, '|l| |r|', '|lr|')` — bit-identical semantics in
+    // Spark's UTF8String.replace and DuckDB's replace, no fold/UDF at
+    // all (symbols are restricted to ^[a-z]+$ words + the marker, so
+    // '|' and ' ' can never occur inside one — documented contract).
+    // The argmax ranks on (weighted count DESC, pair string ASC): both
+    // engines compare UTF-8 strings bytewise.
+    //
+    // Scale shape: the loop state is the (word, n, repr) VOCABULARY
+    // table, |vocab| rows (~Heaps-sublinear), never the corpus — the
+    // corpus is touched once by the word-count aggregate. Each step is
+    // one explode of ≤|word|+1 pairs per vocab row, one map-side-
+    // combinable count, one TakeOrdered(1), one narrow projection; the
+    // driver collects exactly the winning pair per step (the
+    // q180/Ranks driver-sized-collect pattern).
+    "q182_bpe_merges" -> ((s, d) => {
+      import s.implicits._
+      val vocab = documents(s, d)
+        .select(explode(TextOps.wordsOf(col("text"))).as("word"))
+        .filter(col("word").rlike("^[a-z]+$"))
+        .groupBy(col("word")).agg(count(lit(1)).as("n"))
+      var cur = vocab.select(col("n"),
+        concat(
+          array_join(transform(
+            filter(split(col("word"), ""), c => length(c) > 0),
+            c => concat(lit("|"), c, lit("|"))), " "),
+          lit(" |</w>|")).as("repr"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      graft.pipeline.Chunker.registerForCleanup(cur)
+      val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+      for (step <- 1 to BpeMergeSteps) {
+        val syms = split(col("repr"), " ")
+        val pairs = cur.select(col("n"),
+          explode(transform(sequence(lit(0), size(syms) - 2), i =>
+            concat(element_at(syms, i + 1), lit(" "),
+              element_at(syms, i + 2)))).as("pair"))
+        val (bestPair, bestC) = pairs.groupBy(col("pair"))
+          .agg(sum(col("n")).as("c"))
+          .orderBy(col("c").desc, col("pair")).limit(1)
+          .as[(String, Long)].collect().head
+        val Array(lw, rw) = bestPair.split(" ")
+        def unwrap(x: String) = x.stripPrefix("|").stripSuffix("|")
+        merges += ((step, unwrap(lw), unwrap(rw), bestC))
+        val merged = bestPair.replace("| |", "")
+        val next = cur.select(col("n"),
+          expr(s"replace(repr, '$bestPair', '$merged')").as("repr"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        graft.pipeline.Chunker.registerForCleanup(next)
+        cur = next
+      }
+      merges.toSeq.toDF("step", "lhs", "rhs", "pair_n")
     })
   )
+
+  /** BPE merge count for q182 — enough to produce multi-character
+    * tokens that then win further merges (the recursive structure the
+    * algorithm exists for), small enough to keep the unrolled oracle
+    * readable.
+    */
+  val BpeMergeSteps = 6
 
   val oracles: Map[String, String] = Map(
     "q148_countmin_sketch" -> {
@@ -1427,7 +1497,50 @@ object TextAnalytics {
          |      AS BIGINT) AS rn,
          |    a.k_l
          |  FROM documents d JOIN alloc a ON a.lang = d.lang)
-         |SELECT doc_id, lang, rn, k_l FROM ranked WHERE rn <= k_l""".stripMargin
+         |SELECT doc_id, lang, rn, k_l FROM ranked WHERE rn <= k_l""".stripMargin,
+
+    // The BPE loop unrolled: b_i = winning pair over v_{i-1}'s reprs,
+    // v_i = v_{i-1} with that pair merged (same literal replace, same
+    // (c DESC, pair ASC) ranking as the Spark sweeps).
+    "q182_bpe_merges" -> {
+      def bestCte(i: Int) =
+        s"""b$i AS (
+           |  SELECT pair, c FROM (
+           |    SELECT pair, sum(n) AS c FROM (
+           |      SELECT n, unnest(list_transform(range(1, len(syms)),
+           |        j -> syms[j] || ' ' || syms[j + 1])) AS pair
+           |      FROM (SELECT n, string_split(repr, ' ') AS syms
+           |            FROM v${i - 1}))
+           |    GROUP BY pair)
+           |  ORDER BY c DESC, pair LIMIT 1)""".stripMargin
+      def applyCte(i: Int) =
+        s"""v$i AS (
+           |  SELECT v.n,
+           |    replace(v.repr, b.pair, replace(b.pair, '| |', '')) AS repr
+           |  FROM v${i - 1} v CROSS JOIN b$i b)""".stripMargin
+      val steps = (1 to BpeMergeSteps).map { i =>
+        bestCte(i) + (if (i == BpeMergeSteps) "" else ",\n" + applyCte(i))
+      }.mkString(",\n")
+      val unions = (1 to BpeMergeSteps).map { i =>
+        val sel =
+          s"""SELECT CAST($i AS INTEGER) AS step,
+             |  replace(string_split(pair, ' ')[1], '|', '') AS lhs,
+             |  replace(string_split(pair, ' ')[2], '|', '') AS rhs,
+             |  CAST(c AS BIGINT) AS pair_n FROM b$i""".stripMargin
+        if (i == 1) sel else "UNION ALL " + sel
+      }.mkString("\n")
+      s"""WITH v0 AS (
+         |  SELECT n,
+         |    array_to_string(list_transform(range(1, length(word) + 1),
+         |      i -> '|' || word[i] || '|'), ' ') || ' |</w>|' AS repr
+         |  FROM (
+         |    SELECT word, count(*) AS n FROM (
+         |      SELECT unnest(${TextOps.wordsSql}) AS word FROM documents)
+         |    WHERE regexp_matches(word, '^[a-z]+$$')
+         |    GROUP BY word)),
+         |$steps
+         |$unions""".stripMargin
+    }
   )
 
   /** The q161 mirror, hoisted for the q169 agreement oracle (the

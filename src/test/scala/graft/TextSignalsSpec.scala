@@ -121,4 +121,50 @@ class TextSignalsSpec extends AnyFunSuite with CacheCleanup {
     assert(out(99L) > naturalNll + 0.5,
       s"scrambled ${out(99L)} must clearly exceed natural $naturalNll")
   }
+
+  test("q182 BPE merges equal a sequential Sennrich recompute") {
+    import org.apache.spark.sql.functions._
+    val d = TestSpark.sf0001
+    // sequential reference: the classic dict-of-symbol-lists BPE
+    val vocab0: Map[List[String], Long] =
+      graft.Tables.documents(spark, d).select(col("text")).collect()
+        .flatMap(_.getString(0).toLowerCase
+          .split("[ \t\n\r\f]+").filter(_.nonEmpty))
+        .filter(_.matches("^[a-z]+$"))
+        .groupBy(identity).map { case (w, occ) =>
+          (w.map(_.toString).toList :+ "</w>") -> occ.length.toLong
+        }
+    var vocab = vocab0
+    val expected = (1 to graft.queries.TextAnalytics.BpeMergeSteps).map { step =>
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      vocab.foreach { case (syms, n) =>
+        syms.sliding(2).foreach {
+          case List(a, b) => counts((a, b)) = counts.getOrElse((a, b), 0L) + n
+          case _ =>
+        }
+      }
+      // (count desc, wrapped-pair-string asc) — the engine's ranking
+      val ((l, r), c) = counts.toSeq.minBy { case ((a, b), n) =>
+        (-n, s"|$a| |$b|")
+      }
+      def mergeGreedy(syms: List[String]): List[String] = syms match {
+        case a :: b :: rest if a == l && b == r =>
+          (l + r) :: mergeGreedy(rest)
+        case a :: rest => a :: mergeGreedy(rest)
+        case Nil => Nil
+      }
+      vocab = vocab.groupBy { case (syms, _) => mergeGreedy(syms) }
+        .map { case (k, vs) => k -> vs.values.sum }
+      (step, l, r, c)
+    }
+    val got = SparkEntry.queries("q182_bpe_merges")(spark, d).collect()
+      .map(row => (row.getAs[Int]("step"), row.getAs[String]("lhs"),
+        row.getAs[String]("rhs"), row.getAs[Long]("pair_n")))
+      .sortBy(_._1).toSeq
+    assert(got == expected)
+    // the recursive property: some later merge consumes an earlier
+    // merge's output (multi-char symbol on either side)
+    assert(got.exists(m => m._2.length > 1 || (m._3.length > 1 && m._3 != "</w>")),
+      s"no merge built on a previous merge: $got")
+  }
 }
