@@ -542,8 +542,59 @@ object Similarity {
         (i + 1, id, r.map(x => BigDecimal(x).setScale(6,
           BigDecimal.RoundingMode.HALF_UP).toDouble))
       }.toDF("step", "vec_id", "radius")
-    })
+    }),
+
+    // Embedding-space outlier sweep — the garbage-vector detector a
+    // curation pipeline runs before clustering/dedup trusts the
+    // embeddings (truncated inputs, encoder failures, and wrong-modal
+    // rows land far outside the distribution on SOME axis): per-dim
+    // robust z-scores (Iglewicz–Hoban modified z, median/MAD — mean/
+    // stddev would let the outliers mask themselves) over the SAME
+    // 16-dim JL projection q165 ships, score = max |z| across dims,
+    // flagged above the standard 3.5 bar. Runs on the projection, not
+    // the raw 64 dims: 4x fewer exploded rows and the JL distortion
+    // bound says distances (hence outlyingness) survive.
+    // Scale note: per-dim median/MAD is an EXACT percentile_cont over
+    // JlDim groups (a 16-hot-key sort shape at extreme corpus sizes) —
+    // production swaps approx_percentile (t-digest, map-combinable)
+    // into the same plan; the fixture keeps the exact form because the
+    // oracle needs bit-equal medians.
+    "q183_embedding_outliers" -> ((s, d) =>
+      embeddingOutliers(s, embeddings(s, d)))
   )
+
+  /** q183 body over any (vec_id, embedding[64]) frame — see the
+    * catalog entry's doc; split out so the spec can plant outliers.
+    */
+  def embeddingOutliers(s: SparkSession, emb: DataFrame): DataFrame = {
+      val e = emb.select(col("vec_id"), col("embedding"))
+      val raw = (0 until JlDim).map(j =>
+        round(dot(col("embedding"), typedlit(PlanePool(JlOffset + j))) / 4.0, 6)
+          .as(s"r$j"))
+      val p = e.select(col("vec_id") +: raw: _*)
+      p.select(col("vec_id"),
+          posexplode(array((0 until JlDim).map(j => col(s"r$j")): _*)))
+        .withColumnRenamed("pos", "dim").withColumnRenamed("col", "v")
+        .createOrReplaceTempView("graft_q183_long")
+      s.sql(s"""WITH stats AS (
+        |  SELECT dim,
+        |    percentile_cont(0.5) WITHIN GROUP (ORDER BY v) AS med
+        |  FROM graft_q183_long GROUP BY dim),
+        |dev AS (
+        |  SELECT l.vec_id, l.dim, l.v, s.med, abs(l.v - s.med) AS adev
+        |  FROM graft_q183_long l JOIN stats s ON s.dim = l.dim),
+        |mads AS (
+        |  SELECT dim,
+        |    percentile_cont(0.5) WITHIN GROUP (ORDER BY adev) AS mad
+        |  FROM dev GROUP BY dim),
+        |z AS (
+        |  SELECT d.vec_id,
+        |    CASE WHEN m.mad = 0 THEN 0.0
+        |         ELSE abs((0.6745 * (d.v - d.med)) / m.mad) END AS az
+        |  FROM dev d JOIN mads m ON m.dim = d.dim),
+        |sc AS (SELECT vec_id, round(max(az), 6) AS score FROM z GROUP BY vec_id)
+        |SELECT vec_id, score, score > 3.5 AS is_outlier FROM sc""".stripMargin)
+  }
 
   /** Coreset size for q180 — big enough to exercise the greedy, small
     * enough that the K distributed sweeps stay visibly cheap.
@@ -799,6 +850,43 @@ object Similarity {
          |SELECT CAST(1 AS INTEGER) AS step, vec_id,
          |  CAST(NULL AS DOUBLE) AS radius FROM c1
          |$unions""".stripMargin
+    },
+
+    "q183_embedding_outliers" -> {
+      val rawCols = (0 until JlDim).map { j =>
+        s"""round(list_sum(list_transform(
+           |      list_zip(embedding, ${planeSql(PlanePool(JlOffset + j))}),
+           |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) / 4.0, 6)
+           |      AS r$j""".stripMargin
+      }.mkString(",\n    ")
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+         |p AS (
+         |  SELECT vec_id,
+         |    $rawCols
+         |  FROM e),
+         |long AS (
+         |  SELECT vec_id,
+         |    unnest(range(0, $JlDim)) AS dim,
+         |    unnest([${(0 until JlDim).map(j => s"r$j").mkString(", ")}]) AS v
+         |  FROM p),
+         |stats AS (
+         |  SELECT dim,
+         |    percentile_cont(0.5) WITHIN GROUP (ORDER BY v) AS med
+         |  FROM long GROUP BY dim),
+         |dev AS (
+         |  SELECT l.vec_id, l.dim, l.v, s.med, abs(l.v - s.med) AS adev
+         |  FROM long l JOIN stats s ON s.dim = l.dim),
+         |mads AS (
+         |  SELECT dim,
+         |    percentile_cont(0.5) WITHIN GROUP (ORDER BY adev) AS mad
+         |  FROM dev GROUP BY dim),
+         |z AS (
+         |  SELECT d.vec_id,
+         |    CASE WHEN m.mad = 0 THEN 0.0
+         |         ELSE abs((0.6745 * (d.v - d.med)) / m.mad) END AS az
+         |  FROM dev d JOIN mads m ON m.dim = d.dim),
+         |sc AS (SELECT vec_id, round(max(az), 6) AS score FROM z GROUP BY vec_id)
+         |SELECT vec_id, score, score > 3.5 AS is_outlier FROM sc""".stripMargin
     }
   )
 }

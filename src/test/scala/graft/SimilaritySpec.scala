@@ -333,4 +333,26 @@ class SimilaritySpec extends AnyFunSuite with CacheCleanup {
     val radii = got.flatMap(_._3)
     assert(radii == radii.sorted.reverse, s"radii must be non-increasing: $radii")
   }
+
+  test("q183 flags a planted garbage vector and spares the population") {
+    import spark.implicits._
+    // 40 well-behaved vectors (small deterministic noise around a
+    // fixed pattern) + one encoder-failure row (a constant huge spike)
+    val normal = (1L to 40L).map { id =>
+      id -> Array.tabulate(64)(j =>
+        (math.sin(j + 1) + 0.05 * math.sin(id * 31.0 + j * 7.0)).toFloat)
+    }
+    val garbage = 99L -> Array.fill(64)(50f)
+    val emb = (normal :+ garbage).toDF("vec_id", "embedding")
+    val out = graft.queries.Similarity.embeddingOutliers(spark, emb)
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        ((r.getAs[Double]("score"), r.getAs[Boolean]("is_outlier")))).toMap
+    assert(out.size == 41)
+    assert(out(99L)._2, s"garbage vector not flagged: score=${out(99L)._1}")
+    val normalFlagged = normal.map(_._1).filter(id => out(id)._2)
+    assert(normalFlagged.isEmpty,
+      s"population rows falsely flagged: $normalFlagged")
+    // and the ordering is meaningful: garbage scores far above everyone
+    assert(out(99L)._1 > 2 * normal.map(n => out(n._1)._1).max)
+  }
 }
