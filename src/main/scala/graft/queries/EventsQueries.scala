@@ -407,6 +407,49 @@ object EventsQueries {
         .select(col("h").as("hour_start"), col("event_type"), col("n"))
     }),
 
+    // Hourly linear-interpolation resample — the time-series
+    // REGULARIZATION step (model features and joins want a dense,
+    // evenly-spaced series; q73 gapfills COUNTS with zeros, but a
+    // missing hour's VALUE is not zero — it's "between its
+    // neighbors"): per event type, the hourly mean where observed, and
+    // prev + (next − prev)·gap-fraction through interior gaps. The
+    // spine spans each type's own observed range, so every gap row has
+    // both sandwich endpoints by construction (no edge-null cases).
+    // Neighbor carry is two IGNORE-NULLS window walks (last observed
+    // value/hour looking back, first looking forward) over
+    // type-partitioned windows; hour arithmetic is exact integer epoch
+    // math. One aggregate + one generator + one windowed projection —
+    // no joins against the raw events after the first aggregate.
+    "q184_interpolate_hourly" -> ((s, d) => {
+      val e = events(s, d).select(date_trunc("hour", col("ts")).as("h"),
+        col("event_type"), col("value"))
+      val obs = e.groupBy(col("event_type"), col("h"))
+        .agg(count(lit(1)).as("n_obs"), round(avg(col("value")), 4).as("avg_obs"))
+      val bounds = obs.groupBy(col("event_type"))
+        .agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+      val spine = bounds.select(col("event_type"),
+        explode(sequence(col("h0"), col("h1"), expr("INTERVAL 1 HOUR"))).as("h"))
+      val grid = spine.join(obs, Seq("event_type", "h"), "left")
+        .na.fill(0L, Seq("n_obs"))
+        .withColumn("hi", expr("unix_micros(h) div 3600000000"))
+      val back = Window.partitionBy(col("event_type")).orderBy(col("h"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val fwd = Window.partitionBy(col("event_type")).orderBy(col("h"))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      val obsHi = when(col("avg_obs").isNotNull, col("hi"))
+      grid
+        .withColumn("pv", last(col("avg_obs"), ignoreNulls = true).over(back))
+        .withColumn("ph", last(obsHi, ignoreNulls = true).over(back))
+        .withColumn("nv", first(col("avg_obs"), ignoreNulls = true).over(fwd))
+        .withColumn("nh", first(obsHi, ignoreNulls = true).over(fwd))
+        .select(col("event_type"), col("h").as("hour_start"),
+          col("n_obs"), col("avg_obs"),
+          when(col("avg_obs").isNotNull, col("avg_obs"))
+            .otherwise(round(col("pv") + (col("nv") - col("pv")) *
+              ((col("hi") - col("ph")).cast("double") / (col("nh") - col("ph"))),
+              6)).as("value_interp"))
+    }),
+
     // Per-user ordered event sequences — the "build journey paths /
     // sequence-model inputs" op. collect_list order is UNDEFINED under
     // distributed aggregation, so the deterministic form is the sorted
@@ -764,6 +807,44 @@ object EventsQueries {
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
          |    AS n_active
          |FROM agg""".stripMargin,
+
+    "q184_interpolate_hourly" ->
+      """WITH e AS (
+        |  SELECT date_trunc('hour', ts) AS h, event_type, value FROM events),
+        |obs AS (
+        |  SELECT event_type, h, count(*) AS n_obs,
+        |    round(avg(value), 4) AS avg_obs
+        |  FROM e GROUP BY 1, 2),
+        |bounds AS (
+        |  SELECT event_type, min(h) AS h0, max(h) AS h1 FROM obs GROUP BY 1),
+        |spine AS (
+        |  SELECT event_type,
+        |    unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+        |  FROM bounds),
+        |grid AS (
+        |  SELECT s.event_type, s.h,
+        |    CAST(coalesce(o.n_obs, 0) AS BIGINT) AS n_obs, o.avg_obs,
+        |    epoch_us(s.h) // 3600000000 AS hi
+        |  FROM spine s LEFT JOIN obs o
+        |    ON o.event_type = s.event_type AND o.h = s.h),
+        |walked AS (
+        |  SELECT event_type, h, n_obs, avg_obs, hi,
+        |    last_value(avg_obs IGNORE NULLS) OVER back AS pv,
+        |    last_value(CASE WHEN avg_obs IS NOT NULL THEN hi END IGNORE NULLS)
+        |      OVER back AS ph,
+        |    first_value(avg_obs IGNORE NULLS) OVER fwd AS nv,
+        |    first_value(CASE WHEN avg_obs IS NOT NULL THEN hi END IGNORE NULLS)
+        |      OVER fwd AS nh
+        |  FROM grid
+        |  WINDOW back AS (PARTITION BY event_type ORDER BY h
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |  fwd AS (PARTITION BY event_type ORDER BY h
+        |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT event_type, h AS hour_start, n_obs, avg_obs,
+        |  CASE WHEN avg_obs IS NOT NULL THEN avg_obs
+        |       ELSE round(pv + (nv - pv) *
+        |         (CAST(hi - ph AS DOUBLE) / (nh - ph)), 6) END AS value_interp
+        |FROM walked""".stripMargin,
 
     "q73_gapfill_hourly" ->
       """WITH e AS (SELECT date_trunc('hour', ts) AS h, event_type FROM events),

@@ -191,8 +191,52 @@ object Warehouse {
         .filter(col("rn") === 1 && col("op") =!= "D")
         .select(col("key").as("o_custkey"), col("val").as("last_value"),
           col("ts").as("last_ts"), col("n_ops"))
+    }),
+
+    // Z-order (Morton) layout audit — the multi-dimension file-
+    // clustering technique behind lakehouse OPTIMIZE ZORDER: min-max
+    // normalize two query dimensions (event hour, user id) to 16 bits,
+    // interleave their bits into one sort key, and cut the key space
+    // into 64 "files"; the per-file min/max column stats this emits
+    // are exactly what a reader prunes on, and under z-order BOTH
+    // dimensions get tight per-file ranges (a single-column sort gives
+    // one tight and one full-width range — ZorderSpec quantifies the
+    // bounding-area win). Everything is integer arithmetic — the bit
+    // interleave is div/mod by powers of two, so both engines compute
+    // identical keys. One 1-row bounds broadcast + one 64-group
+    // aggregate; the actual rewrite is q91's clustered write sorted by
+    // z_key, unchanged at any scale.
+    "q185_zorder_layout" -> ((s, d) => {
+      val e = events(s, d).select(
+        expr("unix_micros(ts) div 3600000000").as("x"),
+        col("user_id").as("y"))
+      val bounds = e.agg(min(col("x")).as("xmin"), max(col("x")).as("xmax"),
+        min(col("y")).as("ymin"), max(col("y")).as("ymax"))
+      e.crossJoin(broadcast(bounds))
+        .select(
+          expr("((x - xmin) * 65535) div (xmax - xmin)").as("x16"),
+          expr("((y - ymin) * 65535) div (ymax - ymin)").as("y16"))
+        .withColumn("z", expr(ZOrder.interleaveExpr("div")))
+        .select(col("x16"), col("y16"),
+          expr(s"z div ${1L << 26}").as("file_id"))
+        .groupBy(col("file_id"))
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("x16")).as("x_lo"), max(col("x16")).as("x_hi"),
+          min(col("y16")).as("y_lo"), max(col("y16")).as("y_hi"))
     })
   )
+
+  /** Bit-interleave of two 16-bit ints as pure div/mod arithmetic —
+    * ONE expression string valid in both engines modulo the integer-
+    * division operator (`div` in Spark, `//` in DuckDB).
+    */
+  object ZOrder {
+    def interleaveExpr(idiv: String): String =
+      (0 until 16).map { b =>
+        s"((x16 $idiv ${1L << b}) % 2) * ${1L << (2 * b)}" +
+          s" + ((y16 $idiv ${1L << b}) % 2) * ${1L << (2 * b + 1)}"
+      }.mkString(" + ")
+  }
 
   val oracles: Map[String, String] = Map(
 
@@ -308,6 +352,25 @@ object Warehouse {
         |    count(*) OVER (PARTITION BY key) AS n_ops
         |  FROM log)
         |SELECT key AS o_custkey, val AS last_value, ts AS last_ts, n_ops
-        |FROM r WHERE rn = 1 AND op <> 'D'""".stripMargin
+        |FROM r WHERE rn = 1 AND op <> 'D'""".stripMargin,
+
+    "q185_zorder_layout" ->
+      s"""WITH e AS (
+         |  SELECT epoch_us(ts) // 3600000000 AS x, user_id AS y FROM events),
+         |b AS (
+         |  SELECT min(x) AS xmin, max(x) AS xmax,
+         |    min(y) AS ymin, max(y) AS ymax FROM e),
+         |n AS (
+         |  SELECT ((x - xmin) * 65535) // (xmax - xmin) AS x16,
+         |    ((y - ymin) * 65535) // (ymax - ymin) AS y16
+         |  FROM e CROSS JOIN b),
+         |z AS (
+         |  SELECT x16, y16,
+         |    (${ZOrder.interleaveExpr("//")}) // ${1L << 26} AS file_id
+         |  FROM n)
+         |SELECT file_id, count(*) AS n_rows,
+         |  min(x16) AS x_lo, max(x16) AS x_hi,
+         |  min(y16) AS y_lo, max(y16) AS y_hi
+         |FROM z GROUP BY file_id""".stripMargin
   )
 }
