@@ -22,6 +22,32 @@ object EventsQueries {
     */
   val KmvK = 64
 
+  /** q186 body over any events-shaped frame (event_id, ts, user_id,
+    * event_type, value) — split out so AuditSpec can plant a
+    * known-weights multi-touch purchase. See the catalog entry's doc.
+    */
+  def attributionDecay(ev: DataFrame): DataFrame = {
+    val winUs = 3600L * 1000000L
+    val v = ev.filter(col("event_type") === "view")
+      .select(col("user_id").as("vu"), unix_micros(col("ts")).as("v_us"),
+        col("event_id").as("view_id"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), unix_micros(col("ts")).as("p_us"),
+        col("event_id").as("purchase_id"), col("value"))
+    val pairs = p.join(v, col("user_id") === col("vu") &&
+        col("v_us") <= col("p_us") &&
+        col("v_us") > col("p_us") - winUs)
+      .withColumn("w", lit(winUs) - (col("p_us") - col("v_us")))
+    val tot = pairs.groupBy(col("purchase_id"))
+      .agg(sum(col("w")).as("w_tot"), count(lit(1)).as("n_touches"))
+    pairs.join(tot, Seq("purchase_id"))
+      .select(col("purchase_id"), col("view_id"), col("user_id"),
+        col("n_touches"),
+        round(col("w").cast("double") / col("w_tot"), 6).as("credit"),
+        round(col("value") * (col("w").cast("double") / col("w_tot")), 4)
+          .as("value_credit"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Per-group HLL next to the exact distinct count — the grouped form
@@ -450,6 +476,18 @@ object EventsQueries {
               6)).as("value_interp"))
     }),
 
+    // Multi-touch attribution with linear time decay — the label-
+    // construction op on top of q71's attribution JOIN (which finds
+    // the touches; this one divides the credit): each purchase's
+    // preceding-hour views get weight (window − Δt), normalized per
+    // purchase. EXACT integer parity by construction: weights and
+    // their per-purchase sums are epoch-microsecond LONGS (no float
+    // sum-order anywhere), and the only division is one long/long →
+    // double at the end. The boundary touch (Δt = window) is excluded
+    // so a purchase's weight sum is always positive. Same single
+    // user-keyed range join as q71 + one purchase-keyed aggregate.
+    "q186_attribution_decay" -> ((s, d) => attributionDecay(events(s, d))),
+
     // Per-user ordered event sequences — the "build journey paths /
     // sequence-model inputs" op. collect_list order is UNDEFINED under
     // distributed aggregation, so the deterministic form is the sorted
@@ -807,6 +845,29 @@ object EventsQueries {
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
          |    AS n_active
          |FROM agg""".stripMargin,
+
+    "q186_attribution_decay" ->
+      """WITH v AS (
+        |  SELECT user_id AS vu, epoch_us(ts) AS v_us, event_id AS view_id
+        |  FROM events WHERE event_type = 'view'),
+        |p AS (
+        |  SELECT user_id, epoch_us(ts) AS p_us, event_id AS purchase_id,
+        |    value
+        |  FROM events WHERE event_type = 'purchase'),
+        |pairs AS (
+        |  SELECT p.purchase_id, v.view_id, p.user_id, p.value,
+        |    3600000000 - (p.p_us - v.v_us) AS w
+        |  FROM p JOIN v ON p.user_id = v.vu
+        |    AND v.v_us <= p.p_us AND v.v_us > p.p_us - 3600000000),
+        |tot AS (
+        |  SELECT purchase_id, CAST(sum(w) AS BIGINT) AS w_tot,
+        |    count(*) AS n_touches
+        |  FROM pairs GROUP BY 1)
+        |SELECT pr.purchase_id, pr.view_id, pr.user_id, t.n_touches,
+        |  round(CAST(pr.w AS DOUBLE) / t.w_tot, 6) AS credit,
+        |  round(pr.value * (CAST(pr.w AS DOUBLE) / t.w_tot), 4)
+        |    AS value_credit
+        |FROM pairs pr JOIN tot t ON t.purchase_id = pr.purchase_id""".stripMargin,
 
     "q184_interpolate_hourly" ->
       """WITH e AS (

@@ -819,6 +819,28 @@ object Relational {
       customer(s, d).select(col("c_mktsegment"), col("c_nationkey")).distinct()
     }),
 
+    // k-anonymity audit (Sweeney 2002) — the privacy gate a training-
+    // data release runs over its quasi-identifiers: group by the QI
+    // tuple (nation, segment, coarsened account-balance bucket), emit
+    // each equivalence class's size, whether it violates k = 5, and
+    // the dataset-level k (the min class size — THE k-anonymity
+    // number) on every row via a 1-row broadcast. Rows in small
+    // classes are re-identifiable by QI join; the fix loop
+    // (generalize buckets until k holds) re-runs this audit with a
+    // coarser bucket expression. One aggregate + one 1-row broadcast;
+    // class count is bounded by the QI domain, not the corpus.
+    "q187_k_anonymity" -> ((s, d) => {
+      val classes = customer(s, d)
+        .groupBy(col("c_nationkey"), col("c_mktsegment"),
+          floor(col("c_acctbal") / 1000).cast("long").as("bal_bucket"))
+        .agg(count(lit(1)).as("class_size"))
+      val kmin = classes.agg(min(col("class_size")).as("k_dataset"))
+      classes.crossJoin(broadcast(kmin))
+        .select(col("c_nationkey"), col("c_mktsegment"), col("bal_bucket"),
+          col("class_size"), (col("class_size") < 5).as("violates_k5"),
+          col("k_dataset"))
+    }),
+
     // OUTER generator semantics — the explode edge case every
     // flatten-then-rejoin pipeline hits: a plain posexplode DROPS rows
     // whose array is empty, silently losing the parent record;
@@ -1423,6 +1445,18 @@ object Relational {
 
     "q30_distinct_pairs" ->
       "SELECT DISTINCT c_mktsegment, c_nationkey FROM customer",
+
+    "q187_k_anonymity" ->
+      """WITH classes AS (
+        |  SELECT c_nationkey, c_mktsegment,
+        |    CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_bucket,
+        |    count(*) AS class_size
+        |  FROM customer GROUP BY 1, 2, 3),
+        |k AS (SELECT CAST(min(class_size) AS BIGINT) AS k_dataset FROM classes)
+        |SELECT c_nationkey, c_mktsegment, bal_bucket,
+        |  CAST(class_size AS BIGINT) AS class_size,
+        |  class_size < 5 AS violates_k5, k_dataset
+        |FROM classes CROSS JOIN k""".stripMargin,
 
     "q31_scalar_subquery" ->
       """SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice
