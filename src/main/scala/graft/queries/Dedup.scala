@@ -727,6 +727,39 @@ object Dedup {
     "q151_prefix_join" -> ((s, d) =>
       prefixFilterJoin(documents(s, d), "doc_id", "text", PrefixJoinT)),
 
+    // Dedup-index EVALUATION — recall/precision of the MinHash-LSH
+    // candidate set against the EXACT J >= t ground truth the q151
+    // AllPairs join certifies, measured IN-ENGINE (the near-dup twin
+    // of q170's ANN recall and q130's estimate-vs-exact): re-banding
+    // decisions (more bands = recall, fewer = cost) become a
+    // measurable catalog surface instead of folklore. One summary row:
+    // |truth|, |candidates|, |overlap|, recall, candidate precision.
+    // The three inputs are the existing operators unchanged; the
+    // final combine is three 1-row aggregates crossed together.
+    // (Production shares one shingle table across both arms; here each
+    // arm keeps its own canonical build — two corpus scans, still no
+    // pair blowup anywhere.)
+    "q188_dedup_recall" -> ((s, d) => {
+      val docs = documents(s, d)
+      val truth = prefixFilterJoin(docs, "doc_id", "text", PrefixJoinT)
+        .filter(col("passes") === 1L).select(col("doc_a"), col("doc_b"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      Chunker.registerForCleanup(truth)
+      val approx = minhashCandidates(docs, "doc_id", "text")
+        .select(col("doc_a"), col("doc_b"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      Chunker.registerForCleanup(approx)
+      val nTruth = truth.agg(count(lit(1)).as("n_truth"))
+      val nCands = approx.agg(count(lit(1)).as("n_cands"))
+      val nTp = truth.join(approx, Seq("doc_a", "doc_b"), "left_semi")
+        .agg(count(lit(1)).as("n_tp"))
+      nTruth.crossJoin(broadcast(nCands)).crossJoin(broadcast(nTp))
+        .select(col("n_truth"), col("n_cands"), col("n_tp"),
+          round(col("n_tp").cast("double") / col("n_truth"), 6).as("recall"),
+          round(col("n_tp").cast("double") / col("n_cands"), 6)
+            .as("cand_precision"))
+    }),
+
     // Quality-aware canonicalization of near-dup clusters — the
     // survivor of each q57 component is its LONGEST member (word
     // count, min-id tie-break): the C4/CCNet "keep the fullest copy"
@@ -1107,6 +1140,55 @@ object Dedup {
          |SELECT doc_a, doc_b, round(jac, 6) AS jaccard,
          |  CAST(jac >= $t AS BIGINT) AS passes
          |FROM jacs""".stripMargin
+    },
+
+    "q188_dedup_recall" -> {
+      val t = PrefixJoinT
+      s"""$minhashCtes,
+         |counts AS (SELECT doc, count(*) AS n_sh FROM shingles GROUP BY 1),
+         |dfreq AS (SELECT shingle, count(*) AS df FROM shingles GROUP BY 1),
+         |pre AS (
+         |  SELECT doc, shingle FROM (
+         |    SELECT s.doc, s.shingle, c.n_sh,
+         |      row_number() OVER (PARTITION BY s.doc
+         |        ORDER BY f.df, s.shingle) AS r
+         |    FROM shingles s
+         |    JOIN dfreq f ON f.shingle = s.shingle
+         |    JOIN counts c ON c.doc = s.doc)
+         |  WHERE r <= n_sh - CAST(ceil($t * n_sh) AS BIGINT) + 1),
+         |tcands AS (
+         |  SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+         |  FROM pre a JOIN pre b
+         |    ON a.shingle = b.shingle AND a.doc < b.doc),
+         |tinter AS (
+         |  SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+         |  FROM tcands c
+         |  JOIN shingles sa ON sa.doc = c.doc_a
+         |  JOIN shingles sb ON sb.doc = c.doc_b AND sb.shingle = sa.shingle
+         |  GROUP BY 1, 2),
+         |truth AS (
+         |  SELECT c.doc_a, c.doc_b
+         |  FROM tcands c
+         |  LEFT JOIN tinter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+         |  JOIN counts ca ON ca.doc = c.doc_a
+         |  JOIN counts cb ON cb.doc = c.doc_b
+         |  WHERE CAST(coalesce(i.n_inter, 0) AS DOUBLE)
+         |      / (ca.n_sh + cb.n_sh - coalesce(i.n_inter, 0)) >= $t),
+         |mcands AS (
+         |  SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+         |    AND a.doc < b.doc),
+         |t1 AS (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM truth),
+         |t2 AS (SELECT CAST(count(*) AS BIGINT) AS n_cands FROM mcands),
+         |t3 AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_tp
+         |  FROM truth tr JOIN mcands m
+         |    ON m.doc_a = tr.doc_a AND m.doc_b = tr.doc_b)
+         |SELECT n_truth, n_cands, n_tp,
+         |  round(CAST(n_tp AS DOUBLE) / n_truth, 6) AS recall,
+         |  round(CAST(n_tp AS DOUBLE) / n_cands, 6) AS cand_precision
+         |FROM t1 CROSS JOIN t2 CROSS JOIN t3""".stripMargin
     },
 
     "q130_minhash_estimate" -> {

@@ -52,6 +52,7 @@ class PlanGuardSpec extends AnyFunSuite {
     "q94_histogram" -> "1-row min/max bin bounds",
     "q185_zorder_layout" -> "1-row min/max normalization bounds",
     "q187_k_anonymity" -> "1-row dataset-k minimum",
+    "q188_dedup_recall" -> "three 1-row eval aggregates crossed into the summary row",
     "q98_surprisal" -> "1-row corpus token total",
     "q99_mixture_rebalance" -> "per-source target rates: bounded by source cardinality",
     "q175_temperature_mixture" -> "1-row weight/count totals x per-source counts (q99 pattern)",
