@@ -237,11 +237,62 @@ object Clustering {
           .as("err_total"): _*)
   }
 
+  /** The centroid table after `iters` Lloyd sweeps (the state
+    * [[kmeansFull]] assigns against) — exposed for the q189 eval.
+    */
+  def kmeansCentroids(emb: DataFrame, k: Int, iters: Int): DataFrame = {
+    val e = emb.select(col("vec_id"), col("embedding"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.pipeline.Chunker.registerForCleanup(e)
+    var cents = seedCentroids(e, k)
+    for (_ <- 1 to iters) cents = recentroid(assign(e, cents))
+    cents
+  }
+
+  /** Simplified (centroid-based) silhouette — the clustering-quality
+    * eval surface (the q139-family twin of q170's ANN recall and
+    * q188's dedup recall): per point, a = distance to its own
+    * centroid, b = distance to the nearest OTHER centroid,
+    * s = (b − a)/max(a, b) ∈ [0, 1] here since the argmin guarantees
+    * a ≤ b; per cluster, the exact-integer-micro mean of the rounded
+    * per-point scores (the q98 discipline — an unordered double mean
+    * could straddle the rounding boundary). Low mean silhouette =
+    * that cluster bleeds into a neighbor → raise K or prune. The
+    * top-2 distances come from ONE array_sort over the same packed
+    * broadcast centroid row the assignment uses — still a pure
+    * projection, no shuffle beyond the K-group aggregate.
+    */
+  def clusterSilhouette(emb: DataFrame, k: Int, iters: Int): DataFrame = {
+    val cents = kmeansCentroids(emb, k, iters)
+    val packed = cents.agg(
+      collect_list(struct(col("cent_id"), col("c_emb"))).as("cs"))
+    val pts = emb.select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(packed))
+      .withColumn("ds", array_sort(transform(col("cs"), c =>
+        struct(round(distSq(col("embedding"), c("c_emb")), 6).as("d"),
+          c("cent_id").as("cent_id")))))
+      .select(
+        col("ds")(0).getField("cent_id").as("cluster"),
+        col("ds")(0).getField("d").as("da"),
+        col("ds")(1).getField("d").as("db"))
+      .withColumn("sil", when(col("db") === 0.0, lit(0.0))
+        .otherwise(round((col("db") - col("da")) / col("db"), 6)))
+    pts.groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("sil") * 1e6, 0).cast("long")).as("sil_micro"))
+      .select(col("cluster"), col("n"),
+        round((col("sil_micro").cast("double") / col("n")) / 1e6, 6)
+          .as("mean_silhouette"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q139_kmeans" -> ((s, d) => kmeans(embeddings(s, d), K, Iters)),
 
     "q181_product_quantization" -> ((s, d) =>
       productQuantize(embeddings(s, d), PqM, PqK, PqIters)),
+
+    "q189_cluster_silhouette" -> ((s, d) =>
+      clusterSilhouette(embeddings(s, d), K, Iters)),
 
     "q142_cluster_sample" -> ((s, d) =>
       clusterSample(kmeans(embeddings(s, d), K, Iters), SampleTarget)),
@@ -336,6 +387,31 @@ object Clustering {
     "q139_kmeans" ->
       s"""WITH $kmeansCteSql
          |SELECT vec_id, cent_id AS cluster, dist_sq FROM fin""".stripMargin,
+
+    "q189_cluster_silhouette" ->
+      s"""WITH ${kmeansCteSql.replace(assignSql("fin", s"c$Iters"), s"""top2 AS (
+         |  SELECT vec_id, cent_id, d, rn FROM (
+         |    SELECT vec_id, cent_id, d,
+         |      row_number() OVER (PARTITION BY vec_id
+         |        ORDER BY d, cent_id) AS rn
+         |    FROM (
+         |      SELECT e.vec_id, c.cent_id,
+         |        ${distSqSql("e.embedding", "c.c_emb")} AS d
+         |      FROM e CROSS JOIN c$Iters c))
+         |  WHERE rn <= 2)""".stripMargin)},
+         |pts AS (
+         |  SELECT a.cent_id AS cluster, a.d AS da, b.d AS db
+         |  FROM top2 a JOIN top2 b
+         |    ON a.vec_id = b.vec_id AND a.rn = 1 AND b.rn = 2),
+         |scored AS (
+         |  SELECT cluster,
+         |    CASE WHEN db = 0 THEN 0.0
+         |         ELSE round((db - da) / db, 6) END AS sil
+         |  FROM pts)
+         |SELECT cluster, CAST(count(*) AS BIGINT) AS n,
+         |  round((CAST(sum(CAST(round(sil * 1e6, 0) AS BIGINT)) AS DOUBLE)
+         |    / count(*)) / 1e6, 6) AS mean_silhouette
+         |FROM scored GROUP BY cluster""".stripMargin,
 
     "q181_product_quantization" -> {
       val joins = (1 until PqM)

@@ -179,4 +179,30 @@ class ClusteringSpec extends AnyFunSuite with CacheCleanup {
     assert(out.values.forall(_._2 < 1.0),
       s"err_total should be noise-scale: ${out.values.map(_._2).max}")
   }
+
+  test("q189 silhouette is near 1 on separated clusters, degrades when merged") {
+    // same planted-3-cluster recipe as the kmeans test: tight noise
+    // around three orthogonal centers -> own-centroid distance tiny,
+    // other-centroid distance huge -> silhouette ~ 1 everywhere
+    val ids = (1L to 30L)
+    val emb = ids.map { id =>
+      val c = centers((id % 3).toInt)
+      (id, c.zipWithIndex.map { case (v, j) => v + 0.01f * ((id + j) % 5) })
+    }.toDF("vec_id", "embedding")
+    val out = Clustering.clusterSilhouette(emb, k = 3, iters = 3)
+      .collect().map(r => (r.getAs[Long]("n"), r.getAs[Double]("mean_silhouette")))
+    assert(out.map(_._1).sum == 30)
+    assert(out.forall(_._2 > 0.9),
+      s"separated clusters must score near 1: ${out.toSeq}")
+    // overlapping data (all points around ONE center, split across
+    // k=3 seeds) cannot score like separated data
+    val blob = ids.map { id =>
+      (id, centers(0).zipWithIndex.map { case (v, j) =>
+        v + 0.3f * ((id * 7 + j * 3) % 11 - 5) })
+    }.toDF("vec_id", "embedding")
+    val blobOut = Clustering.clusterSilhouette(blob, k = 3, iters = 3)
+      .collect().map(_.getAs[Double]("mean_silhouette"))
+    assert(blobOut.min < 0.9,
+      s"an overlapping blob should not silhouette like separated clusters: ${blobOut.toSeq}")
+  }
 }
