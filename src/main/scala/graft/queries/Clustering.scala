@@ -304,7 +304,7 @@ object Clustering {
   // ---- DuckDB mirrors --------------------------------------------------
 
   /** Squared-distance fold, identical order to [[distSq]]. */
-  private def distSqSql(v: String, c: String): String =
+  private[queries] def distSqSql(v: String, c: String): String =
     s"""round(list_sum(list_transform(list_zip($v, $c),
        |  p -> (CAST(p[1] AS DOUBLE) - p[2]) * (CAST(p[1] AS DOUBLE) - p[2]))), 6)""".stripMargin
 
@@ -360,7 +360,7 @@ object Clustering {
     * re-centroid CTE chain as [[kmeansCteSql]], over the sliced
     * embedding, joined back on vec_id at the end.
     */
-  private lazy val pqCteSql: String = {
+  private[queries] lazy val pqCteSql: String = {
     val subDim = 64 / PqM
     (0 until PqM).map { j =>
       val steps = (1 to PqIters).flatMap(i => Seq(

@@ -560,8 +560,77 @@ object Similarity {
     // into the same plan; the fixture keeps the exact form because the
     // oracle needs bit-equal medians.
     "q183_embedding_outliers" -> ((s, d) =>
-      embeddingOutliers(s, embeddings(s, d)))
+      embeddingOutliers(s, embeddings(s, d))),
+
+    // IVF-PQ serving — the production ANN read path, composed from the
+    // catalog's own parts (proof the pieces are an INDEX, not demos):
+    // the q62 IVF prunes the corpus to nprobe probed cells, then
+    // candidates are scored by ASYMMETRIC DISTANCE COMPUTATION over
+    // the q181 PQ codes — per query, one tiny (m·k)-row table of
+    // query-subvector→sub-centroid distances, and a candidate's
+    // approximate distance is the SUM of m lookups into it (the
+    // vectors themselves are never touched during scoring; at serving
+    // scale the scan reads codes — one byte per vector — not floats).
+    // Output: per query, the ADC top-3 with the exact cosine attached
+    // as the audit column (the recall story of q170, inline).
+    // Plan shape: the ADC lookups are m broadcast joins against
+    // queries×k-row tables, candidates stay IVF-bounded, the final
+    // exact cosine touches 3 rows per query.
+    "q190_ivfpq_serving" -> ((s, d) => ivfPqServe(embeddings(s, d)))
   )
+
+  /** q190 body over any (vec_id, embedding[64], label) frame — see the
+    * catalog entry's doc; split out so the spec can plant families.
+    */
+  def ivfPqServe(emb: DataFrame): DataFrame = {
+      val m = Clustering.PqM; val pk = Clustering.PqK
+      val it = Clustering.PqIters; val subDim = 64 / m
+      val e = ivfBase(emb)
+      val scored = ivfScored(e)
+      val subs = (0 until m).map { j =>
+        val sliced = e.select(col("vec_id"),
+          slice(col("embedding"), j * subDim + 1, subDim).as("embedding"))
+        val cj = Clustering.kmeansCentroids(sliced, pk, it)
+        val codes = Clustering.assign(sliced, cj)
+          .select(col("vec_id"), col("cent_id").as(s"code$j"))
+        val qd = e.filter(col("label") === 0)
+          .select(col("vec_id").as("q_id"),
+            slice(col("embedding"), j * subDim + 1, subDim).as("qe"))
+          .crossJoin(broadcast(cj))
+          .select(col("q_id"), col("cent_id").as(s"code$j"),
+            round(Clustering.distSq(col("qe"), col("c_emb")), 6).as(s"d$j"))
+        (codes, qd)
+      }
+      val codes = subs.map(_._1).reduce(_.join(_, Seq("vec_id")))
+      val cells = scored.filter(col("crn") === 1)
+        .select(col("vec_id"), col("cent_id"))
+      val qprobes = scored.filter(col("label") === 0 && col("crn") <= 2)
+        .select(col("vec_id").as("q_id"), col("cent_id"))
+      var adc = cells.join(broadcast(qprobes), Seq("cent_id"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id").as("neighbor_id"))
+        .join(codes.withColumnRenamed("vec_id", "neighbor_id"),
+          Seq("neighbor_id"))
+      subs.zipWithIndex.foreach { case ((_, qd), j) =>
+        adc = adc.join(broadcast(qd), Seq("q_id", s"code$j"))
+      }
+      val ranked = adc.select(col("q_id"), col("neighbor_id"),
+          round((0 until m).map(j => col(s"d$j")).reduce(_ + _), 6)
+            .as("adc_d2"))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy(col("q_id"))
+            .orderBy(col("adc_d2"), col("neighbor_id"))).cast("long"))
+        .filter(col("rank") <= 3)
+      ranked
+        .join(e.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+          col("nrm").as("q_nrm")), Seq("q_id"))
+        .join(e.select(col("vec_id").as("neighbor_id"),
+          col("embedding").as("n_emb"), col("nrm").as("n_nrm")),
+          Seq("neighbor_id"))
+        .select(col("q_id"), col("rank"), col("neighbor_id"), col("adc_d2"),
+          cosinePre(col("q_emb"), col("n_emb"), col("q_nrm"), col("n_nrm"))
+            .as("true_cos"))
+  }
 
   /** q183 body over any (vec_id, embedding[64]) frame — see the
     * catalog entry's doc; split out so the spec can plant outliers.
@@ -850,6 +919,60 @@ object Similarity {
          |SELECT CAST(1 AS INTEGER) AS step, vec_id,
          |  CAST(NULL AS DOUBLE) AS radius FROM c1
          |$unions""".stripMargin
+    },
+
+    "q190_ivfpq_serving" -> {
+      val m = Clustering.PqM
+      val it = Clustering.PqIters
+      val subDim = 64 / m
+      val codeJoins = (1 until m)
+        .map(j => s"JOIN fin$j f$j ON f$j.vec_id = f0.vec_id").mkString("\n")
+      val qdCtes = (0 until m).map { j =>
+        val sliceSql = s"list_slice(q.embedding, ${j * subDim + 1}, ${(j + 1) * subDim})"
+        s"""qd$j AS (
+           |  SELECT q.q_id, c.cent_id AS code$j,
+           |    ${Clustering.distSqSql(sliceSql, "c.c_emb")} AS d$j
+           |  FROM q CROSS JOIN c${j}x$it c)""".stripMargin
+      }.mkString(",\n")
+      val qdJoins = (0 until m)
+        .map(j => s"JOIN qd$j ON qd$j.q_id = cd.q_id AND qd$j.code$j = k.code$j")
+        .mkString("\n")
+      s"""WITH $ivfRankedCteSql,
+         |${Clustering.pqCteSql},
+         |codes AS (
+         |  SELECT f0.vec_id,
+         |    ${(0 until m).map(j => s"f$j.cent_id AS code$j").mkString(", ")}
+         |  FROM fin0 f0
+         |$codeJoins),
+         |q AS (SELECT vec_id AS q_id, embedding FROM e WHERE label = 0),
+         |$qdCtes,
+         |cells AS (SELECT vec_id, cent_id FROM ranked WHERE crn = 1),
+         |qprobes AS (
+         |  SELECT vec_id AS q_id, cent_id
+         |  FROM ranked WHERE label = 0 AND crn <= 2),
+         |cands AS (
+         |  SELECT qp.q_id, c.vec_id AS neighbor_id
+         |  FROM cells c JOIN qprobes qp ON c.cent_id = qp.cent_id
+         |  WHERE c.vec_id <> qp.q_id),
+         |adc AS (
+         |  SELECT cd.q_id, cd.neighbor_id,
+         |    round(${(0 until m).map(j => s"qd$j.d$j").mkString(" + ")}, 6)
+         |      AS adc_d2
+         |  FROM cands cd
+         |  JOIN codes k ON k.vec_id = cd.neighbor_id
+         |$qdJoins),
+         |rk AS (
+         |  SELECT q_id, neighbor_id, adc_d2,
+         |    row_number() OVER (PARTITION BY q_id
+         |      ORDER BY adc_d2, neighbor_id) AS rank
+         |  FROM adc)
+         |SELECT rk.q_id, CAST(rk.rank AS BIGINT) AS rank, rk.neighbor_id,
+         |  rk.adc_d2,
+         |  ${cosineSql("qe.embedding", "ne.embedding")} AS true_cos
+         |FROM rk
+         |JOIN e qe ON qe.vec_id = rk.q_id
+         |JOIN e ne ON ne.vec_id = rk.neighbor_id
+         |WHERE rk.rank <= 3""".stripMargin
     },
 
     "q183_embedding_outliers" -> {

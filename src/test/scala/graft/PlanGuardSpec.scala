@@ -42,6 +42,7 @@ class PlanGuardSpec extends AnyFunSuite {
     "q142_cluster_sample" -> "inherits q139's per-sweep single-broadcast-row crossJoins",
     "q181_product_quantization" -> "q139's single-broadcast-row crossJoin x M subspace codebooks",
     "q189_cluster_silhouette" -> "q139's Lloyd crossJoins + one packed-centroid broadcast row",
+    "q190_ivfpq_serving" -> "q62's rate/sqrt(N)-cents + q181's Lloyd + queries x k-row ADC tables, all broadcast",
     "q127_triangle_count" -> "1-row edge-count x 1-row triangle-count at the very top",
     "q138_triangle_degree" -> "same 1-row x 1-row stats join as q127",
     "q11_approx_distinct" -> "1-row exact counts x 1-row HLL estimates",

@@ -334,6 +334,54 @@ class SimilaritySpec extends AnyFunSuite with CacheCleanup {
     assert(radii == radii.sorted.reverse, s"radii must be non-increasing: $radii")
   }
 
+  test("q190 IVF-PQ serving retrieves planted families through codes alone") {
+    import spark.implicits._
+    // four orthogonal 64-dim "families" (pattern f = one-hot blocks at
+    // offset f within each 16-dim subspace); members carry small smooth
+    // noise. Seeds for the PQ codebooks are the 4 smallest-hash ids, so
+    // assign families such that each seed lands in a different family —
+    // then every subspace codebook learns all four patterns and ADC
+    // must rank same-family candidates first even though scoring never
+    // touches the raw vectors.
+    val ids = (1L to 44L)
+    val hashOrder = ids.toDF("vec_id")
+      .select(col("vec_id"),
+        graft.queries.TextAnalytics.hashFraction(col("vec_id")).as("hf"))
+      .orderBy(col("hf"), col("vec_id"))
+      .collect().map(_.getLong(0)).toSeq
+    val seedIds = hashOrder.take(4)
+    val rest = ids.filterNot(seedIds.contains)
+    val family: Map[Long, Int] =
+      seedIds.zipWithIndex.toMap ++
+        rest.zipWithIndex.map { case (id, i) => id -> (i % 4) }.toMap
+    def pattern(f: Int): Array[Float] =
+      Array.tabulate(64)(i => if (i % 16 == f * 4) 10f else 0f)
+    // one query per family: the 4 largest ids, label 0
+    val queryIds = ids.toSeq.sortBy(-_).take(4)
+    val emb = ids.map { id =>
+      val base = pattern(family(id))
+      val noisy = if (seedIds.contains(id)) base
+        else base.zipWithIndex.map { case (x, j) =>
+          x + 0.1f * math.sin(id * 13.0 + j * 5.0).toFloat }
+      (id, noisy, if (queryIds.contains(id)) 0 else 1)
+    }.toDF("vec_id", "embedding", "label")
+    val out = graft.queries.Similarity.ivfPqServe(emb).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("rank"),
+        r.getAs[Long]("neighbor_id"), r.getAs[Double]("adc_d2")))
+    assert(out.nonEmpty)
+    out.groupBy(_._1).foreach { case (q, rows) =>
+      // ADC ordering is sane and every retrieved neighbor shares the
+      // query's family — the codes alone carried the structure
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.map(_._4).toSeq == sorted.map(_._4).sorted.toSeq)
+      sorted.foreach { case (_, _, n, _) =>
+        assert(family(n) == family(q),
+          s"query $q (family ${family(q)}) retrieved $n (family ${family(n)})")
+      }
+    }
+    assert(out.groupBy(_._1).size == 4, "every planted query must answer")
+  }
+
   test("q183 flags a planted garbage vector and spares the population") {
     import spark.implicits._
     // 40 well-behaved vectors (small deterministic noise around a
