@@ -144,6 +144,38 @@ object Curation {
           max(col("doc_id")).as("max_doc"))
     }),
 
+    // Token-budget epoch planner — the data-RECIPE table (LLaMA-style):
+    // given a training token budget (here 2× the corpus, data-derived)
+    // and temperature-damped source shares (∝ token-mass^0.5, the q175
+    // math applied to token counts instead of doc counts), how many
+    // EPOCHS of each source does the run consume? Small sources repeat
+    // (epochs > 1, capped at 4 as recipes do), dominant sources are
+    // subsampled (epochs < 1). q175 SAMPLES rows to a mixture; this
+    // PLANS the repeat factors a trainer's data loader executes.
+    // Parity: token counts are exact longs (the C2 canonical counter),
+    // sqrt-weights go through integer micro-units, and every later
+    // step is a fixed association of exact values. Two tiny aggregates
+    // + one 1-row broadcast; nothing touches the corpus twice.
+    "q191_epoch_planner" -> ((s, d) => {
+      val perSrc = documents(s, d)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(graft.functions.token_count(col("text")).cast("long"))
+            .as("n_tokens"))
+        .withColumn("w_micro",
+          round(sqrt(col("n_tokens")) * 1e6, 0).cast("long"))
+      val tot = perSrc.agg(sum(col("w_micro")).as("w_tot"),
+        sum(col("n_tokens")).as("tok_tot"))
+      perSrc.crossJoin(broadcast(tot))
+        .withColumn("share", col("w_micro").cast("double") / col("w_tot"))
+        .withColumn("epochs",
+          (col("share") * (col("tok_tot") * lit(2.0))) / col("n_tokens"))
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          round(col("share"), 6).as("share"),
+          round(col("epochs"), 4).as("epochs"),
+          round(least(lit(4.0), col("epochs")), 4).as("epochs_capped"))
+    }),
+
     // Per-source quantile normalization of a quality signal — the fair
     // cross-source mixing primitive: raw scores from heterogeneous
     // sources aren't comparable (one crawl's "long" is another's
@@ -217,6 +249,28 @@ object Curation {
          |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
          |FROM documents
          |GROUP BY 1""".stripMargin,
+
+    "q191_epoch_planner" ->
+      s"""WITH per_src AS (
+         |  SELECT source, count(*) AS n_docs,
+         |    CAST(sum(${RefPipeline.tokenCountSql("text")}) AS BIGINT)
+         |      AS n_tokens
+         |  FROM documents GROUP BY source),
+         |w AS (
+         |  SELECT source, n_docs, n_tokens,
+         |    CAST(round(sqrt(n_tokens) * 1e6, 0) AS BIGINT) AS w_micro
+         |  FROM per_src),
+         |t AS (SELECT sum(w_micro) AS w_tot, sum(n_tokens) AS tok_tot FROM w),
+         |x AS (
+         |  SELECT source, n_docs, n_tokens,
+         |    CAST(w_micro AS DOUBLE) / w_tot AS share,
+         |    ((CAST(w_micro AS DOUBLE) / w_tot) * (tok_tot * 2.0)) / n_tokens
+         |      AS epochs
+         |  FROM w CROSS JOIN t)
+         |SELECT source, n_docs, n_tokens,
+         |  round(share, 6) AS share, round(epochs, 4) AS epochs,
+         |  round(least(4.0, epochs), 4) AS epochs_capped
+         |FROM x""".stripMargin,
 
     "q178_quantile_normalize" ->
       """SELECT doc_id, source, n_chars,

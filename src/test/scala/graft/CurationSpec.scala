@@ -70,6 +70,34 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("q191 epoch plan equals a sequential recompute and conserves the budget") {
+    val docs = Tables.documents(spark, d).select("source", "text").collect()
+      .map(r => (r.getString(0), graft.expressions.TokenCount.count(r.getString(1)).toLong))
+    def r(x: Double, s: Int) = BigDecimal(x).setScale(s,
+      BigDecimal.RoundingMode.HALF_UP).toDouble
+    val perSrc = docs.groupBy(_._1).map { case (src, rows) =>
+      (src, rows.length.toLong, rows.map(_._2).sum)
+    }.toSeq
+    val wMicro = perSrc.map { case (s0, _, tok) =>
+      s0 -> math.round(math.sqrt(tok.toDouble) * 1e6) }.toMap
+    val (wTot, tokTot) = (wMicro.values.sum, perSrc.map(_._3).sum)
+    val expected = perSrc.map { case (src, nd, tok) =>
+      val share = wMicro(src).toDouble / wTot
+      val epochs = (share * (tokTot * 2.0)) / tok
+      (src, nd, tok, r(share, 6), r(epochs, 4), r(math.min(4.0, epochs), 4))
+    }.toSet
+    val got = SparkEntry.queries("q191_epoch_planner")(spark, d)
+      .as[(String, Long, Long, Double, Double, Double)].collect().toSet
+    assert(got == expected)
+    // plan-level conservation: shares sum to 1 and the planned token
+    // mass (epochs x source tokens) equals the 2x budget
+    val shares = got.toSeq.map(_._4).sum
+    assert(math.abs(shares - 1.0) < 1e-4, s"shares sum to $shares")
+    val planned = got.toSeq.map(e => e._5 * e._3).sum
+    assert(math.abs(planned - 2.0 * tokTot) < 0.001 * tokTot,
+      s"planned $planned vs budget ${2.0 * tokTot}")
+  }
+
   test("q176 deletion-neighborhood linkage = brute-force distance-1 pairs") {
     val names = Tables.customer(spark, d)
       .select(lower(col("c_name"))).distinct().as[String].collect()
