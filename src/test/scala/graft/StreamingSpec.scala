@@ -159,6 +159,41 @@ class StreamingSpec extends AnyFunSuite with CacheCleanup {
     assert(rows.nonEmpty)
   }
 
+  test("transformWithState running stats equal the batch cumulative window " +
+    "across micro-batches") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    def evs(rows: (Long, String, Long, Double)*) =
+      rows.toSeq.toDF("event_id", "ts_s", "user_id", "value")
+        .select(col("event_id"), to_timestamp(col("ts_s")).as("ts"),
+          col("user_id"), col("value"))
+    // two users interleaved across three micro-batches; values with
+    // fractional parts so the sum ORDER is observable in the doubles
+    val b1 = evs((1L, "2024-01-01 00:10:00", 7L, 1.25),
+      (2L, "2024-01-01 00:20:00", 8L, 2.5),
+      (3L, "2024-01-01 00:30:00", 7L, 0.1))
+    val b2 = evs((4L, "2024-01-01 01:10:00", 7L, 3.3),
+      (5L, "2024-01-01 01:20:00", 8L, 0.7))
+    val b3 = evs((6L, "2024-01-01 02:10:00", 8L, 5.05),
+      (7L, "2024-01-01 02:20:00", 7L, 2.2))
+    val got = StreamingJobs.runIncremental(spark, Seq(b1, b2, b3),
+      df => graft.streaming.StatefulRunning.runningStats(df).toDF(),
+      "t_tws_running")
+    val all = Seq(b1, b2, b3).reduce(_.unionAll(_))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val want = all.select(col("user_id"), col("event_id"),
+      count(lit(1)).over(w).as("n_seen"), sum(col("value")).over(w).as("value_sum"))
+    // the per-event running state must be IDENTICAL to the batch
+    // cumulative window — same counts and bit-equal double sums (both
+    // sides add in (ts, event_id) order)
+    assert(canon(got.select("user_id", "event_id", "n_seen", "value_sum"))
+      == canon(want))
+    assert(got.count() == 7)
+  }
+
   test("streaming dedup: replayed keys within the watermark emit once") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
