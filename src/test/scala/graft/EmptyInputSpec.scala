@@ -63,6 +63,23 @@ class EmptyInputSpec extends AnyFunSuite with CacheCleanup {
     assert(kept.length == 1 && kept.head.getAs[Long]("kept") == 1L)
   }
 
+  test("round-7 wave-3+ operators on empty inputs") {
+    // containment dedup: empty corpus and single-doc corpus pair nothing
+    assert(Dedup.containmentPairs(noDocs, "doc_id", "text").count() == 0)
+    val solo = Seq((1L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    assert(Dedup.containmentPairs(solo, "doc_id", "text").count() == 0)
+    // attribution: no events -> no credits; views with no purchase too
+    val noEvents = Seq.empty[(Long, java.sql.Timestamp, Long, String, Double)]
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    assert(graft.queries.EventsQueries.attributionDecay(noEvents).count() == 0)
+    val viewsOnly = Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"),
+      7L, "view", 1.0)).toDF("event_id", "ts", "user_id", "event_type", "value")
+    assert(graft.queries.EventsQueries.attributionDecay(viewsOnly).count() == 0)
+    // outlier sweep: empty corpus -> empty, never a percentile crash
+    assert(graft.queries.Similarity.embeddingOutliers(spark,
+      Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")).count() == 0)
+  }
+
   test("round-6 operators on empty and degenerate inputs") {
     // kmeans: empty corpus -> empty assignment; corpus smaller than K
     // -> every point is its own seed at distance 0
