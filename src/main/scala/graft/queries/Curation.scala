@@ -112,14 +112,22 @@ object Curation {
             concat(col("name").substr(lit(1), i - 1),
               col("name").substr(i + 1, length(col("name")) - i))))))
           .as("key"))
+        // both self-join sides read this — persist or the deletion
+        // explode builds twice
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      graft.pipeline.Chunker.registerForCleanup(keys)
       // banded verify: levenshtein with threshold 1 computes a 3-cell
       // band per row instead of the full len^2 DP (−1 = "exceeds 1"),
-      // ~8x cheaper over the ~1M candidate rows the key join emits
+      // ~8x cheaper over the ~1M candidate rows the key join emits.
+      // Verify BEFORE distinct: key-collision multiplicity is ~1.02 (a
+      // distance-1 pair rarely shares two deletion keys), so the extra
+      // levenshtein evaluations are nearly free while the distinct now
+      // shuffles only verified pairs instead of the full candidate set.
       keys.as("a").join(keys.as("b"),
           col("a.key") === col("b.key") && col("a.name") < col("b.name"))
+        .filter(levenshtein(col("a.name"), col("b.name"), 1) === 1)
         .select(col("a.name").as("name_a"), col("b.name").as("name_b"))
         .distinct()
-        .filter(levenshtein(col("name_a"), col("name_b"), 1) === 1)
     }),
 
     // Training-shard manifest: deterministic hash-assignment of every

@@ -684,6 +684,14 @@ object Dedup {
     val sh = shingleTable(docs, idCol, textCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     Chunker.registerForCleanup(sh)
+    prefixFilterJoinFromShingles(sh, t)
+  }
+
+  /** As [[prefixFilterJoin]], over a prepared (and persisted) (doc,
+    * shingle) table — callers that run several dedup arms over the
+    * same corpus (q188's eval) share ONE shingle build.
+    */
+  def prefixFilterJoinFromShingles(sh: DataFrame, t: Double): DataFrame = {
     val counts = sh.groupBy(col("doc")).agg(count(lit(1)).as("n_sh"))
     val dfreq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
     // rank within doc by the global (df, shingle) order; the window
@@ -734,18 +742,20 @@ object Dedup {
     // decisions (more bands = recall, fewer = cost) become a
     // measurable catalog surface instead of folklore. One summary row:
     // |truth|, |candidates|, |overlap|, recall, candidate precision.
-    // The three inputs are the existing operators unchanged; the
-    // final combine is three 1-row aggregates crossed together.
-    // (Production shares one shingle table across both arms; here each
-    // arm keeps its own canonical build — two corpus scans, still no
-    // pair blowup anywhere.)
+    // The two arms are the existing operators fed from ONE shared
+    // shingle build (a single corpus scan); the final combine is three
+    // 1-row aggregates crossed together.
     "q188_dedup_recall" -> ((s, d) => {
       val docs = documents(s, d)
-      val truth = prefixFilterJoin(docs, "doc_id", "text", PrefixJoinT)
+      // one shingle build feeds BOTH arms (exact truth + LSH candidates)
+      val sh = shingleTable(docs, "doc_id", "text")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      Chunker.registerForCleanup(sh)
+      val truth = prefixFilterJoinFromShingles(sh, PrefixJoinT)
         .filter(col("passes") === 1L).select(col("doc_a"), col("doc_b"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       Chunker.registerForCleanup(truth)
-      val approx = minhashCandidates(docs, "doc_id", "text")
+      val approx = minhashCandidatesFromShingles(sh)
         .select(col("doc_a"), col("doc_b"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       Chunker.registerForCleanup(approx)
