@@ -48,8 +48,13 @@ object Curation {
     "q174_inverted_index" -> ((s, d) => {
       val words = documents(s, d).select(col("doc_id"),
         explode(TextOps.wordsOf(col("text"))).as("term"))
+      // tf feeds BOTH the df aggregate and the join's posting side —
+      // persist it or the corpus explode+aggregate runs twice (the
+      // r7 plan audit caught the duplicated exchange)
       val tf = words.groupBy(col("term"), col("doc_id"))
         .agg(count(lit(1)).as("tf"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      graft.pipeline.Chunker.registerForCleanup(tf)
       val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
         .filter(col("df").between(IndexMinDf, IndexMaxDf))
       tf.join(df, Seq("term"))
@@ -70,8 +75,12 @@ object Curation {
     // projection filter — no data shuffle at all.
     "q175_temperature_mixture" -> ((s, d) => {
       val docs = documents(s, d)
+      // counts feeds both the totals and the rate table — persist the
+      // 20-row aggregate or the corpus scan behind it runs twice
       val counts = docs.groupBy(col("source")).agg(count(lit(1)).as("n_src"))
         .withColumn("w_micro", round(sqrt(col("n_src")) * 1e6, 0).cast("long"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      graft.pipeline.Chunker.registerForCleanup(counts)
       val tot = counts.agg(sum(col("w_micro")).as("w_tot"),
         sum(col("n_src")).as("n_tot"))
       val rates = counts.crossJoin(broadcast(tot))
@@ -165,6 +174,8 @@ object Curation {
     // step is a fixed association of exact values. Two tiny aggregates
     // + one 1-row broadcast; nothing touches the corpus twice.
     "q191_epoch_planner" -> ((s, d) => {
+      // perSrc feeds the totals AND the final projection — persist the
+      // 20-row aggregate or the corpus token scan runs twice
       val perSrc = documents(s, d)
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"),
@@ -172,6 +183,8 @@ object Curation {
             .as("n_tokens"))
         .withColumn("w_micro",
           round(sqrt(col("n_tokens")) * 1e6, 0).cast("long"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      graft.pipeline.Chunker.registerForCleanup(perSrc)
       val tot = perSrc.agg(sum(col("w_micro")).as("w_tot"),
         sum(col("n_tokens")).as("tok_tot"))
       perSrc.crossJoin(broadcast(tot))

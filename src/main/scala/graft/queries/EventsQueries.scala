@@ -34,10 +34,14 @@ object EventsQueries {
     val p = ev.filter(col("event_type") === "purchase")
       .select(col("user_id"), unix_micros(col("ts")).as("p_us"),
         col("event_id").as("purchase_id"), col("value"))
+    // pairs feeds the per-purchase totals AND the final credit join —
+    // persist it or the user-keyed range join executes twice
     val pairs = p.join(v, col("user_id") === col("vu") &&
         col("v_us") <= col("p_us") &&
         col("v_us") > col("p_us") - winUs)
       .withColumn("w", lit(winUs) - (col("p_us") - col("v_us")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.pipeline.Chunker.registerForCleanup(pairs)
     val tot = pairs.groupBy(col("purchase_id"))
       .agg(sum(col("w")).as("w_tot"), count(lit(1)).as("n_touches"))
     pairs.join(tot, Seq("purchase_id"))
