@@ -65,6 +65,40 @@ object Chunker {
     ()
   }
 
+  /** Session-lifetime memo for SHARED BUILD TABLES — intermediates that
+    * many catalog queries derive from the same immutable input (the
+    * corpus shingle table, its minhash signatures, the LSH candidate
+    * pairs). One pipeline run evaluates many such queries; without the
+    * memo each rebuilds the identical explode+sha256 lineage from the
+    * parquet scan — the single largest repeated cost in the dedup
+    * family. Keyed by (session, caller-chosen key — by convention
+    * "family:build:<input dir>"); entries are persisted on first build
+    * and dropped by [[clearCaches]] (Bench clears between passes, so
+    * every timed pass still pays the build exactly once) or when the
+    * session stops.
+    *
+    * Same documented contract as chunkTableCache: files under the
+    * keyed dir are immutable within a session.
+    */
+  private val sharedTableCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  def sharedTable(spark: SparkSession, key: String)(build: => DataFrame): DataFrame = {
+    watchSession(spark)
+    val k = (spark, key)
+    val existing = sharedTableCache.get(k)
+    if (existing != null) existing
+    else {
+      // NOT computeIfAbsent: builds nest (candidates → minhash →
+      // shingles all live in this map) and CHM forbids recursive
+      // updates. get/putIfAbsent tolerates the nesting; a concurrent
+      // duplicate build loses the race and unpersists itself.
+      val built = build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val prev = sharedTableCache.putIfAbsent(k, built)
+      if (prev != null) { built.unpersist(false); prev } else built
+    }
+  }
+
   /** Unpersist + forget every cached chunk table and registered
     * intermediate, across ALL sessions in the JVM. Safe any time;
     * subsequent calls rebuild lazily. Single-session processes (Bench,
@@ -74,6 +108,8 @@ object Chunker {
   def clearCaches(): Unit = {
     chunkTableCache.forEach((_, df) => df.unpersist(false))
     chunkTableCache.clear()
+    sharedTableCache.forEach((_, df) => df.unpersist(false))
+    sharedTableCache.clear()
     persistedRegistry.forEach((_, dfs) => dfs.forEach(df => df.unpersist(false)))
     persistedRegistry.clear()
   }
@@ -86,6 +122,11 @@ object Chunker {
     while (it.hasNext) {
       val e = it.next()
       if (e.getKey._1 eq spark) { e.getValue.unpersist(false); it.remove() }
+    }
+    val st = sharedTableCache.entrySet().iterator()
+    while (st.hasNext) {
+      val e = st.next()
+      if (e.getKey._1 eq spark) { e.getValue.unpersist(false); st.remove() }
     }
     Option(persistedRegistry.remove(spark))
       .foreach(_.forEach(df => df.unpersist(false)))
@@ -242,6 +283,7 @@ object Chunker {
         override def onApplicationEnd(
             e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
           chunkTableCache.keySet.removeIf(_._1 eq spark)
+          sharedTableCache.keySet.removeIf(_._1 eq spark)
           persistedRegistry.remove(spark)
           watchedSessions.remove(spark)
           ()

@@ -200,6 +200,40 @@ object Dedup {
       .agg(count(lit(1)).as("n_shared_bands"))
   }
 
+  // ---- Shared full-corpus builds -----------------------------------
+  //
+  // A dozen catalog queries derive from the SAME three intermediates
+  // over the unfiltered documents table: (doc, shingle), the minhash
+  // signature table, and the LSH candidate pairs. A pipeline run that
+  // evaluates several dedup operators (dedup + clusters + split +
+  // eval is the normal shape, not the exception) would rebuild the
+  // identical explode+sha256x9 lineage from the parquet scan once per
+  // operator — at 100 TB that is the difference between one corpus
+  // scan and twelve. These accessors memoize the build per (session,
+  // dir) via [[Chunker.sharedTable]]: first caller pays, everyone
+  // else reads the persisted table; Bench clears between passes so
+  // every timed pass still pays each build exactly once. Operators
+  // over SUBSETS of the corpus (q78's append batch, fixtures in
+  // specs) keep calling the by-DataFrame forms — the memo is only for
+  // the canonical full-corpus input.
+
+  /** Memoized [[shingleTable]] of the full documents table at `dir`. */
+  def corpusShingles(s: SparkSession, dir: String): DataFrame =
+    Chunker.sharedTable(s, s"dedup:shingles:$dir")(
+      shingleTable(documents(s, dir), "doc_id", "text"))
+
+  /** Memoized [[minhashTable]] over [[corpusShingles]]. */
+  def corpusMinhash(s: SparkSession, dir: String): DataFrame =
+    Chunker.sharedTable(s, s"dedup:minhash:$dir")(
+      minhashTable(corpusShingles(s, dir)))
+
+  /** Memoized LSH candidate pairs (doc_a, doc_b, n_shared_bands) over
+    * [[corpusMinhash]].
+    */
+  def corpusCandidates(s: SparkSession, dir: String): DataFrame =
+    Chunker.sharedTable(s, s"dedup:cands:$dir")(
+      minhashCandidatesFromMinhashes(corpusMinhash(s, dir)))
+
   /** Exact n-gram Jaccard VERIFY stage over the MinHash candidates: the
     * classic two-stage near-dup pipeline. Stage 1 (bucketed LSH) emits
     * candidate pairs; stage 2 computes the exact shingle-set Jaccard
@@ -213,11 +247,18 @@ object Dedup {
     val sh = shingleTable(docs, idCol, textCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     Chunker.registerForCleanup(sh)
-    val counts = sh.groupBy(col("doc")).agg(count(lit(1)).as("n_sh"))
     val cands = minhashCandidatesFromShingles(sh)
       .select(col("doc_a"), col("doc_b"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     Chunker.registerForCleanup(cands)
+    ngramJaccardFromParts(sh, cands)
+  }
+
+  /** As [[ngramJaccard]], over a prepared (persisted) shingle table and
+    * candidate pair set — the shared-build form the catalog entries use.
+    */
+  def ngramJaccardFromParts(sh: DataFrame, cands: DataFrame): DataFrame = {
+    val counts = sh.groupBy(col("doc")).agg(count(lit(1)).as("n_sh"))
     val inter = cands
       .join(sh.as("sa"), col("doc_a") === col("sa.doc"))
       .join(sh.as("sb"),
@@ -576,6 +617,12 @@ object Dedup {
     val sh = shingleTable(docs, idCol, textCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     Chunker.registerForCleanup(sh)
+    decontaminateFromShingles(sh, isEvalDoc, minShared)
+  }
+
+  /** As [[decontaminate]], over a prepared (persisted) shingle table. */
+  def decontaminateFromShingles(sh: DataFrame, isEvalDoc: Column => Column,
+                                minShared: Long): DataFrame = {
     val ev = sh.filter(isEvalDoc(col("doc")))
       .select(col("doc").as("eval_doc"), col("shingle"))
     val tr = sh.filter(!isEvalDoc(col("doc")))
@@ -609,21 +656,24 @@ object Dedup {
     * no risk of broadcasting the whole shingle universe.
     */
   def boilerplateShingles(docs: DataFrame, idCol: String, textCol: String,
-                          minDocs: Long): DataFrame = {
-    val sp = docs.sparkSession
+                          minDocs: Long): DataFrame =
+    boilerplateFromShingles(shingleTable(docs, idCol, textCol), minDocs)
+
+  /** As [[boilerplateShingles]], over a prepared shingle table (persist
+    * it if the pruning branch may run — both its consumers replay the
+    * lineage otherwise; the memoized corpus build already is).
+    */
+  def boilerplateFromShingles(sh: DataFrame, minDocs: Long): DataFrame = {
+    val sp = sh.sparkSession
     import sp.implicits._
     def directCount(t: DataFrame): DataFrame =
       t.groupBy(col("shingle")).agg(count(lit(1)).as("n_docs"))
         .filter(col("n_docs") >= minDocs)
-    val sh = shingleTable(docs, idCol, textCol)
     val parts = math.max(sh.rdd.getNumPartitions, 1)
     val localBar = (minDocs + parts - 1) / parts
     if (localBar <= 1L) directCount(sh)
     else {
-      import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-      val persisted = sh.persist(MEMORY_AND_DISK)
-      Chunker.registerForCleanup(persisted)
-      val cands = persisted.select(col("shingle")).as[String].mapPartitions { it =>
+      val cands = sh.select(col("shingle")).as[String].mapPartitions { it =>
         val m = scala.collection.mutable.HashMap.empty[String, Long]
         it.foreach(s => m.update(s, m.getOrElse(s, 0L) + 1L))
         m.iterator.collect { case (k, n) if n >= localBar => k }
@@ -631,7 +681,7 @@ object Dedup {
       // no broadcast hint: the candidate set is usually tiny (AQE will
       // broadcast it), but a skew-heavy corpus could make it large and
       // a forced driver collect would be the failure mode
-      directCount(persisted.join(cands, Seq("shingle"), "left_semi"))
+      directCount(sh.join(cands, Seq("shingle"), "left_semi"))
     }
   }
 
@@ -733,7 +783,7 @@ object Dedup {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q151_prefix_join" -> ((s, d) =>
-      prefixFilterJoin(documents(s, d), "doc_id", "text", PrefixJoinT)),
+      prefixFilterJoinFromShingles(corpusShingles(s, d), PrefixJoinT)),
 
     // Dedup-index EVALUATION — recall/precision of the MinHash-LSH
     // candidate set against the EXACT J >= t ground truth the q151
@@ -746,19 +796,15 @@ object Dedup {
     // shingle build (a single corpus scan); the final combine is three
     // 1-row aggregates crossed together.
     "q188_dedup_recall" -> ((s, d) => {
-      val docs = documents(s, d)
-      // one shingle build feeds BOTH arms (exact truth + LSH candidates)
-      val sh = shingleTable(docs, "doc_id", "text")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      Chunker.registerForCleanup(sh)
+      // one SHARED shingle build feeds BOTH arms (exact truth + LSH
+      // candidates) — and any other dedup query in the same run
+      val sh = corpusShingles(s, d)
       val truth = prefixFilterJoinFromShingles(sh, PrefixJoinT)
         .filter(col("passes") === 1L).select(col("doc_a"), col("doc_b"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       Chunker.registerForCleanup(truth)
-      val approx = minhashCandidatesFromShingles(sh)
+      val approx = corpusCandidates(s, d)
         .select(col("doc_a"), col("doc_b"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      Chunker.registerForCleanup(approx)
       val nTruth = truth.agg(count(lit(1)).as("n_truth"))
       val nCands = approx.agg(count(lit(1)).as("n_cands"))
       val nTp = truth.join(approx, Seq("doc_a", "doc_b"), "left_semi")
@@ -780,8 +826,7 @@ object Dedup {
     // the SMALLEST id on ties) — no window, no per-cluster sort.
     "q159_cluster_canonical" -> ((s, d) => {
       val docs = documents(s, d)
-      val labels = neardupClusters(docs,
-        minhashCandidates(docs, "doc_id", "text"), "doc_id")
+      val labels = neardupClusters(docs, corpusCandidates(s, d), "doc_id")
       val withW = labels.join(
         docs.select(col("doc_id"),
           size(TextOps.wordsOf(col("text"))).cast("long").as("n_words")),
@@ -802,12 +847,12 @@ object Dedup {
         substring(col("source"), 4, 10).cast("int"))),
     "q97_dedup_cap" -> ((s, d) =>
       capDuplicates(documents(s, d), "doc_id", "text", k = 2)),
-    "q41_dedup_near" -> ((s, d) =>
-      minhashCandidates(documents(s, d), "doc_id", "text")),
+    "q41_dedup_near" -> ((s, d) => corpusCandidates(s, d)),
     "q46_simhash" -> ((s, d) =>
       simhash(documents(s, d), "doc_id", "text")),
     "q49_ngram_jaccard" -> ((s, d) =>
-      ngramJaccard(documents(s, d), "doc_id", "text")),
+      ngramJaccardFromParts(corpusShingles(s, d),
+        corpusCandidates(s, d).select(col("doc_a"), col("doc_b")))),
     "q179_containment_dedup" -> ((s, d) =>
       containmentPairs(documents(s, d), "doc_id", "text")),
     // Character-level verify stage: exact edit distance, again on the
@@ -815,7 +860,7 @@ object Dedup {
     // bucketed candidate set is what makes it affordable at scale).
     "q55_edit_distance" -> ((s, d) => {
       val docs = documents(s, d).select(col("doc_id"), col("text"))
-      minhashCandidates(documents(s, d), "doc_id", "text")
+      corpusCandidates(s, d)
         .select(col("doc_a"), col("doc_b"))
         .join(docs.withColumnRenamed("doc_id", "doc_a")
           .withColumnRenamed("text", "text_a"), Seq("doc_a"))
@@ -826,19 +871,17 @@ object Dedup {
     }),
     "q47_embed_neardup" -> ((s, d) =>
       embeddingNearDups(embeddings(s, d), NearDupThreshold)),
-    "q57_neardup_clusters" -> ((s, d) => {
-      val docs = documents(s, d)
-      neardupClusters(docs, minhashCandidates(docs, "doc_id", "text"), "doc_id")
-    }),
+    "q57_neardup_clusters" -> ((s, d) =>
+      neardupClusters(documents(s, d), corpusCandidates(s, d), "doc_id")),
     "q61_winnow_fingerprint" -> ((s, d) =>
       winnowFingerprints(documents(s, d), "doc_id", "text")),
     // Eval slice = every 20th doc id — a stand-in for "the benchmark":
     // deterministic, engine-portable, ~5% of the corpus.
     "q74_decontaminate" -> ((s, d) =>
-      decontaminate(documents(s, d), "doc_id", "text",
+      decontaminateFromShingles(corpusShingles(s, d),
         doc => doc % 20 === 0, minShared = 2L)),
     "q77_boilerplate" -> ((s, d) =>
-      boilerplateShingles(documents(s, d), "doc_id", "text", minDocs = 5L)),
+      boilerplateFromShingles(corpusShingles(s, d), minDocs = 5L)),
     // "Yesterday's corpus" = 90% of docs, "today's batch" = the rest:
     // deterministic modulo split, same pattern as q74's eval slice.
     "q78_append_dedup" -> ((s, d) => {
@@ -856,8 +899,7 @@ object Dedup {
     // q57 label propagation; assignment itself is a pure projection.
     "q84_leakage_safe_split" -> ((s, d) => {
       val docs = documents(s, d)
-      val labels = neardupClusters(docs,
-        minhashCandidates(docs, "doc_id", "text"), "doc_id")
+      val labels = neardupClusters(docs, corpusCandidates(s, d), "doc_id")
       val h = TextAnalytics.hashPrefix(col("cluster_id"))
       labels.select(col("doc_id"), col("cluster_id"),
         when(h < lit(TextAnalytics.sampleThreshold(0.8)), "train")
@@ -875,17 +917,13 @@ object Dedup {
     // the 9-way agreement is one narrow candidates x signatures join;
     // the exact Jaccard is confined to candidates like q49.
     "q130_minhash_estimate" -> ((s, d) => {
-      val sh = shingleTable(documents(s, d), "doc_id", "text")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      Chunker.registerForCleanup(sh)
-      val mh = minhashTable(sh)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      Chunker.registerForCleanup(mh)
+      // all three inputs are the shared memoized builds — this entry
+      // adds only the estimate/exact comparison on top of them
+      val sh = corpusShingles(s, d)
+      val mh = corpusMinhash(s, d)
       val counts = mh.select(col("doc"), col("n_sh"))
-      val cands = minhashCandidatesFromMinhashes(mh)
+      val cands = corpusCandidates(s, d)
         .select(col("doc_a"), col("doc_b"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      Chunker.registerForCleanup(cands)
       val agree = (0 until MinhashFuncs)
         .map(k => (col(s"a.mh$k") === col(s"b.mh$k")).cast("int"))
         .reduce(_ + _)
@@ -1007,7 +1045,7 @@ object Dedup {
     // the oracle replays the identical probe.
     "q171_append_neardup" -> ((s, d) => {
       val bands = capBuckets(
-          minhashBands(shingleTable(documents(s, d), "doc_id", "text")),
+          minhashBandsFromTable(corpusMinhash(s, d)),
           Seq("band_idx", "band_hash"), "doc")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       Chunker.registerForCleanup(bands)
@@ -1029,7 +1067,7 @@ object Dedup {
     "q172_source_overlap" -> ((s, d) => {
       val docs = documents(s, d)
       val src = docs.select(col("doc_id"), col("source"))
-      minhashCandidates(docs, "doc_id", "text")
+      corpusCandidates(s, d)
         .join(src.withColumnRenamed("doc_id", "doc_a")
           .withColumnRenamed("source", "src_a"), Seq("doc_a"))
         .join(src.withColumnRenamed("doc_id", "doc_b")
