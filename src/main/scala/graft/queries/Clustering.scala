@@ -268,6 +268,11 @@ object Clustering {
       collect_list(struct(col("cent_id"), col("c_emb"))).as("cs"))
     val pts = emb.select(col("vec_id"), col("embedding"))
       .crossJoin(broadcast(packed))
+      // size >= 2 guard: with a single effective centroid (k = 1, or a
+      // 1-point corpus) there is no "nearest OTHER centroid" — emit no
+      // rows, exactly like the oracle's rn = 2 inner join (ADVICE r7:
+      // ds[1] unguarded read emitted null db/sil rows the oracle lacks)
+      .filter(size(col("cs")) >= 2)
       .withColumn("ds", array_sort(transform(col("cs"), c =>
         struct(round(distSq(col("embedding"), c("c_emb")), 6).as("d"),
           c("cent_id").as("cent_id")))))

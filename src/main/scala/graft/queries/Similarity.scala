@@ -636,33 +636,44 @@ object Similarity {
     * catalog entry's doc; split out so the spec can plant outliers.
     */
   def embeddingOutliers(s: SparkSession, emb: DataFrame): DataFrame = {
+      // Pure DataFrame pipeline — no temp view, so concurrent/repeated
+      // construction in one session can't collide on a global name
+      // (ADVICE r7). `percentile(x, 0.5)` is the same exact interpolated
+      // median percentile_cont computes.
       val e = emb.select(col("vec_id"), col("embedding"))
       val raw = (0 until JlDim).map(j =>
         round(dot(col("embedding"), typedlit(PlanePool(JlOffset + j))) / 4.0, 6)
           .as(s"r$j"))
       val p = e.select(col("vec_id") +: raw: _*)
-      p.select(col("vec_id"),
+      val long = p.select(col("vec_id"),
           posexplode(array((0 until JlDim).map(j => col(s"r$j")): _*)))
         .withColumnRenamed("pos", "dim").withColumnRenamed("col", "v")
-        .createOrReplaceTempView("graft_q183_long")
-      s.sql(s"""WITH stats AS (
-        |  SELECT dim,
-        |    percentile_cont(0.5) WITHIN GROUP (ORDER BY v) AS med
-        |  FROM graft_q183_long GROUP BY dim),
-        |dev AS (
-        |  SELECT l.vec_id, l.dim, l.v, s.med, abs(l.v - s.med) AS adev
-        |  FROM graft_q183_long l JOIN stats s ON s.dim = l.dim),
-        |mads AS (
-        |  SELECT dim,
-        |    percentile_cont(0.5) WITHIN GROUP (ORDER BY adev) AS mad
-        |  FROM dev GROUP BY dim),
-        |z AS (
-        |  SELECT d.vec_id,
-        |    CASE WHEN m.mad = 0 THEN 0.0
-        |         ELSE abs((0.6745 * (d.v - d.med)) / m.mad) END AS az
-        |  FROM dev d JOIN mads m ON m.dim = d.dim),
-        |sc AS (SELECT vec_id, round(max(az), 6) AS score FROM z GROUP BY vec_id)
-        |SELECT vec_id, score, score > 3.5 AS is_outlier FROM sc""".stripMargin)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      graft.pipeline.Chunker.registerForCleanup(long)
+      val stats = long.groupBy(col("dim"))
+        .agg(expr("percentile(v, 0.5D)").as("med"))
+      val dev = long.join(broadcast(stats), Seq("dim"))
+        .withColumn("adev", abs(col("v") - col("med")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      graft.pipeline.Chunker.registerForCleanup(dev)
+      // Iglewicz–Hoban modified z; when a dimension's MAD is 0 (over
+      // half the values sit exactly at the median) fall back to the
+      // MEAN absolute deviation, 1.253313·(v−med)/meanAD, instead of
+      // masking the dimension with a 0 score (ADVICE r7): an extreme
+      // outlier on an otherwise near-constant projected dim now
+      // registers. Both deviations come from the same `dev` pass.
+      val mads = dev.groupBy(col("dim"))
+        .agg(expr("percentile(adev, 0.5D)").as("mad"),
+          avg(col("adev")).as("meanad"))
+      val z = dev.join(broadcast(mads), Seq("dim"))
+        .select(col("vec_id"),
+          when(col("mad") =!= 0.0,
+              abs(lit(0.6745) * (col("v") - col("med")) / col("mad")))
+            .when(col("meanad") =!= 0.0,
+              abs(lit(1.253313) * (col("v") - col("med")) / col("meanad")))
+            .otherwise(lit(0.0)).as("az"))
+      z.groupBy(col("vec_id")).agg(round(max(col("az")), 6).as("score"))
+        .select(col("vec_id"), col("score"), (col("score") > 3.5).as("is_outlier"))
   }
 
   /** Coreset size for q180 — big enough to exercise the greedy, small
@@ -1001,12 +1012,14 @@ object Similarity {
          |  FROM long l JOIN stats s ON s.dim = l.dim),
          |mads AS (
          |  SELECT dim,
-         |    percentile_cont(0.5) WITHIN GROUP (ORDER BY adev) AS mad
+         |    percentile_cont(0.5) WITHIN GROUP (ORDER BY adev) AS mad,
+         |    avg(adev) AS meanad
          |  FROM dev GROUP BY dim),
          |z AS (
          |  SELECT d.vec_id,
-         |    CASE WHEN m.mad = 0 THEN 0.0
-         |         ELSE abs((0.6745 * (d.v - d.med)) / m.mad) END AS az
+         |    CASE WHEN m.mad <> 0 THEN abs((0.6745 * (d.v - d.med)) / m.mad)
+         |         WHEN m.meanad <> 0 THEN abs((1.253313 * (d.v - d.med)) / m.meanad)
+         |         ELSE 0.0 END AS az
          |  FROM dev d JOIN mads m ON m.dim = d.dim),
          |sc AS (SELECT vec_id, round(max(az), 6) AS score FROM z GROUP BY vec_id)
          |SELECT vec_id, score, score > 3.5 AS is_outlier FROM sc""".stripMargin

@@ -206,25 +206,33 @@ object Warehouse {
     // identical keys. One 1-row bounds broadcast + one 64-group
     // aggregate; the actual rewrite is q91's clustered write sorted by
     // z_key, unchanged at any scale.
-    "q185_zorder_layout" -> ((s, d) => {
-      val e = events(s, d).select(
+    "q185_zorder_layout" -> ((s, d) =>
+      zorderLayout(events(s, d).select(
         expr("unix_micros(ts) div 3600000000").as("x"),
-        col("user_id").as("y"))
-      val bounds = e.agg(min(col("x")).as("xmin"), max(col("x")).as("xmax"),
-        min(col("y")).as("ymin"), max(col("y")).as("ymax"))
-      e.crossJoin(broadcast(bounds))
-        .select(
-          expr("((x - xmin) * 65535) div (xmax - xmin)").as("x16"),
-          expr("((y - ymin) * 65535) div (ymax - ymin)").as("y16"))
-        .withColumn("z", expr(ZOrder.interleaveExpr("div")))
-        .select(col("x16"), col("y16"),
-          expr(s"z div ${1L << 26}").as("file_id"))
-        .groupBy(col("file_id"))
-        .agg(count(lit(1)).as("n_rows"),
-          min(col("x16")).as("x_lo"), max(col("x16")).as("x_hi"),
-          min(col("y16")).as("y_lo"), max(col("y16")).as("y_hi"))
-    })
+        col("user_id").as("y"))))
   )
+
+  /** q185 body over any (x, y) integer frame — split out so the spec
+    * can plant a degenerate (constant-dimension) input.
+    */
+  def zorderLayout(e: DataFrame): DataFrame = {
+    val bounds = e.agg(min(col("x")).as("xmin"), max(col("x")).as("xmax"),
+      min(col("y")).as("ymin"), max(col("y")).as("ymax"))
+    // greatest(range, 1): a degenerate dimension (all events in one
+    // hour / one user) maps to 0 instead of a div-by-zero — Spark
+    // would emit silent nulls where DuckDB errors (ADVICE r7)
+    e.crossJoin(broadcast(bounds))
+      .select(
+        expr("((x - xmin) * 65535) div greatest(xmax - xmin, 1)").as("x16"),
+        expr("((y - ymin) * 65535) div greatest(ymax - ymin, 1)").as("y16"))
+      .withColumn("z", expr(ZOrder.interleaveExpr("div")))
+      .select(col("x16"), col("y16"),
+        expr(s"z div ${1L << 26}").as("file_id"))
+      .groupBy(col("file_id"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("x16")).as("x_lo"), max(col("x16")).as("x_hi"),
+        min(col("y16")).as("y_lo"), max(col("y16")).as("y_hi"))
+  }
 
   /** Bit-interleave of two 16-bit ints as pure div/mod arithmetic —
     * ONE expression string valid in both engines modulo the integer-
@@ -361,8 +369,8 @@ object Warehouse {
          |  SELECT min(x) AS xmin, max(x) AS xmax,
          |    min(y) AS ymin, max(y) AS ymax FROM e),
          |n AS (
-         |  SELECT ((x - xmin) * 65535) // (xmax - xmin) AS x16,
-         |    ((y - ymin) * 65535) // (ymax - ymin) AS y16
+         |  SELECT ((x - xmin) * 65535) // greatest(xmax - xmin, 1) AS x16,
+         |    ((y - ymin) * 65535) // greatest(ymax - ymin, 1) AS y16
          |  FROM e CROSS JOIN b),
          |z AS (
          |  SELECT x16, y16,

@@ -63,6 +63,35 @@ class EmptyInputSpec extends AnyFunSuite with CacheCleanup {
     assert(kept.length == 1 && kept.head.getAs[Long]("kept") == 1L)
   }
 
+  test("round-8 degenerate inputs: zorder constant dim, MAD=0 outlier, 1-centroid silhouette") {
+    // q185 guard: a constant dimension (every event in one hour) maps
+    // to x16 = 0 instead of dividing by zero / emitting silent nulls —
+    // the layout degrades to a single-key sort on the other dimension
+    val flat = Seq((5L, 1L), (5L, 2L), (5L, 900L)).toDF("x", "y")
+    val zr = graft.queries.Warehouse.zorderLayout(flat).collect()
+    assert(zr.nonEmpty)
+    assert(zr.forall(r => r.getAs[Long]("x_lo") == 0L &&
+      r.getAs[Long]("x_hi") == 0L))
+    assert(zr.map(_.getAs[Long]("n_rows")).sum == 3L)
+    // q183 fallback: 11 identical vectors + 1 extreme — every projected
+    // dim has MAD 0 (12 of 12 values at the median except the planted
+    // one), so without the meanAD fallback the outlier would score 0
+    // and hide; with it, it must flag
+    val base = Seq.fill(64)(0.5f)
+    val vecs = (1L to 11L).map(i => (i, base)) :+ (99L, Seq.fill(64)(25f))
+    val out = graft.queries.Similarity
+      .embeddingOutliers(spark, vecs.toDF("vec_id", "embedding"))
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[Boolean]("is_outlier")).toMap
+    assert(out(99L), "planted extreme vector must be flagged despite MAD=0")
+    assert((1L to 11L).forall(i => !out(i)))
+    // q189 guard: k = 1 leaves no "nearest other centroid" — empty
+    // result (matching the oracle's rn = 2 inner join), not null rows
+    val few = Seq((1L, Seq(1f, 0f)), (2L, Seq(0f, 1f)), (3L, Seq(1f, 1f)))
+      .toDF("vec_id", "embedding")
+    assert(graft.queries.Clustering.clusterSilhouette(few, 1, 1).count() == 0)
+  }
+
   test("round-7 wave-3+ operators on empty inputs") {
     // containment dedup: empty corpus and single-doc corpus pair nothing
     assert(Dedup.containmentPairs(noDocs, "doc_id", "text").count() == 0)
