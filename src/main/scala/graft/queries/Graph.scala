@@ -35,6 +35,43 @@ object Graph {
   val PrIters = 3
   val PrScale = 100000000L // 1e8 micro-units
 
+  /** Sweeps executed by the most recent [[iterateToFixpoint]] call on
+    * this thread — a diagnostics surface (the early-stop spec reads
+    * it; ThreadLocal so concurrent query construction can't race).
+    */
+  val lastSweepsRun: ThreadLocal[Integer] =
+    ThreadLocal.withInitial(() => Integer.valueOf(0))
+
+  /** Run `step` up to `maxSweeps` times, STOPPING EARLY after the
+    * first sweep that leaves the state unchanged: every iterative
+    * operator here is a deterministic function of the previous state,
+    * so state_t = state_{t+1} implies state_T = state_t for all
+    * T ≥ t — the early-stopped output IS the fixed-count output
+    * (GraphSpec asserts equality and that a fixture actually stops).
+    * The convergence probe is one node-keyed `exceptAll` per sweep —
+    * the price that turns "diameter unknown, schedule 100 sweeps"
+    * into "stop at the 12th" on a web-scale graph. Each state is
+    * persisted (the sweeps and the probe both read it) and registered
+    * for cleanup.
+    */
+  def iterateToFixpoint(init: DataFrame, maxSweeps: Int)
+                       (step: DataFrame => DataFrame): DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    var cur = init.persist(MEMORY_AND_DISK)
+    graft.pipeline.Chunker.registerForCleanup(cur)
+    var sweeps = 0
+    var converged = false
+    while (sweeps < maxSweeps && !converged) {
+      val next = step(cur).persist(MEMORY_AND_DISK)
+      graft.pipeline.Chunker.registerForCleanup(next)
+      converged = next.exceptAll(cur).isEmpty
+      sweeps += 1
+      cur = next
+    }
+    lastSweepsRun.set(sweeps)
+    cur
+  }
+
   /** Edges (src, dst, w, out_w): supplier nation ships to customer
     * nation, weight = lineitem count over the joined facts.
     */
@@ -80,17 +117,17 @@ object Graph {
     val teleport = (PrScale * 15L / 100L) / nodeCount
     val e = edges.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     graft.pipeline.Chunker.registerForCleanup(e)
-    var pr = nodes.select(col("node"), lit(init).as("pr_micro"))
-    for (_ <- 1 to iters) {
+    val pr = iterateToFixpoint(
+        nodes.select(col("node"), lit(init).as("pr_micro")), iters) { pr0 =>
       // shuffle_hash hint: without it Catalyst would see the tiny test
       // fixture and silently pick broadcast anyway, making the web-scale
       // path untested
-      val ranks = if (broadcastRanks) broadcast(pr) else pr.hint("shuffle_hash")
+      val ranks = if (broadcastRanks) broadcast(pr0) else pr0.hint("shuffle_hash")
       val contrib = e.join(ranks, col("src") === col("node"))
         .select(col("dst"),
           expr("(pr_micro * 85 * trans_micro) div 100000000").as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("in_sum"))
-      pr = nodes.join(contrib, nodes("node") === contrib("dst"), "left")
+      nodes.join(contrib, nodes("node") === contrib("dst"), "left")
         .select(col("node"),
           (lit(teleport) + coalesce(col("in_sum"), lit(0L))).as("pr_micro"))
     }
@@ -198,24 +235,20 @@ object Graph {
       .unionAll(edges.select(col("b").as("u"), col("a").as("v")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     graft.pipeline.Chunker.registerForCleanup(sym)
-    var lab = nodes.select(col("node"), col("node").as("comp"))
-    for (_ <- 1 to iters) {
-      // each round reads `lab` TWICE (sweep + merge): persist the
-      // node-sized label table per round or the lineage re-executes
-      // the whole prior chain once per reference
-      lab = lab.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      graft.pipeline.Chunker.registerForCleanup(lab)
+    // each round reads the label table TWICE (sweep + merge) plus the
+    // convergence probe — iterateToFixpoint persists per round
+    iterateToFixpoint(
+        nodes.select(col("node"), col("node").as("comp")), iters) { lab =>
       val l = if (broadcastLabels) broadcast(lab) else lab.hint("shuffle_hash")
       val nbrMin = sym.join(l, col("v") === col("node"))
         .groupBy(col("u")).agg(min(col("comp")).as("nbr_comp"))
       val m = if (broadcastLabels) broadcast(nbrMin)
         else nbrMin.hint("shuffle_hash")
-      lab = lab.join(m, lab("node") === m("u"), "left")
+      lab.join(m, lab("node") === m("u"), "left")
         .select(lab("node"),
           least(col("comp"), coalesce(col("nbr_comp"), col("comp")))
             .as("comp"))
     }
-    lab
   }
 
   /** Label sweeps for q141: the trade graph's diameter is 1–2 at
@@ -246,13 +279,11 @@ object Graph {
       .unionAll(edges.select(col("b").as("u"), col("a").as("v")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     graft.pipeline.Chunker.registerForCleanup(sym)
-    var lab = nodes.select(col("node"), col("node").as("comp"))
-    for (_ <- 1 to rounds) {
-      // persist per round: `lab` feeds the sweep twice and `swept`
-      // feeds the doubling self-join twice — unpersisted, every
-      // reference re-executes the whole prior chain
-      lab = lab.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      graft.pipeline.Chunker.registerForCleanup(lab)
+    // per round the label table feeds the sweep twice, `swept` feeds
+    // the doubling self-join twice, and the probe reads the result —
+    // iterateToFixpoint persists the round state, `swept` persists here
+    iterateToFixpoint(
+        nodes.select(col("node"), col("node").as("comp")), rounds) { lab =>
       val l = if (broadcastLabels) broadcast(lab) else lab.hint("shuffle_hash")
       val nbrMin = sym.join(l, col("v") === col("node"))
         .groupBy(col("u")).agg(min(col("comp")).as("nbr_comp"))
@@ -266,11 +297,10 @@ object Graph {
       graft.pipeline.Chunker.registerForCleanup(swept)
       val y = swept.select(col("node").as("c_node"), col("comp").as("c_comp"))
       val yb = if (broadcastLabels) broadcast(y) else y.hint("shuffle_hash")
-      lab = swept.as("x")
+      swept.as("x")
         .join(yb, col("comp") === col("c_node"))
         .select(col("node"), col("c_comp").as("comp"))
     }
-    lab
   }
 
   /** Rounds for q143: sweep+doubling reach after r rounds is ≥ 2^r
@@ -333,14 +363,12 @@ object Graph {
     val e = edges.select(col("src"), col("dst"), col("cost"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     graft.pipeline.Chunker.registerForCleanup(e)
-    var dist = nodes.select(col("node"),
-      when(col("node") === source, lit(0L))
-        .otherwise(lit(null).cast("long")).as("dist"))
-    for (_ <- 1 to sweeps) {
-      // each sweep reads `dist` twice (relax + merge): persist the
-      // node-sized table per sweep or the lineage re-executes
-      dist = dist.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      graft.pipeline.Chunker.registerForCleanup(dist)
+    // each sweep reads the distance table twice (relax + merge) plus
+    // the convergence probe — iterateToFixpoint persists per sweep
+    iterateToFixpoint(
+        nodes.select(col("node"),
+          when(col("node") === source, lit(0L))
+            .otherwise(lit(null).cast("long")).as("dist")), sweeps) { dist =>
       val dd = if (broadcastDist) broadcast(dist) else dist.hint("shuffle_hash")
       val relax = e.join(dd, col("src") === col("node"))
         .filter(col("dist").isNotNull)
@@ -348,13 +376,12 @@ object Graph {
       val r = if (broadcastDist) broadcast(relax) else relax.hint("shuffle_hash")
       // explicit CASE instead of least(): the engines disagree on
       // least()'s NULL handling, and NULL here means infinity
-      dist = dist.join(r, dist("node") === r("dst"), "left")
+      dist.join(r, dist("node") === r("dst"), "left")
         .select(dist("node"),
           when(dist("dist").isNull, col("cand"))
             .when(col("cand").isNull, dist("dist"))
             .otherwise(least(dist("dist"), col("cand"))).as("dist"))
     }
-    dist
   }
 
   /** Sweeps for q146: distances are exact for paths of ≤ k hops; the
@@ -414,16 +441,16 @@ object Graph {
   def labelProp(nodes: DataFrame, edges: DataFrame, iters: Int): DataFrame = {
     val e = edges.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     graft.pipeline.Chunker.registerForCleanup(e)
-    var labels = nodes.select(col("node"), col("node").as("label"))
-    for (_ <- 1 to iters) {
+    val labels = iterateToFixpoint(
+        nodes.select(col("node"), col("node").as("label")), iters) { labs =>
       val votes = e
-        .join(labels.select(col("node").as("src"), col("label")), Seq("src"))
+        .join(labs.select(col("node").as("src"), col("label")), Seq("src"))
         .groupBy(col("dst"), col("label"))
         .agg(sum(col("w")).as("wsum"))
       val best = votes.groupBy(col("dst"))
         .agg(max(struct(col("wsum").as("w"), (-col("label")).as("k"))).as("b"))
         .select(col("dst").as("node"), (-col("b.k")).as("nbr_label"))
-      labels = nodes.select(col("node"))
+      nodes.select(col("node"))
         .join(best, Seq("node"), "left")
         .select(col("node"),
           coalesce(col("nbr_label"), col("node")).as("label"))

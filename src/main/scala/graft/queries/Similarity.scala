@@ -509,40 +509,10 @@ object Similarity {
     // the diversity-maximizing DATA-SELECTION op (pick K exemplars so
     // every vector is near one; the facility-location/coverage shape
     // fine-tuning-set selection and annotation budgeting use, vs
-    // q139's density-seeking k-means). Each sweep is ONE distributed
-    // pass: ≤K broadcast-literal cosine distances per row (no join at
-    // all — the centers are typedlit constants in the projection), a
-    // running `least()` min, and a TakeOrdered(1) argmax (per-partition
-    // top-1 + driver merge, never a global sort); the driver collects
-    // exactly one row per sweep (the Ranks/Chunker driver-sized-collect
-    // pattern). Selection ranks on the ROUNDED cosine with a vec_id
-    // tie-break — the house rule that keeps both engines' argmax off
-    // sub-ulp noise. O(K·N·d) total; at much larger K, persist the
-    // running min as a materialized column per sweep to make each
-    // sweep O(N·d) — same algorithm, same outputs.
-    "q180_kcenter_coreset" -> ((s, d) => {
-      import s.implicits._
-      val e = embeddings(s, d).select(col("vec_id"), col("embedding"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      graft.pipeline.Chunker.registerForCleanup(e)
-      val seed = e.orderBy(col("vec_id")).limit(1)
-        .select(col("vec_id"), col("embedding"))
-        .as[(Long, Seq[Float])].collect().head
-      var centers = Vector[(Long, Seq[Float], Option[Double])](
-        (seed._1, seed._2, None))
-      while (centers.size < KCenterK) {
-        val mind = centers.map(c =>
-          lit(1.0) - cosine(col("embedding"), typedlit(c._2))).reduce(least(_, _))
-        val next = e.select(col("vec_id"), col("embedding"), mind.as("mind"))
-          .orderBy(col("mind").desc, col("vec_id")).limit(1)
-          .as[(Long, Seq[Float], Double)].collect().head
-        centers = centers :+ ((next._1, next._2, Some(next._3)))
-      }
-      centers.zipWithIndex.map { case ((id, _, r), i) =>
-        (i + 1, id, r.map(x => BigDecimal(x).setScale(6,
-          BigDecimal.RoundingMode.HALF_UP).toDouble))
-      }.toDF("step", "vec_id", "radius")
-    }),
+    // q139's density-seeking k-means). See [[kCenterCoreset]] for the
+    // per-sweep-O(N·d) running-min implementation.
+    "q180_kcenter_coreset" -> ((s, d) =>
+      kCenterCoreset(embeddings(s, d), KCenterK)),
 
     // Embedding-space outlier sweep — the garbage-vector detector a
     // curation pipeline runs before clustering/dedup trusts the
@@ -680,6 +650,93 @@ object Similarity {
     * enough that the K distributed sweeps stay visibly cheap.
     */
   val KCenterK = 8
+
+  /** Gonzalez greedy k-center with a PERSISTED RUNNING MIN: each sweep
+    * is one O(N·d) distributed pass — distance to the NEWEST center
+    * only, `least()` against the materialized `mind` column, and a
+    * TakeOrdered(1) argmax (per-partition top-1 + driver merge; the
+    * driver collects exactly one row per sweep). The naive form
+    * ([[kCenterCoresetRescan]], kept as the spec's reference) rebuilds
+    * min-distance over ALL selected centers every sweep — O(K·N·d)
+    * total, the r7 verdict's watch item; this is the documented
+    * variant made real, selection-identical by construction
+    * (incremental least of the same rounded cosines — least is
+    * associative) and asserted in SimilaritySpec. Peak cache is two
+    * corpus-wide (vec, embedding, mind) tables: the previous sweep's
+    * table is dropped as soon as the argmax has materialized the new
+    * one. Selection ranks on the ROUNDED cosine with a vec_id
+    * tie-break — the house rule that keeps both engines' argmax off
+    * sub-ulp noise.
+    */
+  def kCenterCoreset(emb: DataFrame, k: Int): DataFrame = {
+    val sp = emb.sparkSession
+    import sp.implicits._
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val e = emb.select(col("vec_id"), col("embedding"))
+    val seedRows = e.orderBy(col("vec_id")).limit(1)
+      .as[(Long, Seq[Float])].collect()
+    var centers = Vector.empty[(Long, Option[Double])]
+    if (seedRows.nonEmpty) {
+      centers = Vector((seedRows.head._1, None))
+      var cur = e.select(col("vec_id"), col("embedding"),
+          (lit(1.0) - cosine(col("embedding"), typedlit(seedRows.head._2)))
+            .as("mind"))
+        .persist(MEMORY_AND_DISK)
+      graft.pipeline.Chunker.registerForCleanup(cur)
+      var prev: Option[DataFrame] = None
+      while (centers.size < k) {
+        // the argmax pass is what materializes `cur` into the cache;
+        // only then is the previous sweep's table safe to drop
+        val next = cur.orderBy(col("mind").desc, col("vec_id")).limit(1)
+          .as[(Long, Seq[Float], Double)].collect().head
+        prev.foreach(_.unpersist(false)); prev = None
+        centers = centers :+ ((next._1, Some(next._3)))
+        if (centers.size < k) {
+          val upd = cur.select(col("vec_id"), col("embedding"),
+              least(col("mind"),
+                lit(1.0) - cosine(col("embedding"), typedlit(next._2)))
+                .as("mind"))
+            .persist(MEMORY_AND_DISK)
+          graft.pipeline.Chunker.registerForCleanup(upd)
+          prev = Some(cur); cur = upd
+        } else cur.unpersist(false)
+      }
+    }
+    centers.zipWithIndex.map { case ((id, r), i) =>
+      (i + 1, id, r.map(x => BigDecimal(x).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble))
+    }.toDF("step", "vec_id", "radius")
+  }
+
+  /** The rescan form of [[kCenterCoreset]] — min-distance over ALL
+    * selected centers recomputed every sweep (O(K·N·d) total). Kept
+    * ONLY as the independent reference implementation SimilaritySpec
+    * checks the running-min variant against; not in the catalog.
+    */
+  def kCenterCoresetRescan(emb: DataFrame, k: Int): DataFrame = {
+    val sp = emb.sparkSession
+    import sp.implicits._
+    val e = emb.select(col("vec_id"), col("embedding"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.pipeline.Chunker.registerForCleanup(e)
+    val seed = e.orderBy(col("vec_id")).limit(1)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])].collect().head
+    var centers = Vector[(Long, Seq[Float], Option[Double])](
+      (seed._1, seed._2, None))
+    while (centers.size < k) {
+      val mind = centers.map(c =>
+        lit(1.0) - cosine(col("embedding"), typedlit(c._2))).reduce(least(_, _))
+      val next = e.select(col("vec_id"), col("embedding"), mind.as("mind"))
+        .orderBy(col("mind").desc, col("vec_id")).limit(1)
+        .as[(Long, Seq[Float], Double)].collect().head
+      centers = centers :+ ((next._1, next._2, Some(next._3)))
+    }
+    centers.zipWithIndex.map { case ((id, _, r), i) =>
+      (i + 1, id, r.map(x => BigDecimal(x).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble))
+    }.toDF("step", "vec_id", "radius")
+  }
 
   /** q165 JL target dimensionality (sqrt(16) = 4 keeps the scale
     * exact) and the PlanePool offset (the tail 16 planes — disjoint

@@ -148,6 +148,49 @@ class GraphSpec extends AnyFunSuite with CacheCleanup {
     assert(labels(4) == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 0L))
   }
 
+  test("convergence early-stop: output equals fixed sweeps and actually stops early") {
+    // path 0-1-2-3-4, diameter 4: convergence at sweep 4, the probe
+    // detects it at sweep 5 — a 50-sweep budget must stop there with
+    // the identical label table
+    val und = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L)).toDF("a", "b")
+    val ns = (0L to 4L).toDF("node")
+    def toMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("comp")).toMap
+    val fixed = toMap(Graph.connectedComponents(ns, und, 4))
+    val budget = toMap(Graph.connectedComponents(ns, und, 50))
+    assert(Graph.lastSweepsRun.get() == 5,
+      s"expected stop at sweep 5, ran ${Graph.lastSweepsRun.get()}")
+    assert(budget == fixed)
+    // sssp stops once all ≤k-hop paths are found: chain costs 0-1-2-3
+    val ce = Seq((0L, 1L, 7L), (1L, 2L, 5L), (2L, 3L, 1L))
+      .toDF("src", "dst", "cost")
+    val ns4 = (0L to 3L).toDF("node")
+    def dists(k: Int) = Graph.sssp(ns4, ce, 0L, k).collect()
+      .map(r => r.getAs[Long]("node") ->
+        Option(r.getAs[java.lang.Long]("dist"))).toMap
+    val d3 = dists(3)
+    val d40 = dists(40)
+    assert(Graph.lastSweepsRun.get() == 4,
+      s"expected stop at sweep 4, ran ${Graph.lastSweepsRun.get()}")
+    assert(d40 == d3)
+    // label propagation: two 3-cliques joined by one weak edge settle
+    // in 2 sweeps; a 30-sweep budget stops at 3 with identical labels
+    val w = Seq(
+      (0L, 1L, 9L), (1L, 0L, 9L), (0L, 2L, 9L), (2L, 0L, 9L),
+      (1L, 2L, 9L), (2L, 1L, 9L),
+      (10L, 11L, 9L), (11L, 10L, 9L), (10L, 12L, 9L), (12L, 10L, 9L),
+      (11L, 12L, 9L), (12L, 11L, 9L),
+      (2L, 10L, 1L)).toDF("src", "dst", "w")
+    val ns6 = Seq(0L, 1L, 2L, 10L, 11L, 12L).toDF("node")
+    def comms(k: Int) = Graph.labelProp(ns6, w, k).collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("community")).toMap
+    val c3 = comms(3)
+    val c30 = comms(30)
+    val ran = Graph.lastSweepsRun.get()
+    assert(ran < 30, s"LPA must converge well before 30 sweeps, ran $ran")
+    assert(c30 == c3)
+  }
+
   test("pointer-doubling CC agrees with converged one-hop CC") {
     val und = Seq((0L, 1L), (1L, 2L), (2L, 3L),
       (10L, 11L), (11L, 12L), (10L, 12L)).toDF("a", "b")

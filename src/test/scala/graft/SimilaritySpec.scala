@@ -334,6 +334,21 @@ class SimilaritySpec extends AnyFunSuite with CacheCleanup {
     assert(radii == radii.sorted.reverse, s"radii must be non-increasing: $radii")
   }
 
+  test("q180 running-min variant selects identically to the rescan form") {
+    // the persisted-running-min implementation (O(N·d) per sweep; the
+    // catalog's) must make exactly the choices of the rescan reference
+    // (O(K·N·d)) — incremental least of the same rounded cosines
+    val d = TestSpark.sf0001
+    val emb = graft.Tables.embeddings(spark, d)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Int]("step"), r.getAs[Long]("vec_id"),
+        Option(r.getAs[java.lang.Double]("radius")).map(_.doubleValue)))
+      .sortBy(_._1).toVector
+    val fast = rows(graft.queries.Similarity.kCenterCoreset(emb, 6))
+    val slow = rows(graft.queries.Similarity.kCenterCoresetRescan(emb, 6))
+    assert(fast == slow)
+  }
+
   test("q190 IVF-PQ serving retrieves planted families through codes alone") {
     import spark.implicits._
     // four orthogonal 64-dim "families" (pattern f = one-hot blocks at
