@@ -16,12 +16,16 @@ import org.apache.spark.unsafe.types.UTF8String
   * (contractions, words with one leading non-letter, 1-3 digit runs,
   * punctuation runs, whitespace), then (2) byte-pair merges WITHIN each
   * piece driven by a ~100k-entry learned merges table. Stage 1's split
-  * regex is published with the tokenizer and is reproduced here exactly;
-  * stage 2's merges table is data we cannot obtain offline (zero
-  * egress), so within-piece splitting is approximated: a piece of
-  * length L costs max(1, ceil(L / 8)) tokens — common pieces (words up
-  * to 8 chars, single punctuation, contractions) cost 1, exactly like
-  * the real BPE, and long/rare pieces degrade gracefully instead of
+  * regex is published with the tokenizer and is reproduced here
+  * exactly. Stage 2 is implemented exactly too ([[BpeRanks]]: greedy
+  * lowest-rank adjacent byte-pair merge), but its DATA — the
+  * MIT-licensed `cl100k_base.tiktoken` ranks file — cannot be obtained
+  * from this zero-egress build environment, so the table is pluggable
+  * (env/property/classpath; see [[BpeRanks.loadDefault]]). When it is
+  * absent, within-piece splitting is approximated: a piece of length L
+  * costs max(1, ceil(L / 8)) tokens — common pieces (words up to 8
+  * chars, single punctuation, contractions) cost 1, exactly like the
+  * real BPE, and long/rare pieces degrade gracefully instead of
   * flattening to 1.
   *
   * Fidelity: this passes every published token-count range in the
@@ -77,13 +81,28 @@ object TokenCountCl100k {
     """'(?i:[sdmt]|ll|ve|re)|[^\r\n\p{L}\p{N}]?+\p{L}+|\p{N}{1,3}| ?[^\s\p{L}\p{N}]++[\r\n]*|\s*[\r\n]|\s+(?!\S)|\s+""",
     Pattern.UNICODE_CHARACTER_CLASS)
 
-  /** Piece cost: 1 for anything up to 8 chars (the overwhelmingly common
-    * case, matching the real BPE where frequent words are single
-    * tokens), ceil(L/8) beyond (long/rare pieces split in the real BPE;
-    * 8 chars/token is the conservative end of published English BPE
-    * compression, so this under-counts rather than inflates).
+  /** The real merges table, when supplied (`GRAFT_CL100K_RANKS` env,
+    * `-Dgraft.cl100k.ranks`, or a `/cl100k_base.tiktoken` classpath
+    * resource — see [[BpeRanks]]). With it, counts are bit-exact
+    * cl100k_base; without (this zero-egress build), the per-piece
+    * estimate below stands in. Loaded once per JVM.
     */
-  def count(s: String): Int = {
+  private lazy val ranks: Option[java.util.HashMap[String, Integer]] =
+    BpeRanks.loadDefault()
+
+  /** Piece cost without a ranks table: 1 for anything up to 8 chars
+    * (the overwhelmingly common case, matching the real BPE where
+    * frequent words are single tokens), ceil(L/8) beyond (long/rare
+    * pieces split in the real BPE; 8 chars/token is the conservative
+    * end of published English BPE compression, so this under-counts
+    * rather than inflates).
+    */
+  def count(s: String): Int = ranks match {
+    case Some(r) => countExact(s, r)
+    case None => countEstimate(s)
+  }
+
+  def countEstimate(s: String): Int = {
     if (s.isEmpty) return 0
     val m = SplitPattern.matcher(s)
     var tokens = 0
@@ -91,6 +110,17 @@ object TokenCountCl100k {
       val len = m.end() - m.start()
       tokens += math.max(1, (len + 7) / 8)
     }
+    tokens
+  }
+
+  /** Exact two-stage count: published pre-tokenizer split, then the
+    * tiktoken byte-pair merge per piece over `r` ([[BpeRanks.countPiece]]).
+    */
+  def countExact(s: String, r: java.util.HashMap[String, Integer]): Int = {
+    if (s.isEmpty) return 0
+    val m = SplitPattern.matcher(s)
+    var tokens = 0
+    while (m.find()) tokens += BpeRanks.countPiece(m.group(), r)
     tokens
   }
 }

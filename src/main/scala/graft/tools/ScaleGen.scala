@@ -1,0 +1,90 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Synthesizes an N× `documents` + `embeddings` corpus from an existing
+  * scale-factor directory, for the empirical scale probe
+  * ([[ScaleProbe]] → `SCALE.md`). Everything is derived with
+  * deterministic hash arithmetic (no RNG), so the corpus is
+  * reproducible bit-for-bit and the generation itself is a distributed
+  * plan — no driver-side loops over rows.
+  *
+  * Replica semantics (what keeps the probe honest):
+  *  - rep 0 is the source corpus unchanged; reps 1..N-1 are size-true
+  *    replicas with fresh ids (`id + rep * (max_id + 1)`).
+  *  - document text in rep>0 is WORD-PERMUTED with a permutation keyed
+  *    by (word position, rep): identical texts stay identical (exact
+  *    duplicates inside each replica survive), same-length near-dup
+  *    pairs share their permutation (word-substitution near-dups
+  *    survive), but a doc and its own replica share almost no word
+  *    n-grams — so the DUPLICATE RATE stays ~the source corpus's
+  *    instead of every replica being a near-dup of its original, which
+  *    would quadratically inflate LSH candidate pairs and fake a
+  *    super-linear scaling curve.
+  *  - embeddings in rep>0 get content-seeded elementwise noise
+  *    (uniform in ±0.45 per dim): identical source vectors stay
+  *    identical, but a vector and its replica land at cosine ≈ 0.5 —
+  *    far below every near-dup threshold in the catalog — while the
+  *    label-cluster structure stays coarse enough for IVF to work.
+  */
+object ScaleGen {
+
+  def main(args: Array[String]): Unit = {
+    val srcDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val outDir = if (args.length > 1) args(1) else "/root/repo/scaleprobe/x10"
+    val factor = if (args.length > 2) args(2).toInt else 10
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try generate(spark, srcDir, outDir, factor)
+    finally spark.stop()
+  }
+
+  def generate(spark: SparkSession, srcDir: String, outDir: String,
+               factor: Int): Unit = {
+    val reps = broadcast(spark.range(factor).toDF("rep"))
+
+    val docs = spark.read.parquet(s"$srcDir/documents.parquet")
+    // one driver scalar for the id offset — generator-tool territory
+    val maxDoc = docs.agg(max(col("doc_id"))).collect()(0).getLong(0)
+    // position×rep-keyed permutation: array_sort on (key, pos, word)
+    // structs orders by key with pos as the deterministic tiebreak
+    val permuted = array_join(
+      transform(
+        array_sort(transform(split(col("text"), " "), (w, i) =>
+          struct(
+            xxhash64(concat(i.cast("string"), lit(":"), col("rep").cast("string")))
+              .as("k"),
+            i.as("pos"), w.as("w")))),
+        p => p.getField("w")),
+      " ")
+    docs.crossJoin(reps)
+      .select(
+        (col("doc_id") + col("rep") * (maxDoc + 1L)).as("doc_id"),
+        when(col("rep") === 0, col("text")).otherwise(permuted).as("text"),
+        col("lang"), col("source"))
+      .withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+
+    val embs = spark.read.parquet(s"$srcDir/embeddings.parquet")
+    val maxVec = embs.agg(max(col("vec_id"))).collect()(0).getLong(0)
+    // content-seeded noise: identical vectors perturb identically
+    val contentKey = xxhash64(col("embedding").cast("string"))
+    val noisy = transform(col("embedding"), (x, i) =>
+      (x + (pmod(xxhash64(concat(contentKey.cast("string"), lit(":"),
+            col("rep").cast("string"), lit(":"), i.cast("string"))),
+          lit(1000003L)).cast("double") / 1000003.0 - 0.5) * 0.9)
+        .cast("float"))
+    embs.crossJoin(reps)
+      .select(
+        (col("vec_id") + col("rep") * (maxVec + 1L)).as("vec_id"),
+        when(col("rep") === 0, col("embedding")).otherwise(noisy).as("embedding"),
+        col("label"))
+      .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+  }
+}

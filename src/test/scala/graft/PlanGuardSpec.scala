@@ -76,6 +76,94 @@ class PlanGuardSpec extends AnyFunSuite {
     "q173_proportional_sample" -> "1-row corpus total + 1-row base-seat sum, both broadcast",
     "ref_token_cost" -> "1-row token total x 4-row model price table")
 
+  /** Entries whose broadcast side legitimately roots at something other
+    * than a 1-row aggregate / limit / literal (the globally-allowed
+    * shapes). Each extra kind is justified next to its entry; any kind
+    * not granted here — above all `unbounded-scan`, a raw corpus
+    * subtree — FAILS even for a whitelisted name (VERDICT r7 #7: a
+    * whitelist entry must not be able to silently start broadcasting a
+    * corpus-sized frame).
+    */
+  private val BnljExtraKinds: Map[String, Set[String]] = Map(
+    // broadcast QUERY SETS: a literal-predicate filter over the vector
+    // scan selects the fixed probe/query ids — sublinear by the
+    // documented exact-baseline contract, not by shape
+    "q38_cosine_topk" -> Set("filtered-scan"),
+    "q168_hard_negatives" -> Set("filtered-scan"),
+    "q170_ann_recall" -> Set("filtered-scan", "grouped-agg", "sampled"),
+    "q190_ivfpq_serving" -> Set("filtered-scan", "grouped-agg", "sampled"),
+    "q161_rrf_fusion" -> Set("filtered-scan"),
+    "q169_retrieval_agreement" -> Set("filtered-scan"),
+    // per-group dimension tables bounded by group-key cardinality
+    // (language list, hour grid bounds, source list, subspace/centroid
+    // ids — all O(dim), never O(corpus))
+    "q60_lang_id" -> Set("grouped-agg"),
+    "q88_rate_anomaly" -> Set("grouped-agg"), // per-event-type rate stats
+    "q120_chi_square" -> Set("grouped-agg"),  // per-source/lang margins
+    "q73_gapfill_hourly" -> Set("grouped-agg"),
+    "q99_mixture_rebalance" -> Set("grouped-agg"),
+    "q175_temperature_mixture" -> Set("grouped-agg"),
+    "q191_epoch_planner" -> Set("grouped-agg"),
+    "q62_ann_ivf" -> Set("grouped-agg", "sampled"),
+    "q140_ivf_cells_layout" -> Set("grouped-agg", "sampled"),
+    "q139_kmeans" -> Set("grouped-agg"),
+    "q142_cluster_sample" -> Set("grouped-agg", "sampled"),
+    "q160_semdedup" -> Set("grouped-agg"),
+    "q181_product_quantization" -> Set("grouped-agg"),
+    "q189_cluster_silhouette" -> Set("grouped-agg"))
+
+  private val GloballyAllowedKinds = Set("one-row-agg", "limited", "literal")
+
+  /** Classify the bounded-ness of a broadcast build side by its ROOT
+    * (descending through row-preserving unary nodes): a groupless
+    * aggregate is ≤1 row whatever sits below it; a limit is bounded by
+    * its literal; a LocalTableScan is literal data; a grouped aggregate
+    * is bounded by key cardinality (per-entry justified); a filter or
+    * sample over a scan is sublinear only by contract (per-entry
+    * justified); a bare scan — file, cached, or otherwise — is the
+    * corpus itself and is never allowed.
+    */
+  private def classifyBuild(p: org.apache.spark.sql.execution.SparkPlan): String = p match {
+    case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec =>
+      if (a.groupingExpressions.isEmpty) "one-row-agg" else "grouped-agg"
+    case _: org.apache.spark.sql.execution.TakeOrderedAndProjectExec |
+         _: org.apache.spark.sql.execution.GlobalLimitExec |
+         _: org.apache.spark.sql.execution.LocalLimitExec |
+         _: org.apache.spark.sql.execution.CollectLimitExec => "limited"
+    case _: org.apache.spark.sql.execution.LocalTableScanExec |
+         _: org.apache.spark.sql.execution.EmptyRelationExec => "literal"
+    case s: org.apache.spark.sql.execution.SampleExec => classifyBuild(s.child) match {
+      case "unbounded-scan" => "sampled"
+      case k => k
+    }
+    case f: org.apache.spark.sql.execution.FilterExec => classifyBuild(f.child) match {
+      case "unbounded-scan" => "filtered-scan"
+      case k => k
+    }
+    case im: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+      classifyBuild(im.relation.cachedPlan)
+    case aqe: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+      classifyBuild(aqe.executedPlan)
+    case _: org.apache.spark.sql.execution.FileSourceScanExec |
+         _: org.apache.spark.sql.execution.RowDataSourceScanExec => "unbounded-scan"
+    case u if u.children.size == 1 => classifyBuild(u.children.head)
+    case other => s"opaque(${other.getClass.getSimpleName})"
+  }
+
+  private def checkBuildSide(name: String, b: BroadcastNestedLoopJoinExec,
+                             offenders: scala.collection.mutable.ArrayBuffer[String]): Unit = {
+    val build = b.buildSide match {
+      case org.apache.spark.sql.catalyst.optimizer.BuildLeft => b.left
+      case _ => b.right
+    }
+    val kind = classifyBuild(build)
+    val allowed = GloballyAllowedKinds ++ BnljExtraKinds.getOrElse(name, Set.empty)
+    if (!allowed.contains(kind))
+      offenders += s"$name: whitelisted BNLJ broadcasts a '$kind' side " +
+        s"(allowed: ${allowed.mkString(",")}) — build root:\n" +
+        build.treeString.linesIterator.take(6).mkString("\n")
+  }
+
   /** Walk a physical plan AND every subquery plan hanging off its
     * expressions (a hand-embedded scalar subquery — q126's bloom build
     * — still carries a LOGICAL plan at this stage; plan it first).
@@ -87,7 +175,9 @@ class PlanGuardSpec extends AnyFunSuite {
       node match {
         case _: CartesianProductExec =>
           offenders += s"$name: CartesianProduct"
-        case _: BroadcastNestedLoopJoinExec if !BnljWhitelist.contains(name) =>
+        case b: BroadcastNestedLoopJoinExec if BnljWhitelist.contains(name) =>
+          checkBuildSide(name, b, offenders)
+        case _: BroadcastNestedLoopJoinExec =>
           offenders += s"$name: BroadcastNestedLoopJoin (not whitelisted)"
         case w: WindowExec if w.partitionSpec.isEmpty =>
           offenders += s"$name: Window with empty partition spec"
@@ -150,5 +240,27 @@ class PlanGuardSpec extends AnyFunSuite {
       s"scale-killer shapes found:\n${offenders.mkString("\n")}")
     assert(badShapes.isEmpty,
       s"oracle-compared queries with non-scalar output columns:\n${badShapes.mkString("\n")}")
+  }
+
+  test("a corpus-sized broadcast fails even under a whitelisted name") {
+    // VERDICT r7 #7: the whitelist must bound the broadcast SIDE, not
+    // just bless the operator — plant the exact regression it guards
+    // against: crossJoin(broadcast(<raw corpus scan>)) attributed to a
+    // whitelisted entry, and require the build-side classifier to
+    // reject it.
+    import org.apache.spark.sql.functions.broadcast
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+    val planted = docs.select("doc_id")
+      .crossJoin(broadcast(docs.select(docs("text"))))
+    val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
+    inspect("q38_cosine_topk", planted.queryExecution.sparkPlan, offenders)
+    assert(offenders.exists(_.contains("unbounded-scan")),
+      s"planted corpus-sized broadcast was not flagged: $offenders")
+    // ... while a 1-row-aggregate broadcast stays allowed
+    val ok = docs.select("doc_id").crossJoin(broadcast(
+      docs.agg(org.apache.spark.sql.functions.max(docs("doc_id")).as("m"))))
+    val okOff = scala.collection.mutable.ArrayBuffer.empty[String]
+    inspect("q38_cosine_topk", ok.queryExecution.sparkPlan, okOff)
+    assert(okOff.isEmpty, s"bounded broadcast falsely flagged: $okOff")
   }
 }

@@ -335,6 +335,75 @@ class StreamingSpec extends AnyFunSuite with CacheCleanup {
     assert(kept == Set(10L, 13L), s"got $kept")
   }
 
+  test("checkpoint restart: transformWithState running stats resume from " +
+    "the restored state store") {
+    // VERDICT r7 #6: extend the checkpoint-restart exactly-once proof
+    // from windowed aggs to the arbitrary-state V2 API. The per-user
+    // (count, sum) ValueState lives in the RocksDB store; a restart
+    // must restore it, so a post-restart event CONTINUES its user's
+    // running count instead of restarting from 1.
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    def evs(rows: (Long, String, Long, Double)*) =
+      rows.toSeq.toDF("event_id", "ts_s", "user_id", "value")
+        .select(col("event_id"), to_timestamp(col("ts_s")).as("ts"),
+          col("user_id"), col("value"))
+    val b1 = evs((1L, "2024-01-01 00:10:00", 7L, 1.25),
+      (2L, "2024-01-01 00:20:00", 8L, 2.5),
+      (3L, "2024-01-01 00:30:00", 7L, 0.1))
+    val b2 = evs((4L, "2024-01-01 01:10:00", 7L, 3.3))
+    // b3/b4 run only AFTER the restart
+    val b3 = evs((5L, "2024-01-01 02:10:00", 8L, 0.7),
+      (6L, "2024-01-01 02:20:00", 7L, 2.2))
+    val b4 = evs((7L, "2024-01-01 03:10:00", 8L, 5.05))
+    val batches = Seq(b1, b2, b3, b4)
+    val mk = (df: org.apache.spark.sql.DataFrame) =>
+      graft.streaming.StatefulRunning.runningStats(df).toDF()
+    val restarted = StreamingJobs.runWithRestart(spark, batches, mk, splitAt = 2)
+    val uninterrupted = StreamingJobs.runIncremental(
+      spark, batches, mk, "t_tws_restart_base")
+    // exactly-once: no pre-stop event re-read (which would double-count
+    // into the state), no lost emission, bit-equal running sums
+    assert(canon(restarted) == canon(uninterrupted),
+      "transformWithState restart diverged from the uninterrupted run")
+    val byEvent = restarted.collect()
+      .map(r => r.getAs[Long]("event_id") ->
+        ((r.getAs[Long]("n_seen"), r.getAs[Double]("value_sum")))).toMap
+    assert(byEvent.size == 7, s"got ${byEvent.keySet}")
+    // user 7's first post-restart event is their FOURTH — only true if
+    // the (3, 4.65) state survived the stop
+    assert(byEvent(6L) == ((4L, 1.25 + 0.1 + 3.3 + 2.2)), s"got ${byEvent(6L)}")
+    // user 8's post-restart events continue 2.5 -> 3.2 -> 8.25
+    assert(byEvent(5L) == ((2L, 2.5 + 0.7)))
+    assert(byEvent(7L) == ((3L, 2.5 + 0.7 + 5.05)))
+  }
+
+  test("checkpoint restart: debounce's carried last-raw-ts survives and " +
+    "keeps suppressing") {
+    import graft.streaming.{KeyedEvent, StatefulDebounce}
+    import spark.implicits._
+    val mUs = 60L * 1000000L
+    // pre-stop: t=0 kept, t=4m dropped (state advances to 4m regardless)
+    val b1 = Seq(KeyedEvent(1L, "click", 10L, 0L),
+      KeyedEvent(1L, "click", 11L, 4L * mUs)).toDF
+    val b2 = Seq(KeyedEvent(2L, "view", 20L, 0L)).toDF // unrelated key
+    // post-restart: t=6m is 2m after the DROPPED pre-stop event — it is
+    // suppressed ONLY if the GroupState was restored from the
+    // checkpoint (a from-zero restart would keep it); t=30m survives
+    val b3 = Seq(KeyedEvent(1L, "click", 12L, 6L * mUs),
+      KeyedEvent(1L, "click", 13L, 30L * mUs)).toDF
+    val batches = Seq(b1, b2, b3)
+    val mk = (df: org.apache.spark.sql.DataFrame) =>
+      StatefulDebounce.debounce(df.as[KeyedEvent]).toDF
+    val restarted = StreamingJobs.runWithRestart(spark, batches, mk, splitAt = 2)
+    val kept = restarted.select("event_id").as[Long].collect().toSet
+    assert(kept == Set(10L, 20L, 13L), s"got $kept")
+    // and the restarted run equals the uninterrupted one exactly
+    val uninterrupted = StreamingJobs.runIncremental(
+      spark, batches, mk, "t_debounce_restart_base")
+    assert(canon(restarted) == canon(uninterrupted))
+  }
+
   test("stateful ewma: closed-hour streaming output == batch q162") {
     import org.apache.spark.sql.functions.{col, unix_micros, unix_timestamp}
     import graft.streaming.{StatefulEwma, TypedTick}

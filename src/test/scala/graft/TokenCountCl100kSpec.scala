@@ -66,6 +66,71 @@ class TokenCountCl100kSpec extends AnyFunSuite {
       == Seq(4, -1))
   }
 
+  // ---- exact-BPE stage ([[BpeRanks]]): algorithm proven on synthetic
+  // ranks tables (the real cl100k data is zero-egress-unobtainable;
+  // dropping it in via GRAFT_CL100K_RANKS makes count() bit-exact) ----
+
+  private def ranksOf(pairs: (String, Int)*) = {
+    val b64 = java.util.Base64.getEncoder
+    graft.expressions.BpeRanks.parse(pairs.iterator.map { case (tok, r) =>
+      s"${b64.encodeToString(tok.getBytes("UTF-8"))} $r"
+    })
+  }
+  private val singles = "abcd ".toSeq.zipWithIndex.map { case (c, i) =>
+    c.toString -> i
+  }
+
+  test("exact BPE: greedy lowest-rank adjacent merge to fixpoint") {
+    import graft.expressions.{BpeRanks, TokenCountCl100k}
+    val r = ranksOf(singles ++ Seq("ab" -> 10, "cd" -> 11, "abcd" -> 12): _*)
+    // "abcd": ab(10) merges first -> [ab,c,d]; cd(11) -> [ab,cd];
+    // ab+cd = "abcd"(12) -> one token
+    assert(BpeRanks.countPiece("abcd", r) == 1)
+    // "abdc": only ab merges -> [ab,d,c]
+    assert(BpeRanks.countPiece("abdc", r) == 3)
+    // "acbd": no adjacent pair in table -> 4 singles
+    assert(BpeRanks.countPiece("acbd", r) == 4)
+    // whole-piece hit short-circuits
+    assert(BpeRanks.countPiece("ab", r) == 1)
+    // bytes absent from a (synthetic) table survive as parts
+    assert(BpeRanks.countPiece("az", r) == 2)
+    // two-stage exact count: pre-tokenizer pieces "abcd" + " abcd"
+    // (" abcd" not in table; ' '+a = " a" absent, so after ab/cd/abcd
+    // merges the space survives -> 2 parts)
+    assert(TokenCountCl100k.countExact("abcd abcd", r) == 1 + 2)
+  }
+
+  test("exact BPE: merge ORDER follows rank, not position") {
+    import graft.expressions.BpeRanks
+    // "bc" outranks "ab": "abc" -> [a, bc]; "abc" absent -> 2
+    val r1 = ranksOf(singles ++ Seq("bc" -> 5, "ab" -> 6): _*)
+    assert(BpeRanks.countPiece("abc", r1) == 2)
+    // rank order decides the COUNT ("abcd" itself absent from both
+    // tables, so the merge loop actually runs): the low-rank ab path
+    // chains ab -> abc and lands on [abc, d]; flipping priority to bc
+    // strands [a, bc, d] because neither abc nor bcd completes it
+    val chain = ranksOf(singles ++ Seq("ab" -> 5, "abc" -> 6): _*)
+    assert(BpeRanks.countPiece("abcd", chain) == 2) // [ab,c,d] -> [abc,d]
+    val flip = ranksOf(singles ++ Seq("bc" -> 4, "ab" -> 5): _*)
+    // bc first -> [a,bc,d]; a+bc="abc" absent, bc+d="bcd" absent -> 3
+    assert(BpeRanks.countPiece("abcd", flip) == 3)
+  }
+
+  test("exact BPE: ranks file round-trip through the env-file loader") {
+    import graft.expressions.BpeRanks
+    val b64 = java.util.Base64.getEncoder
+    val lines = (singles ++ Seq("ab" -> 10, "cd" -> 11)).map { case (t, r) =>
+      s"${b64.encodeToString(t.getBytes("UTF-8"))} $r"
+    }
+    val f = java.nio.file.Files.createTempFile("graft-ranks", ".tiktoken")
+    try {
+      java.nio.file.Files.write(f,
+        scala.jdk.CollectionConverters.SeqHasAsJava(lines ++ Seq("")).asJava)
+      val r = BpeRanks.loadFile(f.toString)
+      assert(BpeRanks.countPiece("abcd", r) == 2) // [ab, cd], no "abcd"
+    } finally java.nio.file.Files.deleteIfExists(f)
+  }
+
   test("SQL registration via GraftExtensions") {
     // sibling session with extensions installed (the TestSpark session
     // predates the function registry; conf-based extensions are static)
