@@ -32,6 +32,19 @@ object Curation {
 
   val ShardCount = 64
 
+  /** q192 DSIR feature space: hashed word buckets (a power of two, so
+    * `hash_fraction * DsirBuckets` floors identically in both engines)
+    * and the source stratum standing in for the curated target domain.
+    */
+  val DsirBuckets = 256
+  val DsirTarget = "src0"
+
+  /** q193 tertile points, spelled as the identical double literal on
+    * both engines.
+    */
+  val Tertile1 = "0.3333333333333333"
+  val Tertile2 = "0.6666666666666666"
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Inverted-index build — the retrieval side of a curation stack
@@ -214,6 +227,90 @@ object Curation {
           round(percent_rank().over(w), 6).as("pct"),
           least(lit(9), floor(percent_rank().over(w) * 10)).cast("int")
             .as("decile"))
+    }),
+
+    // DSIR importance weights (Xie et al. 2023, "Data Selection for
+    // Language Models via Importance Resampling"): score every RAW
+    // document by how target-domain-like its hashed word-feature
+    // distribution is — weight = Σ_occurrences ln(p_target(bucket) /
+    // p_raw(bucket)) under add-one-smoothed bucket unigram models —
+    // the selection signal behind importance-resampled pretraining
+    // mixes. Target here = the [[DsirTarget]] source stratum (the
+    // in-corpus stand-in for a curated target domain); features are
+    // words hashed into [[DsirBuckets]] buckets via the cross-engine
+    // [[hashFraction]] (×256 is a power-of-two multiply, so bucket ids
+    // are bit-identical in DuckDB).
+    // Scale shape: one word-explode feeding both aggregates (persisted);
+    // the bucket model is a 256-row broadcast; the per-doc pass is a
+    // doc-keyed aggregate over (doc, bucket) counts — word-count shuffle
+    // class, nothing quadratic, model size independent of corpus size.
+    // Parity: per-bucket log-ratios land in integer micro-units
+    // (q167's rule) so the doc sums are exact integer arithmetic.
+    "q192_dsir_weights" -> ((s, d) => {
+      val occ = documents(s, d)
+        .select(col("doc_id"), col("source"),
+          explode(TextOps.wordsOf(col("text"))).as("w"))
+        .withColumn("b",
+          floor(hashFraction(col("w")) * DsirBuckets).cast("long"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      graft.pipeline.Chunker.registerForCleanup(occ)
+      val isTarget = col("source") === DsirTarget
+      val bt = occ.groupBy(col("b"))
+        .agg(sum(when(isTarget, 1L).otherwise(0L)).as("ct"),
+          sum(when(!isTarget, 1L).otherwise(0L)).as("cr"))
+      val tot = bt.agg(sum(col("ct")).as("nt"), sum(col("cr")).as("nr"))
+      val lr = bt.crossJoin(broadcast(tot))
+        .select(col("b"),
+          round((log((col("ct") + 1.0) / (col("nt") + lit(DsirBuckets.toDouble)))
+            - log((col("cr") + 1.0) / (col("nr") + lit(DsirBuckets.toDouble))))
+            * 1e6, 0).cast("long").as("lr_micro"))
+      val db = occ.filter(!isTarget)
+        .groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("n"))
+      db.join(broadcast(lr), Seq("b"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("n")).as("n_words"),
+          sum(col("n") * col("lr_micro")).as("w_micro"))
+        .select(col("doc_id"), col("n_words"),
+          round(col("w_micro") / 1e6, 4).as("dsir_weight"),
+          round(col("w_micro") / 1e6 / col("n_words"), 6)
+            .as("dsir_weight_per_word"))
+    }),
+
+    // CCNet perplexity buckets (Wenzek et al. 2020): score each doc by
+    // its mean NLL under the corpus unigram LM, then split every
+    // language stratum into the paper's head/middle/tail tertiles —
+    // the standard crawl-quality triage (head ≈ fluent, tail ≈ noise)
+    // that downstream mixes filter on. Tertile BOUNDARIES come from an
+    // exact grouped percentile (per-lang, a bounded-cardinality
+    // aggregate) joined back broadcast — never an ntile window over
+    // the corpus, so no per-lang global sort at scale. Doc scores run
+    // in integer micro-units (q167's rule); boundary comparisons are
+    // safe because 4-decimal scores are ≥1e-4 apart while interpolated
+    // boundaries sit strictly inside a bracketing pair's gap.
+    "q193_ccnet_buckets" -> ((s, d) => {
+      val occ = documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          explode(TextOps.wordsOf(col("text"))).as("w"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      graft.pipeline.Chunker.registerForCleanup(occ)
+      val cw = occ.groupBy(col("w")).agg(count(lit(1)).as("cw"))
+      val tot = occ.agg(count(lit(1)).as("n_tot"))
+      val docScore = occ.join(cw, Seq("w"))
+        .crossJoin(broadcast(tot))
+        .select(col("doc_id"), col("lang"),
+          round(-log(col("cw").cast("double") / col("n_tot")), 6).as("nll"))
+        .groupBy(col("doc_id"), col("lang"))
+        .agg(count(lit(1)).as("n_words"),
+          round(sum(round(col("nll") * 1e6).cast("long")) / 1e6
+            / count(lit(1)), 4).as("mean_nll"))
+      val bounds = docScore.groupBy(col("lang"))
+        .agg(expr(s"percentile(mean_nll, $Tertile1)").as("b1"),
+          expr(s"percentile(mean_nll, $Tertile2)").as("b2"))
+      docScore.join(broadcast(bounds), Seq("lang"))
+        .select(col("doc_id"), col("lang"), col("n_words"), col("mean_nll"),
+          when(col("mean_nll") <= col("b1"), "head")
+            .when(col("mean_nll") <= col("b2"), "middle")
+            .otherwise("tail").as("ppl_bucket"))
     })
   )
 
@@ -299,6 +396,59 @@ object Curation {
         |  CAST(least(9, floor(percent_rank() OVER w * 10)) AS INTEGER)
         |    AS decile
         |FROM documents
-        |WINDOW w AS (PARTITION BY source ORDER BY n_chars, doc_id)""".stripMargin
+        |WINDOW w AS (PARTITION BY source ORDER BY n_chars, doc_id)""".stripMargin,
+
+    "q192_dsir_weights" ->
+      s"""WITH occ AS (
+         |  SELECT doc_id, source,
+         |    CAST(floor(${hashFractionSql("w")} * $DsirBuckets) AS BIGINT) AS b
+         |  FROM (SELECT doc_id, source, unnest(${TextOps.wordsSql}) AS w
+         |        FROM documents)),
+         |bt AS (
+         |  SELECT b,
+         |    sum(CASE WHEN source = '$DsirTarget' THEN 1 ELSE 0 END) AS ct,
+         |    sum(CASE WHEN source <> '$DsirTarget' THEN 1 ELSE 0 END) AS cr
+         |  FROM occ GROUP BY b),
+         |t AS (SELECT sum(ct) AS nt, sum(cr) AS nr FROM bt),
+         |lr AS (
+         |  SELECT b, CAST(round(
+         |      (ln((ct + 1.0) / (nt + $DsirBuckets.0))
+         |        - ln((cr + 1.0) / (nr + $DsirBuckets.0))) * 1e6, 0)
+         |    AS BIGINT) AS lr_micro
+         |  FROM bt CROSS JOIN t),
+         |db AS (
+         |  SELECT doc_id, b, count(*) AS n FROM occ
+         |  WHERE source <> '$DsirTarget' GROUP BY 1, 2)
+         |SELECT d.doc_id, CAST(sum(d.n) AS BIGINT) AS n_words,
+         |  round(CAST(sum(d.n * l.lr_micro) AS BIGINT) / 1e6, 4)
+         |    AS dsir_weight,
+         |  round(CAST(sum(d.n * l.lr_micro) AS BIGINT) / 1e6 / sum(d.n), 6)
+         |    AS dsir_weight_per_word
+         |FROM db d JOIN lr l USING (b)
+         |GROUP BY d.doc_id""".stripMargin,
+
+    "q193_ccnet_buckets" ->
+      s"""WITH occ AS (
+         |  SELECT doc_id, lang, unnest(${TextOps.wordsSql}) AS w
+         |  FROM documents),
+         |cw AS (SELECT w, count(*) AS cw FROM occ GROUP BY w),
+         |t AS (SELECT count(*) AS n_tot FROM occ),
+         |ds AS (
+         |  SELECT doc_id, lang, count(*) AS n_words,
+         |    round(CAST(sum(CAST(round(
+         |        round(-ln(CAST(c.cw AS DOUBLE) / t.n_tot), 6) * 1e6, 0)
+         |      AS BIGINT)) AS BIGINT) / 1e6 / count(*), 4) AS mean_nll
+         |  FROM occ o JOIN cw c USING (w) CROSS JOIN t
+         |  GROUP BY doc_id, lang),
+         |bounds AS (
+         |  SELECT lang, quantile_cont(mean_nll, $Tertile1) AS b1,
+         |    quantile_cont(mean_nll, $Tertile2) AS b2
+         |  FROM ds GROUP BY lang)
+         |SELECT d.doc_id, d.lang, CAST(d.n_words AS BIGINT) AS n_words,
+         |  d.mean_nll,
+         |  CASE WHEN d.mean_nll <= b.b1 THEN 'head'
+         |       WHEN d.mean_nll <= b.b2 THEN 'middle'
+         |       ELSE 'tail' END AS ppl_bucket
+         |FROM ds d JOIN bounds b USING (lang)""".stripMargin
   )
 }

@@ -740,8 +740,29 @@ object Dedup {
   /** As [[prefixFilterJoin]], over a prepared (and persisted) (doc,
     * shingle) table — callers that run several dedup arms over the
     * same corpus (q188's eval) share ONE shingle build.
+    *
+    * Candidate pruning is the full AllPairs/PPJoin bundle (Bayardo
+    * 2007; Xiao et al. 2008), each filter exactness-preserving:
+    *  - LENGTH: J ≥ t ⟹ t·max(|A|,|B|) ≤ min(|A|,|B|).
+    *  - POSITIONAL: per-doc ranks follow ONE global (df, shingle)
+    *    order, so the globally-first shared prefix shingle s* has the
+    *    minimal rank in BOTH docs and every shared shingle ranks at or
+    *    after it — overlap ≤ 1 + min(|A|−r_A(s*), |B|−r_B(s*)), which
+    *    must reach ⌈t/(1+t)·(|A|+|B|)⌉.
+    * Both run inside the pair AGGREGATION (one groupBy over the prefix
+    * self-join, no distinct-then-rejoin), and the verify fetches each
+    * doc's shingle SET as one array (two doc-keyed joins, one row per
+    * candidate) instead of re-exploding candidate × shingle rows — the
+    * row-explosion the 10× scale probe caught (SCALE.md): the old
+    * verify materialized |cands| × |shingles(A)| rows, ~1B at 10×
+    * sf0.1, and spilled unboundedly. The probe corpus (tiny closed
+    * vocabulary) is the documented worst case for exact similarity
+    * joins — feature saturation makes candidate counts intrinsically
+    * superlinear — but the filter bundle + array verify keep the
+    * constant factors flat and the spill bounded.
     */
   def prefixFilterJoinFromShingles(sh: DataFrame, t: Double): DataFrame = {
+    val posC = t / (1 + t) // 0.375 for t = 0.6 — exact in binary
     val counts = sh.groupBy(col("doc")).agg(count(lit(1)).as("n_sh"))
     val dfreq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
     // rank within doc by the global (df, shingle) order; the window
@@ -753,29 +774,32 @@ object Dedup {
       .join(counts, Seq("doc"))
       .filter(col("r") <=
         col("n_sh") - ceil(lit(t) * col("n_sh")) + lit(1L))
-      .select(col("doc"), col("shingle"))
+      .select(col("doc"), col("shingle"), col("r"), col("n_sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     Chunker.registerForCleanup(ranked)
-    val cands = ranked.as("a")
-      .join(ranked.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.doc") < col("b.doc"))
-      .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
-      .distinct()
-    val inter = cands
-      .join(sh.as("sa"), col("doc_a") === col("sa.doc"))
-      .join(sh.as("sb"),
-        col("doc_b") === col("sb.doc") && col("sa.shingle") === col("sb.shingle"))
+    val pa = ranked.select(col("doc").as("doc_a"), col("shingle"),
+      col("r").as("ra"), col("n_sh").as("na"))
+    val pb = ranked.select(col("doc").as("doc_b"), col("shingle"),
+      col("r").as("rb"), col("n_sh").as("nb"))
+    val cands = pa.join(pb, Seq("shingle"))
+      .filter(col("doc_a") < col("doc_b"))
       .groupBy(col("doc_a"), col("doc_b"))
-      .agg(count(lit(1)).as("n_inter"))
+      .agg(min(col("ra")).as("ra"), min(col("rb")).as("rb"),
+        max(col("na")).as("na"), max(col("nb")).as("nb"))
+      .filter(least(col("na"), col("nb")) >=
+        lit(t) * greatest(col("na"), col("nb")))
+      .filter((lit(1L) + least(col("na") - col("ra"), col("nb") - col("rb")))
+        >= ceil(lit(posC) * (col("na") + col("nb"))))
+    val arrs = sh.groupBy(col("doc")).agg(collect_list(col("shingle")).as("arr"))
     val jac = col("n_inter").cast("double") /
-      (col("n_a") + col("n_b") - col("n_inter"))
+      (col("na") + col("nb") - col("n_inter"))
     cands
-      .join(inter, Seq("doc_a", "doc_b"), "left")
-      .na.fill(0L, Seq("n_inter"))
-      .join(counts.withColumnRenamed("doc", "doc_a")
-        .withColumnRenamed("n_sh", "n_a"), Seq("doc_a"))
-      .join(counts.withColumnRenamed("doc", "doc_b")
-        .withColumnRenamed("n_sh", "n_b"), Seq("doc_b"))
+      .join(arrs.select(col("doc").as("doc_a"), col("arr").as("arr_a")),
+        Seq("doc_a"))
+      .join(arrs.select(col("doc").as("doc_b"), col("arr").as("arr_b")),
+        Seq("doc_b"))
+      .withColumn("n_inter",
+        size(array_intersect(col("arr_a"), col("arr_b"))).cast("long"))
       .select(col("doc_a"), col("doc_b"),
         round(jac, 6).as("jaccard"),
         (jac >= lit(t)).cast("long").as("passes"))
@@ -1155,11 +1179,12 @@ object Dedup {
 
     "q151_prefix_join" -> {
       val t = PrefixJoinT
+      val posC = t / (1 + t)
       s"""$shingleCtes,
          |counts AS (SELECT doc, count(*) AS n_sh FROM shingles GROUP BY 1),
          |dfreq AS (SELECT shingle, count(*) AS df FROM shingles GROUP BY 1),
          |pre AS (
-         |  SELECT doc, shingle FROM (
+         |  SELECT doc, shingle, r, n_sh FROM (
          |    SELECT s.doc, s.shingle, c.n_sh,
          |      row_number() OVER (PARTITION BY s.doc
          |        ORDER BY f.df, s.shingle) AS r
@@ -1168,23 +1193,27 @@ object Dedup {
          |    JOIN counts c ON c.doc = s.doc)
          |  WHERE r <= n_sh - CAST(ceil($t * n_sh) AS BIGINT) + 1),
          |cands AS (
-         |  SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+         |  SELECT a.doc AS doc_a, b.doc AS doc_b,
+         |    min(a.r) AS ra, min(b.r) AS rb,
+         |    max(a.n_sh) AS na, max(b.n_sh) AS nb
          |  FROM pre a JOIN pre b
-         |    ON a.shingle = b.shingle AND a.doc < b.doc),
+         |    ON a.shingle = b.shingle AND a.doc < b.doc
+         |  GROUP BY 1, 2),
+         |filt AS (
+         |  SELECT doc_a, doc_b, na, nb FROM cands
+         |  WHERE least(na, nb) >= $t * greatest(na, nb)
+         |    AND 1 + least(na - ra, nb - rb) >= ceil($posC * (na + nb))),
          |inter AS (
-         |  SELECT c.doc_a, c.doc_b, count(*) AS n_inter
-         |  FROM cands c
-         |  JOIN shingles sa ON sa.doc = c.doc_a
-         |  JOIN shingles sb ON sb.doc = c.doc_b AND sb.shingle = sa.shingle
+         |  SELECT f.doc_a, f.doc_b, count(*) AS n_inter
+         |  FROM filt f
+         |  JOIN shingles sa ON sa.doc = f.doc_a
+         |  JOIN shingles sb ON sb.doc = f.doc_b AND sb.shingle = sa.shingle
          |  GROUP BY 1, 2),
          |jacs AS (
-         |  SELECT c.doc_a, c.doc_b,
-         |    CAST(coalesce(i.n_inter, 0) AS DOUBLE)
-         |      / (ca.n_sh + cb.n_sh - coalesce(i.n_inter, 0)) AS jac
-         |  FROM cands c
-         |  LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
-         |  JOIN counts ca ON ca.doc = c.doc_a
-         |  JOIN counts cb ON cb.doc = c.doc_b)
+         |  SELECT f.doc_a, f.doc_b,
+         |    CAST(i.n_inter AS DOUBLE) / (f.na + f.nb - i.n_inter) AS jac
+         |  FROM filt f
+         |  JOIN inter i ON i.doc_a = f.doc_a AND i.doc_b = f.doc_b)
          |SELECT doc_a, doc_b, round(jac, 6) AS jaccard,
          |  CAST(jac >= $t AS BIGINT) AS passes
          |FROM jacs""".stripMargin

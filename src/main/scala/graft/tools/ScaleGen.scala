@@ -54,14 +54,27 @@ object ScaleGen {
     val maxDoc = docs.agg(max(col("doc_id"))).collect()(0).getLong(0)
     // position×rep-keyed permutation: array_sort on (key, pos, word)
     // structs orders by key with pos as the deterministic tiebreak
+    val shuffled = array_sort(transform(split(col("text"), " "), (w, i) =>
+      struct(
+        xxhash64(concat(i.cast("string"), lit(":"), col("rep").cast("string")))
+          .as("k"),
+        i.as("pos"), w.as("w"))))
+    // Open-vocabulary growth (Heaps' law): each replica mints fresh
+    // word types by tagging ~30% of positions with a replica suffix.
+    // The source corpus has a CLOSED ~50-word vocabulary, so without
+    // this the 3-gram shingle space SATURATES at 10× — every shingle's
+    // df grows with corpus size and exact similarity joins go
+    // intrinsically quadratic (the measured 132× candidate blowup that
+    // motivated this; see SCALE.md). Real crawls add vocabulary as they
+    // grow; replicas must too. Tag positions are (position, rep)-keyed
+    // like the permutation, so identical texts stay identical and
+    // same-length near-dups keep ~58% of their shared occurrences.
     val permuted = array_join(
-      transform(
-        array_sort(transform(split(col("text"), " "), (w, i) =>
-          struct(
-            xxhash64(concat(i.cast("string"), lit(":"), col("rep").cast("string")))
-              .as("k"),
-            i.as("pos"), w.as("w")))),
-        p => p.getField("w")),
+      transform(shuffled, (p, j) =>
+        when(pmod(xxhash64(concat(j.cast("string"), lit(":"),
+            col("rep").cast("string"), lit(":v"))), lit(10L)) < 3,
+          concat(p.getField("w"), lit("~g"), col("rep").cast("string")))
+          .otherwise(p.getField("w"))),
       " ")
     docs.crossJoin(reps)
       .select(

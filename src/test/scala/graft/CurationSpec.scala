@@ -165,6 +165,80 @@ class CurationSpec extends AnyFunSuite {
     assert(nInter.toDouble / (nA + nB - nInter) < 0.5)
   }
 
+  test("q192 DSIR weights equal a sequential importance recompute") {
+    val docs = Tables.documents(spark, d).select("doc_id", "source", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1), words(r.getString(2))))
+    def bucket(w: String): Long =
+      math.floor(expressions.HashFraction.fraction(
+        org.apache.spark.unsafe.types.UTF8String.fromString(w))
+        * Curation.DsirBuckets).toLong
+    val occ = docs.flatMap { case (id, src, ws) => ws.map(w => (id, src, bucket(w))) }
+    val ct = occ.filter(_._2 == Curation.DsirTarget).groupBy(_._3)
+      .view.mapValues(_.length.toLong).toMap.withDefaultValue(0L)
+    val cr = occ.filter(_._2 != Curation.DsirTarget).groupBy(_._3)
+      .view.mapValues(_.length.toLong).toMap.withDefaultValue(0L)
+    val (nt, nr) = (ct.values.sum, cr.values.sum)
+    // lr only exists for buckets SEEN in the corpus (the 256-row model
+    // is built from observed occurrences)
+    // HALF_UP (away from zero), matching Spark/DuckDB round() on the
+    // NEGATIVE log-ratios too — math.round would round -x.5 upward
+    val lrMicro = occ.map(_._3).distinct.map { b =>
+      b -> BigDecimal((math.log((ct(b) + 1.0) / (nt + Curation.DsirBuckets))
+        - math.log((cr(b) + 1.0) / (nr + Curation.DsirBuckets))) * 1e6)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    }.toMap
+    def r(x: Double, s: Int) =
+      BigDecimal(x).setScale(s, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expected = docs.collect {
+      case (id, src, ws) if src != Curation.DsirTarget && ws.nonEmpty =>
+        val micro = ws.map(w => lrMicro(bucket(w))).sum
+        (id, ws.size.toLong, r(micro / 1e6, 4), r(micro / 1e6 / ws.size, 6))
+    }.toSet
+    val got = SparkEntry.queries("q192_dsir_weights")(spark, d)
+      .as[(Long, Long, Double, Double)].collect().toSet
+    assert(got == expected)
+    assert(got.nonEmpty)
+    // the signal does its job on a planted contrast: a doc made of
+    // target-exclusive vocabulary must outscore one of raw-exclusive
+    // vocabulary (checked through the same model, per-word)
+    val tOnly = occ.filter(o => ct(o._3) > 0 && cr(o._3) == 0).map(_._3)
+    val rOnly = occ.filter(o => cr(o._3) > 0 && ct(o._3) == 0).map(_._3)
+    if (tOnly.nonEmpty && rOnly.nonEmpty)
+      assert(lrMicro(tOnly.head) > lrMicro(rOnly.head))
+  }
+
+  test("q193 CCNet buckets: exact scores, monotone tertiles, full coverage") {
+    val docs = Tables.documents(spark, d).select("doc_id", "lang", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1), words(r.getString(2))))
+    val all = docs.flatMap(_._3)
+    val cw = all.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val nTot = all.length.toLong
+    def r(x: Double, s: Int) =
+      BigDecimal(x).setScale(s, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expectedScore = docs.collect { case (id, lang, ws) if ws.nonEmpty =>
+      val micro = ws.map(w =>
+        math.round(r(-math.log(cw(w).toDouble / nTot), 6) * 1e6)).sum
+      (id, lang) -> ((ws.size.toLong, r(micro / 1e6 / ws.size, 4)))
+    }.toMap
+    val got = SparkEntry.queries("q193_ccnet_buckets")(spark, d)
+      .as[(Long, String, Long, Double, String)].collect()
+    // exact per-doc scores and full coverage of worded docs
+    assert(got.map(g => (g._1, g._2) -> ((g._3, g._4))).toMap == expectedScore)
+    // bucket assignment is monotone in score within each language and
+    // uses all three labels' ordering (head <= middle <= tail)
+    val ord = Map("head" -> 0, "middle" -> 1, "tail" -> 2)
+    got.groupBy(_._2).foreach { case (lang, rows) =>
+      rows.sortBy(_._4).map(x => ord(x._5)).toSeq.sliding(2).foreach {
+        case Seq(a, b) => assert(a <= b, s"non-monotone buckets in $lang")
+        case _ =>
+      }
+      // ties never straddle a boundary
+      rows.groupBy(_._4).values.foreach(same =>
+        assert(same.map(_._5).distinct.size == 1))
+    }
+    assert(got.map(_._5).distinct.toSet == Set("head", "middle", "tail"))
+  }
+
   test("q179 catalog values match a sequential recompute on candidate pairs") {
     val docs = Tables.documents(spark, d).select("doc_id", "text").collect()
       .map(r => r.getLong(0) -> {

@@ -74,6 +74,8 @@ class PlanGuardSpec extends AnyFunSuite {
     "q169_retrieval_agreement" -> "inherits q161's 1-row probe + q114 stats crossJoins",
     "q170_ann_recall" -> "inherits q38's exact-baseline corpus x query-set crossJoin",
     "q173_proportional_sample" -> "1-row corpus total + 1-row base-seat sum, both broadcast",
+    "q192_dsir_weights" -> "1-row target/raw occurrence totals into the 256-row bucket model",
+    "q193_ccnet_buckets" -> "1-row corpus occurrence total into the unigram LM",
     "ref_token_cost" -> "1-row token total x 4-row model price table")
 
   /** Entries whose broadcast side legitimately roots at something other
