@@ -246,35 +246,7 @@ object Curation {
     // class, nothing quadratic, model size independent of corpus size.
     // Parity: per-bucket log-ratios land in integer micro-units
     // (q167's rule) so the doc sums are exact integer arithmetic.
-    "q192_dsir_weights" -> ((s, d) => {
-      val occ = documents(s, d)
-        .select(col("doc_id"), col("source"),
-          explode(TextOps.wordsOf(col("text"))).as("w"))
-        .withColumn("b",
-          floor(hashFraction(col("w")) * DsirBuckets).cast("long"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      graft.pipeline.Chunker.registerForCleanup(occ)
-      val isTarget = col("source") === DsirTarget
-      val bt = occ.groupBy(col("b"))
-        .agg(sum(when(isTarget, 1L).otherwise(0L)).as("ct"),
-          sum(when(!isTarget, 1L).otherwise(0L)).as("cr"))
-      val tot = bt.agg(sum(col("ct")).as("nt"), sum(col("cr")).as("nr"))
-      val lr = bt.crossJoin(broadcast(tot))
-        .select(col("b"),
-          round((log((col("ct") + 1.0) / (col("nt") + lit(DsirBuckets.toDouble)))
-            - log((col("cr") + 1.0) / (col("nr") + lit(DsirBuckets.toDouble))))
-            * 1e6, 0).cast("long").as("lr_micro"))
-      val db = occ.filter(!isTarget)
-        .groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("n"))
-      db.join(broadcast(lr), Seq("b"))
-        .groupBy(col("doc_id"))
-        .agg(sum(col("n")).as("n_words"),
-          sum(col("n") * col("lr_micro")).as("w_micro"))
-        .select(col("doc_id"), col("n_words"),
-          round(col("w_micro") / 1e6, 4).as("dsir_weight"),
-          round(col("w_micro") / 1e6 / col("n_words"), 6)
-            .as("dsir_weight_per_word"))
-    }),
+    "q192_dsir_weights" -> ((s, d) => dsirWeights(documents(s, d), DsirTarget)),
 
     // CCNet perplexity buckets (Wenzek et al. 2020): score each doc by
     // its mean NLL under the corpus unigram LM, then split every
@@ -287,32 +259,70 @@ object Curation {
     // in integer micro-units (q167's rule); boundary comparisons are
     // safe because 4-decimal scores are ≥1e-4 apart while interpolated
     // boundaries sit strictly inside a bracketing pair's gap.
-    "q193_ccnet_buckets" -> ((s, d) => {
-      val occ = documents(s, d)
-        .select(col("doc_id"), col("lang"),
-          explode(TextOps.wordsOf(col("text"))).as("w"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      graft.pipeline.Chunker.registerForCleanup(occ)
-      val cw = occ.groupBy(col("w")).agg(count(lit(1)).as("cw"))
-      val tot = occ.agg(count(lit(1)).as("n_tot"))
-      val docScore = occ.join(cw, Seq("w"))
-        .crossJoin(broadcast(tot))
-        .select(col("doc_id"), col("lang"),
-          round(-log(col("cw").cast("double") / col("n_tot")), 6).as("nll"))
-        .groupBy(col("doc_id"), col("lang"))
-        .agg(count(lit(1)).as("n_words"),
-          round(sum(round(col("nll") * 1e6).cast("long")) / 1e6
-            / count(lit(1)), 4).as("mean_nll"))
-      val bounds = docScore.groupBy(col("lang"))
-        .agg(expr(s"percentile(mean_nll, $Tertile1)").as("b1"),
-          expr(s"percentile(mean_nll, $Tertile2)").as("b2"))
-      docScore.join(broadcast(bounds), Seq("lang"))
-        .select(col("doc_id"), col("lang"), col("n_words"), col("mean_nll"),
-          when(col("mean_nll") <= col("b1"), "head")
-            .when(col("mean_nll") <= col("b2"), "middle")
-            .otherwise("tail").as("ppl_bucket"))
-    })
+    "q193_ccnet_buckets" -> ((s, d) => ccnetBuckets(documents(s, d)))
   )
+
+  /** The q192 operator over any documents-shaped frame (doc_id, source,
+    * text) — see the catalog entry's scaladoc for design/citation.
+    */
+  def dsirWeights(docs: DataFrame, targetSource: String): DataFrame = {
+    val occ = docs
+      .select(col("doc_id"), col("source"),
+        explode(TextOps.wordsOf(col("text"))).as("w"))
+      .withColumn("b",
+        floor(hashFraction(col("w")) * DsirBuckets).cast("long"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.pipeline.Chunker.registerForCleanup(occ)
+    val isTarget = col("source") === targetSource
+    val bt = occ.groupBy(col("b"))
+      .agg(sum(when(isTarget, 1L).otherwise(0L)).as("ct"),
+        sum(when(!isTarget, 1L).otherwise(0L)).as("cr"))
+    val tot = bt.agg(sum(col("ct")).as("nt"), sum(col("cr")).as("nr"))
+    val lr = bt.crossJoin(broadcast(tot))
+      .select(col("b"),
+        round((log((col("ct") + 1.0) / (col("nt") + lit(DsirBuckets.toDouble)))
+          - log((col("cr") + 1.0) / (col("nr") + lit(DsirBuckets.toDouble))))
+          * 1e6, 0).cast("long").as("lr_micro"))
+    val db = occ.filter(!isTarget)
+      .groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("n"))
+    db.join(broadcast(lr), Seq("b"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n")).as("n_words"),
+        sum(col("n") * col("lr_micro")).as("w_micro"))
+      .select(col("doc_id"), col("n_words"),
+        round(col("w_micro") / 1e6, 4).as("dsir_weight"),
+        round(col("w_micro") / 1e6 / col("n_words"), 6)
+          .as("dsir_weight_per_word"))
+  }
+
+  /** The q193 operator over any documents-shaped frame (doc_id, lang,
+    * text) — see the catalog entry's scaladoc for design/citation.
+    */
+  def ccnetBuckets(docs: DataFrame): DataFrame = {
+    val occ = docs
+      .select(col("doc_id"), col("lang"),
+        explode(TextOps.wordsOf(col("text"))).as("w"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.pipeline.Chunker.registerForCleanup(occ)
+    val cw = occ.groupBy(col("w")).agg(count(lit(1)).as("cw"))
+    val tot = occ.agg(count(lit(1)).as("n_tot"))
+    val docScore = occ.join(cw, Seq("w"))
+      .crossJoin(broadcast(tot))
+      .select(col("doc_id"), col("lang"),
+        round(-log(col("cw").cast("double") / col("n_tot")), 6).as("nll"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(count(lit(1)).as("n_words"),
+        round(sum(round(col("nll") * 1e6).cast("long")) / 1e6
+          / count(lit(1)), 4).as("mean_nll"))
+    val bounds = docScore.groupBy(col("lang"))
+      .agg(expr(s"percentile(mean_nll, $Tertile1)").as("b1"),
+        expr(s"percentile(mean_nll, $Tertile2)").as("b2"))
+    docScore.join(broadcast(bounds), Seq("lang"))
+      .select(col("doc_id"), col("lang"), col("n_words"), col("mean_nll"),
+        when(col("mean_nll") <= col("b1"), "head")
+          .when(col("mean_nll") <= col("b2"), "middle")
+          .otherwise("tail").as("ppl_bucket"))
+  }
 
   def oracles: Map[String, String] = Map(
 

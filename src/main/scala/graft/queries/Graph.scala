@@ -64,7 +64,15 @@ object Graph {
     while (sweeps < maxSweeps && !converged) {
       val next = step(cur).persist(MEMORY_AND_DISK)
       graft.pipeline.Chunker.registerForCleanup(next)
-      converged = next.exceptAll(cur).isEmpty
+      // probe only while stopping can still SAVE a sweep — never after
+      // the final sweep (the loop exits anyway) and never after the
+      // first (a nontrivial graph always changes state on sweep 1; if
+      // init WAS a fixpoint the extra sweeps are no-ops, so skipping
+      // the probe is output-identical either way). Without this guard
+      // q143's proven 2-round bound paid two probe jobs that could
+      // never fire — 2.1× its r7 wall.
+      converged = sweeps >= 1 && sweeps < maxSweeps - 1 &&
+        next.exceptAll(cur).isEmpty
       sweeps += 1
       cur = next
     }

@@ -22,6 +22,16 @@ import org.apache.spark.sql.functions._
   *    instead of every replica being a near-dup of its original, which
   *    would quadratically inflate LSH candidate pairs and fake a
   *    super-linear scaling curve.
+  *  - replicas also MINT FRESH WORD TYPES (~30% of positions get a
+  *    rep-specific suffix, (position, rep)-keyed like the permutation):
+  *    the source corpus has a closed ~50-word vocabulary whose 3-gram
+  *    space SATURATES under pure replication — every shingle's df then
+  *    grows with corpus size and exact similarity joins go
+  *    intrinsically quadratic (measured: 132× candidate growth at
+  *    10×). Natural crawls grow vocabulary as they grow (Heaps' law),
+  *    so honest replicas must too; identical texts still stay
+  *    identical and same-length near-dups keep ~58% of their shared
+  *    occurrences.
   *  - embeddings in rep>0 get content-seeded elementwise noise
   *    (uniform in ±0.45 per dim): identical source vectors stay
   *    identical, but a vector and its replica land at cosine ≈ 0.5 —

@@ -174,6 +174,22 @@ class EmptyInputSpec extends AnyFunSuite with CacheCleanup {
     assert(spark.read.parquet(s"$out/rc").count() == 0)
   }
 
+  test("round-8 selection operators on empty and single-stratum inputs") {
+    import graft.queries.Curation
+    val noDocs3 = Seq.empty[(Long, String, String, String)]
+      .toDF("doc_id", "source", "lang", "text")
+    assert(Curation.dsirWeights(noDocs3, "src0").count() == 0)
+    assert(Curation.ccnetBuckets(noDocs3).count() == 0)
+    // all-target corpus: the raw pool is empty -> no weights, no crash
+    val allTarget = Seq((1L, "src0", "en", "alpha beta gamma"))
+      .toDF("doc_id", "source", "lang", "text")
+    assert(Curation.dsirWeights(allTarget, "src0").count() == 0)
+    // single doc per lang: tertile boundaries collapse to the doc's own
+    // score -> it lands in 'head' (score <= b1), one row out
+    val one = Curation.ccnetBuckets(allTarget).collect()
+    assert(one.length == 1 && one(0).getAs[String]("ppl_bucket") == "head")
+  }
+
   test("stateful sessionizer and ranks on empty input") {
     val noEvents = Seq.empty[graft.streaming.SessionEvent].toDS()
     assert(graft.streaming.StatefulSessions.sessionize(noEvents).count() == 0)
