@@ -68,6 +68,14 @@ object TextAnalytics {
     */
   val Stopwords = Seq("the", "a", "of", "and", "in", "to")
 
+  /** q194 word-count bounds. The published Gopher floor is 50; the
+    * fixture's documents run ~15–30 words, so the catalog instantiates
+    * the rule at 10 (the constant is the operator's parameter — a
+    * deployment uses the published value unchanged).
+    */
+  val GopherMinWords = 10L
+  val GopherMaxWords = 100000L
+
   /** q134 blocklist — a baked literal lexicon (the BM25-terms pattern);
     * a deployment swaps in its own list, the plan shape is identical.
     */
@@ -723,6 +731,81 @@ object TextAnalytics {
               / col("n_chars")), 6).as("tokens_per_100c"))
     }),
 
+    // Gopher rule battery (Rae et al. 2021, appendix A1.1): the
+    // PUBLISHED per-document quality rules as named boolean flags —
+    // word count bounds, mean word length in [3, 10], ≥80% words with
+    // an alphabetic character, ≤10% symbol-bearing words (#/ellipsis),
+    // ≥2 distinct stop words — plus the all-rules keep verdict, so a
+    // pipeline can report WHY documents fall, not just that they do
+    // (q45 scores, q85 gates on a corpus-relative cutoff; this is the
+    // absolute published battery). The word-count floor is
+    // fixture-scaled ([[GopherMinWords]] = 10; the paper uses 50 —
+    // constants are the operator's parameters). Pure projection per
+    // doc, no shuffle at all.
+    "q194_gopher_rules" -> ((s, d) => {
+      val ws = TextOps.wordsOf(col("text"))
+      documents(s, d)
+        .withColumn("ws", ws)
+        .withColumn("n_words", size(col("ws")).cast("long"))
+        .withColumn("sum_wlen",
+          aggregate(col("ws"), lit(0L), (acc, w) => acc + length(w).cast("long")))
+        .withColumn("n_alpha",
+          size(filter(col("ws"), w => w.rlike("[a-z]"))).cast("long"))
+        .withColumn("n_sym",
+          size(filter(col("ws"), w =>
+            w.contains("#") || w.contains("..."))).cast("long"))
+        .withColumn("n_stop_distinct",
+          size(array_intersect(array_distinct(col("ws")),
+            array(Stopwords.map(lit): _*))).cast("long"))
+        .select(col("doc_id"), col("source"), col("n_words"),
+          (col("n_words") >= GopherMinWords &&
+            col("n_words") <= GopherMaxWords).cast("long").as("r_word_count"),
+          (col("n_words") > 0 &&
+            col("sum_wlen").cast("double") / col("n_words") >= 3.0 &&
+            col("sum_wlen").cast("double") / col("n_words") <= 10.0)
+            .cast("long").as("r_mean_word_len"),
+          (col("n_words") > 0 &&
+            col("n_alpha").cast("double") / col("n_words") >= 0.8)
+            .cast("long").as("r_alpha_words"),
+          (col("n_words") > 0 &&
+            col("n_sym").cast("double") / col("n_words") <= 0.1)
+            .cast("long").as("r_symbol_ratio"),
+          (col("n_stop_distinct") >= 2L).cast("long").as("r_stop_words"))
+        .withColumn("n_rules_passed",
+          col("r_word_count") + col("r_mean_word_len") + col("r_alpha_words")
+            + col("r_symbol_ratio") + col("r_stop_words"))
+        .withColumn("keep", (col("n_rules_passed") === 5L).cast("long"))
+    }),
+
+    // Per-source lexical/fertility profile — the tokenizer-budget view
+    // of the corpus mix: type-token ratio (lexical diversity, the
+    // Heaps-law observable), tokens-per-word fertility under the C2
+    // counter, and average word length, per source stratum. One word
+    // explode feeding a per-source count+distinct aggregate, one
+    // doc-level token sum, joined on the bounded source key.
+    "q195_lexical_profile" -> ((s, d) => {
+      val docs = documents(s, d)
+      val w = docs.select(col("source"),
+          explode(TextOps.wordsOf(col("text"))).as("w"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_words"),
+          countDistinct(col("w")).as("n_types"),
+          sum(length(col("w")).cast("long")).as("sum_wlen"))
+      val t = docs.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(graft.functions.token_count(col("text")).cast("long"))
+            .as("n_tokens"))
+      w.join(t, Seq("source"))
+        .select(col("source"), col("n_docs"), col("n_words"), col("n_types"),
+          col("n_tokens"),
+          round(col("n_types").cast("double") / col("n_words"), 6)
+            .as("type_token_ratio"),
+          round(col("n_tokens").cast("double") / col("n_words"), 6)
+            .as("tokens_per_word"),
+          round(col("sum_wlen").cast("double") / col("n_words"), 6)
+            .as("avg_word_len"))
+    }),
+
     // Quality GATE: keep only docs at/above their language's 25th
     // percentile of avg word length — the "filter the corpus on a
     // per-stratum score cutoff" op every pretraining pipeline runs.
@@ -1370,6 +1453,68 @@ object TextAnalytics {
          |    CAST(n_tok AS DOUBLE) * 100.0 / n_chars END, 6) AS tokens_per_100c
          |FROM t""".stripMargin
     },
+
+    "q194_gopher_rules" -> {
+      val stops = Stopwords.map(s => s"'$s'").mkString(", ")
+      s"""WITH t AS (
+         |  SELECT doc_id, source, ${TextOps.wordsSql} AS ws FROM documents),
+         |f AS (
+         |  SELECT doc_id, source,
+         |    CAST(len(ws) AS BIGINT) AS n_words,
+         |    list_sum(list_transform(ws, w -> length(w))) AS sum_wlen,
+         |    len(list_filter(ws, w -> regexp_matches(w, '[a-z]'))) AS n_alpha,
+         |    len(list_filter(ws, w ->
+         |      contains(w, '#') OR contains(w, '...'))) AS n_sym,
+         |    len(list_intersect(list_distinct(ws), [$stops])) AS n_stop
+         |  FROM t),
+         |r AS (
+         |  SELECT doc_id, source, n_words,
+         |    CAST(n_words >= $GopherMinWords AND n_words <= $GopherMaxWords
+         |      AS BIGINT) AS r_word_count,
+         |    CAST(coalesce(n_words > 0
+         |        AND CAST(sum_wlen AS DOUBLE) / n_words >= 3.0
+         |        AND CAST(sum_wlen AS DOUBLE) / n_words <= 10.0, FALSE)
+         |      AS BIGINT) AS r_mean_word_len,
+         |    CAST(coalesce(n_words > 0
+         |        AND CAST(n_alpha AS DOUBLE) / n_words >= 0.8, FALSE)
+         |      AS BIGINT) AS r_alpha_words,
+         |    CAST(coalesce(n_words > 0
+         |        AND CAST(n_sym AS DOUBLE) / n_words <= 0.1, FALSE)
+         |      AS BIGINT) AS r_symbol_ratio,
+         |    CAST(n_stop >= 2 AS BIGINT) AS r_stop_words
+         |  FROM f)
+         |SELECT doc_id, source, n_words, r_word_count, r_mean_word_len,
+         |  r_alpha_words, r_symbol_ratio, r_stop_words,
+         |  r_word_count + r_mean_word_len + r_alpha_words + r_symbol_ratio
+         |    + r_stop_words AS n_rules_passed,
+         |  CAST(r_word_count + r_mean_word_len + r_alpha_words
+         |    + r_symbol_ratio + r_stop_words = 5 AS BIGINT) AS keep
+         |FROM r""".stripMargin
+    },
+
+    "q195_lexical_profile" ->
+      s"""WITH w AS (
+         |  SELECT source, unnest(${TextOps.wordsSql}) AS w FROM documents),
+         |ws AS (
+         |  SELECT source, count(*) AS n_words,
+         |    count(DISTINCT w) AS n_types,
+         |    sum(length(w)) AS sum_wlen
+         |  FROM w GROUP BY source),
+         |t AS (
+         |  SELECT source, count(*) AS n_docs,
+         |    CAST(sum(${RefPipeline.tokenCountSql("text")}) AS BIGINT)
+         |      AS n_tokens
+         |  FROM documents GROUP BY source)
+         |SELECT ws.source, t.n_docs,
+         |  CAST(ws.n_words AS BIGINT) AS n_words,
+         |  CAST(ws.n_types AS BIGINT) AS n_types, t.n_tokens,
+         |  round(CAST(ws.n_types AS DOUBLE) / ws.n_words, 6)
+         |    AS type_token_ratio,
+         |  round(CAST(t.n_tokens AS DOUBLE) / ws.n_words, 6)
+         |    AS tokens_per_word,
+         |  round(CAST(ws.sum_wlen AS DOUBLE) / ws.n_words, 6)
+         |    AS avg_word_len
+         |FROM ws JOIN t ON t.source = ws.source""".stripMargin,
 
     "q85_quality_gate" ->
       s"""WITH t AS (

@@ -405,6 +405,52 @@ class DedupSpec extends AnyFunSuite with CacheCleanup {
       s"prefix filter pruned nothing (${out.length} candidates)")
   }
 
+  test("prefix-filter join completeness holds on RANDOM saturated corpora " +
+    "(the filter bundle's rank argument, fuzzed)") {
+    // The length + positional filters rest on a proof about per-doc
+    // ranks under one global (df, shingle) order; fuzz it where it is
+    // most stressed — tiny vocabularies (exactly the shingle-space
+    // saturation the 10x probe exposed), duplicated docs, planted
+    // near-dups, length outliers. Seeded => reproducible.
+    val t = 0.6
+    for (seed <- Seq(11, 42, 1337)) {
+      val rnd = new scala.util.Random(seed)
+      val vocab = Vector("a", "b", "c", "d", "e", "f", "g", "h")
+      val base = (0 until 40).map { i =>
+        val n = 3 + rnd.nextInt(15)
+        (i.toLong, Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }
+      // planted structure: an exact dup, a one-word edit, a length outlier
+      val docs0 = base ++ Seq(
+        (100L, base(0)._2),
+        (101L, base(1)._2.replaceFirst("\\w+$", "zz")),
+        (102L, (base(2)._2 + " ") * 4))
+      val docs = docs0.toDF("doc_id", "text")
+      val sh = Dedup.shingleTable(docs, "doc_id", "text")
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+        .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+      val ids = sh.keys.toSeq.sorted
+      val brute = (for {
+        a <- ids; b <- ids if a < b
+        j = (sh(a) & sh(b)).size.toDouble / (sh(a) | sh(b)).size
+        if j >= t
+      } yield (a, b)).toSet
+      val out = Dedup.prefixFilterJoin(docs, "doc_id", "text", t).collect()
+      val found = out.filter(_.getAs[Long]("passes") == 1L)
+        .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+      assert(found == brute, s"seed=$seed: brute=$brute found=$found")
+      // and every reported jaccard is the true one
+      out.foreach { r =>
+        val (a, b) = (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))
+        val j = (sh(a) & sh(b)).size.toDouble / (sh(a) | sh(b)).size
+        assert(r.getAs[Double]("jaccard") ==
+          BigDecimal(j).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+          s"seed=$seed pair ($a,$b)")
+      }
+      graft.pipeline.Chunker.clearCaches()
+    }
+  }
+
   test("q163 dup spans equal an independent sequential recomputation") {
     val d = TestSpark.sf0001
     val docs = Tables.documents(spark, d).select("doc_id", "text").collect()

@@ -226,4 +226,59 @@ class TextAnalyticsSpec extends AnyFunSuite with CacheCleanup {
           r.getAs[Double]("jaccard_at_k")))).toMap
     assert(got == expected, s"got $got\nexpected $expected")
   }
+
+  test("q194 Gopher rule flags equal a sequential recompute, with variance") {
+    def words(t: String): Seq[String] =
+      t.toLowerCase.split("[ \t\n\r\f]+").filter(_.nonEmpty).toSeq
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), words(r.getString(2))))
+    val expected = docs.map { case (id, src, ws) =>
+      val n = ws.size.toLong
+      val rWc = n >= TextAnalytics.GopherMinWords &&
+        n <= TextAnalytics.GopherMaxWords
+      val mwl = if (n > 0) ws.map(_.length).sum.toDouble / n else 0.0
+      val rMwl = n > 0 && mwl >= 3.0 && mwl <= 10.0
+      val rAlpha = n > 0 &&
+        ws.count(_.exists(c => c >= 'a' && c <= 'z')).toDouble / n >= 0.8
+      val rSym = n > 0 &&
+        ws.count(w => w.contains("#") || w.contains("...")).toDouble / n <= 0.1
+      val rStop = ws.distinct.count(TextAnalytics.Stopwords.contains) >= 2
+      val flags = Seq(rWc, rMwl, rAlpha, rSym, rStop).map(b => if (b) 1L else 0L)
+      (id, src, n, flags(0), flags(1), flags(2), flags(3), flags(4),
+        flags.sum, if (flags.sum == 5L) 1L else 0L)
+    }.toSet
+    val got = SparkEntry.queries("q194_gopher_rules")(spark, TestSpark.sf0001)
+      .as[(Long, String, Long, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().toSet
+    assert(got == expected)
+    // the battery discriminates on this corpus: both keep outcomes occur
+    assert(got.exists(_._10 == 1L) && got.exists(_._10 == 0L),
+      "the rule battery should pass some docs and fail others on the fixture")
+  }
+
+  test("q195 lexical profile equals a sequential per-source recompute") {
+    def words(t: String): Seq[String] =
+      t.toLowerCase.split("[ \t\n\r\f]+").filter(_.nonEmpty).toSeq
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val expected = docs.groupBy(_._1).map { case (src, rows) =>
+      val ws = rows.flatMap(r => words(r._2))
+      val nW = ws.size.toLong
+      val nTypes = ws.distinct.size.toLong
+      val nTok = rows.map(r =>
+        graft.expressions.TokenCount.count(r._2).toLong).sum
+      (src, rows.size.toLong, nW, nTypes, nTok,
+        r6(nTypes.toDouble / nW), r6(nTok.toDouble / nW),
+        r6(ws.map(_.length).sum.toDouble / nW))
+    }.toSet
+    val got = SparkEntry.queries("q195_lexical_profile")(spark, TestSpark.sf0001)
+      .as[(String, Long, Long, Long, Long, Double, Double, Double)]
+      .collect().toSet
+    assert(got == expected)
+    assert(got.nonEmpty)
+  }
 }
