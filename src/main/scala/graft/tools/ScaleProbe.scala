@@ -17,7 +17,8 @@ object ScaleProbe {
 
   val Headliners: Seq[String] = Seq(
     "q41_dedup_near", "q151_prefix_join", "q160_semdedup",
-    "q62_ann_ivf", "q190_ivfpq_serving")
+    "q62_ann_ivf", "q190_ivfpq_serving",
+    "q130_minhash_estimate", "q179_containment_dedup")
 
   def main(args: Array[String]): Unit = {
     val baseDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
@@ -77,11 +78,14 @@ object ScaleProbe {
     val big = time(bigDir)
     spark.stop()
 
-    // each table row doubles its leading pipe so stripMargin leaves
-    // exactly one (the margin strip ate the first-run table's pipes)
-    val rows = names.map { n =>
-      f"|| $n | ${base(n)}%.2f | ${big(n)}%.2f | ${big(n) / base(n)}%.1f× |"
-    }
+    // the table is composed OUTSIDE the stripMargin templates: markdown
+    // table rows begin with '|', which stripMargin would eat as a
+    // margin marker (it mangled the first two generated tables)
+    val table = (Seq(
+      s"| query | sf0.1 (s) | ${factor}× (s) | ratio |",
+      "|---|---|---|---|") ++ names.map { n =>
+      f"| $n | ${base(n)}%.2f | ${big(n)}%.2f | ${big(n) / base(n)}%.1f× |"
+    }).mkString("\n")
     val md =
       s"""# SCALE — measured wall-time scaling of the dedup/ANN headliners
          |
@@ -99,9 +103,7 @@ object ScaleProbe {
          |sbt "runMain graft.tools.ScaleProbe /root/testdata/sf0.1 /root/repo/scaleprobe/x$factor $factor"
          |```
          |
-         || query | sf0.1 (s) | ${factor}× (s) | ratio |
-         ||---|---|---|---|
-         |${rows.mkString("\n")}
+         |""".stripMargin + table + s"""
          |
          |Input scale: documents ×$factor rows, embeddings ×$factor rows.
          |A ratio ≲ ${factor}× (plus constant overheads at the small end)

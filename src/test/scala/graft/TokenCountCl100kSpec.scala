@@ -116,6 +116,53 @@ class TokenCountCl100kSpec extends AnyFunSuite {
     assert(BpeRanks.countPiece("abcd", flip) == 3)
   }
 
+  test("exact BPE: countPiece equals an independent reference merger on " +
+    "random pieces and ranks tables") {
+    import graft.expressions.BpeRanks
+    import java.nio.charset.StandardCharsets.{ISO_8859_1, UTF_8}
+    // independent implementation: immutable part list, rescan for the
+    // lowest-rank adjacent pair each round — obviously correct, O(n^3)
+    def refCount(piece: String, ranks: java.util.HashMap[String, Integer]): Int = {
+      val whole = new String(piece.getBytes(UTF_8), ISO_8859_1)
+      if (whole.length <= 1) return whole.length
+      if (ranks.containsKey(whole)) return 1
+      var parts = whole.map(_.toString).toList
+      var done = false
+      while (!done && parts.length > 1) {
+        val cands = parts.zip(parts.tail).zipWithIndex
+          .map { case ((x, y), i) => (Option(ranks.get(x + y)), i) }
+          .collect { case (Some(r), i) => (r.intValue(), i) }
+        if (cands.isEmpty) done = true
+        else {
+          val (_, i) = cands.minBy(_._1)
+          parts = parts.take(i) ::: (parts(i) + parts(i + 1)) :: parts.drop(i + 2)
+        }
+      }
+      parts.length
+    }
+    for (seed <- Seq(7, 99, 2024)) {
+      val rnd = new scala.util.Random(seed)
+      val alphabet = "abcdef"
+      // random table: every single byte plus a random sample of longer
+      // substrings, with randomly ordered distinct ranks
+      val longer = (for {
+        len <- 2 to 4
+        _ <- 1 to 12
+      } yield Seq.fill(len)(alphabet(rnd.nextInt(alphabet.length))).mkString)
+        .distinct
+      val entries = rnd.shuffle(alphabet.map(_.toString) ++ longer)
+        .zipWithIndex
+      val table = ranksOf(entries.map { case (tok, r) => tok -> r }: _*)
+      for (_ <- 1 to 200) {
+        val piece = Seq.fill(rnd.nextInt(13))(
+          alphabet(rnd.nextInt(alphabet.length))).mkString
+        val got = BpeRanks.countPiece(piece, table)
+        val want = refCount(piece, table)
+        assert(got == want, s"seed=$seed piece='$piece': $got != $want")
+      }
+    }
+  }
+
   test("exact BPE: ranks file round-trip through the env-file loader") {
     import graft.expressions.BpeRanks
     val b64 = java.util.Base64.getEncoder
