@@ -344,6 +344,18 @@ object EventsQueries {
       graft.streaming.StreamingJobs.attributionJoin(e, e)
     }),
 
+    // q71's LEFT-OUTER twin: purchases with no qualifying view in the
+    // preceding hour are KEPT with null view columns — the
+    // conversion-without-exposure rows an attribution report needs.
+    // Same single definition runs as the watermark-driven streaming
+    // outer join (StreamingSpec proves the null rows emit exactly when
+    // both watermarks close the window) and, here on batch frames, as
+    // an ordinary left range join.
+    "q196_attribution_outer" -> ((s, d) => {
+      val e = events(s, d)
+      graft.streaming.StreamingJobs.attributionJoinOuter(e, e)
+    }),
+
     // Cohort retention: users grouped by first-active day, activity
     // counted at each day offset — the standard retention triangle.
     // Everything shuffles by user_id (distinct days, first-day cohort,
@@ -812,6 +824,15 @@ object EventsQueries {
         |FROM events p JOIN events v
         |  ON p.user_id = v.user_id
         | AND p.event_type = 'purchase' AND v.event_type = 'view'
+        | AND v.ts <= p.ts AND v.ts >= p.ts - INTERVAL 1 HOUR""".stripMargin,
+
+    "q196_attribution_outer" ->
+      """SELECT p.event_id AS purchase_id, v.event_id AS view_id,
+        |  p.user_id, p.ts AS p_ts, v.ts AS v_ts,
+        |  round(p.value, 2) AS value
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+        |  ON p.user_id = v.user_id
         | AND v.ts <= p.ts AND v.ts >= p.ts - INTERVAL 1 HOUR""".stripMargin,
 
     "q79_cohort_retention" ->

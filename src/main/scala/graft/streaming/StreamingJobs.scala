@@ -115,6 +115,36 @@ object StreamingJobs {
         round(col("value"), 2).as("value"))
   }
 
+  /** LEFT-OUTER stream-stream interval join — [[attributionJoin]] with
+    * purchases that have NO qualifying view retained as null-view rows
+    * (the conversion-without-exposure report). On streams this is the
+    * watermark-driven outer join Structured Streaming documents: an
+    * unmatched purchase is withheld until BOTH watermarks pass the end
+    * of its join window — state eviction doubles as the no-match
+    * proof — and emitted with nulls in a later micro-batch, so a
+    * finite run only emits outer rows for windows some staged tick
+    * closed (StreamingSpec stages far-future flush ticks for exactly
+    * that). On batch frames the identical definition is an ordinary
+    * left range join (catalog twin q196_attribution_outer).
+    */
+  def attributionJoinOuter(views: DataFrame, purchases: DataFrame): DataFrame = {
+    val v = views.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"),
+        col("event_id").as("view_id"))
+      .withWatermark("v_ts", "2 hours")
+    val p = purchases.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("purchase_id"), col("value"))
+      .withWatermark("p_ts", "2 hours")
+    p.join(v, col("p_user") === col("v_user") &&
+        col("v_ts") <= col("p_ts") &&
+        col("v_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR"),
+      "left_outer")
+      .select(col("purchase_id"), col("view_id"),
+        col("p_user").as("user_id"), col("p_ts"), col("v_ts"),
+        round(col("value"), 2).as("value"))
+  }
+
   /** Stream–static enrichment join: the unbounded event stream joined
     * to a bounded reference dimension — the "attach reference data at
     * ingest" shape. No watermark and NO STATE: a static table is

@@ -34,6 +34,59 @@ class StreamingSpec extends AnyFunSuite with CacheCleanup {
     assert(got.count() > 0)
   }
 
+  test("stream-stream LEFT OUTER interval join: null rows emit exactly " +
+    "when the watermark closes the window") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    def evs(rows: (Long, String, Long, String, Double)*) =
+      rows.toSeq.toDF("event_id", "ts_s", "user_id", "event_type", "value")
+        .select(col("event_id"), to_timestamp(col("ts_s")).as("ts"),
+          col("user_id"), col("event_type"), col("value"))
+    // b1: a matched purchase (view 1 @10:00 precedes purchase 2 @10:30)
+    // and an unmatched one (user 2 never viewed)
+    val b1 = evs(
+      (1L, "2024-01-01 10:00:00", 1L, "view", 0.0),
+      (2L, "2024-01-01 10:30:00", 1L, "purchase", 5.0),
+      (3L, "2024-01-01 10:40:00", 2L, "purchase", 7.0))
+    // b2: user 1 purchases again at 12:30 — their only view is 2.5h
+    // old, OUTSIDE the 1h window, so this row must come out null too
+    val b2 = evs((4L, "2024-01-01 12:30:00", 1L, "purchase", 9.0))
+    // b3/b4: far-future ticks on BOTH sides push BOTH watermarks past
+    // every earlier join window (view + purchase, different users, and
+    // a second round so eviction results from the first flush batch
+    // have a batch to be emitted in). b4 also closes b3's window, so
+    // unmatched purchase 10 emits too; b4's own purchase 12 stays
+    // open-window and must NOT appear.
+    val b3 = evs(
+      (9L, "2024-01-03 10:00:00", 7L, "view", 0.0),
+      (10L, "2024-01-03 10:00:00", 8L, "purchase", 1.0))
+    val b4 = evs(
+      (11L, "2024-01-04 10:00:00", 7L, "view", 0.0),
+      (12L, "2024-01-04 10:00:00", 8L, "purchase", 1.0))
+    val batches = Seq(b1, b2, b3, b4)
+    val got = StreamingJobs.runIncremental(spark, batches,
+      df => StreamingJobs.attributionJoinOuter(df, df), "t_outer_attr")
+      .collect()
+      .map(r => r.getAs[Long]("purchase_id") ->
+        Option(r.getAs[java.lang.Long]("view_id")).map(_.toLong))
+      .toMap
+    // matched row joined; unmatched purchases emitted with nulls ONLY
+    // because the watermark closed their windows; the open-window
+    // flush purchase (12) withheld
+    assert(got == Map(2L -> Some(1L), 3L -> None, 4L -> None, 10L -> None),
+      s"got $got")
+    // and the streamed rows are exactly the batch left-join twin
+    // restricted to closed windows
+    val all = batches.reduce(_.unionAll(_))
+    val batch = StreamingJobs.attributionJoinOuter(all, all)
+      .filter(col("p_ts") < to_timestamp(lit("2024-01-04 00:00:00")))
+      .collect()
+      .map(r => r.getAs[Long]("purchase_id") ->
+        Option(r.getAs[java.lang.Long]("view_id")).map(_.toLong))
+      .toMap
+    assert(got == batch)
+  }
+
   test("stream-static enrichment join == batch broadcast join") {
     import spark.implicits._
     val dim = Seq(
