@@ -125,6 +125,9 @@ object Similarity {
   /** q52 width: 2 more bits (4x buckets), recall recovered by probing. */
   val Q52Bits = 10
 
+  /** q197 list depth (truth and approx arms both ranked to this k). */
+  val NdcgK = 10
+
   // ---- Operators (DataFrame-in so specs can run planted fixtures) ----
 
   /** Brute-force cosine top-k: every query vector (label = 0) against
@@ -505,6 +508,48 @@ object Similarity {
           round(col("n_hits") / 3.0, 6).as("recall_at_3"))
     }),
 
+    // Ranking-quality eval for the ANN arm — nDCG@10 + reciprocal rank
+    // (Järvelin & Kekäläinen 2002; the ORDER-sensitive complement to
+    // q170's set-based recall): graded gain of an approx-list item is
+    // its true exact-cosine rank (gain 11−t_rn), discounted by its
+    // APPROX position log2(a_rn+1); rr_of_top1 is 1/position of the
+    // true nearest neighbor in the approx list (0 when dropped). A
+    // probe/bits change that keeps recall but scrambles ORDER shows
+    // up here and nowhere else. Per-position terms land in integer
+    // micro-units (the q167 rule) so the ≤10-term sums are exact;
+    // nDCG is one long/long division. Cost is the two arms it
+    // evaluates; the comparison is anchor-sized joins.
+    "q197_ann_ndcg" -> ((s, d) => {
+      val k = NdcgK
+      val e = embeddings(s, d)
+      val truth = bruteTopK(e, k)
+        .select(col("q_id"), col("neighbor_id"), col("rn").as("t_rn"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      graft.pipeline.Chunker.registerForCleanup(truth)
+      val idcg = truth.groupBy(col("q_id"))
+        .agg(sum(round((lit(k + 1) - col("t_rn"))
+            / log2(col("t_rn") + lit(1)) * 1e6, 0).cast("long"))
+          .as("idcg_micro"))
+      val approx = annMultiprobe(e, Q52Bits, k)
+        .select(col("q_id"), col("neighbor_id"), col("rn").as("a_rn"))
+      approx.join(truth, Seq("q_id", "neighbor_id"), "left")
+        .groupBy(col("q_id"))
+        .agg(
+          sum(when(col("t_rn").isNotNull,
+            round((lit(k + 1) - col("t_rn"))
+              / log2(col("a_rn") + lit(1)) * 1e6, 0).cast("long"))
+            .otherwise(0L)).as("dcg_micro"),
+          sum(when(col("t_rn").isNotNull, 1L).otherwise(0L)).as("n_overlap"),
+          max(when(col("t_rn") === 1,
+            round(lit(1e6) / col("a_rn"), 0).cast("long"))
+            .otherwise(0L)).as("rr_micro"))
+        .join(idcg, Seq("q_id"))
+        .select(col("q_id"), col("n_overlap"),
+          round(col("dcg_micro").cast("double") / col("idcg_micro"), 6)
+            .as("ndcg_at_10"),
+          round(col("rr_micro") / 1e6, 6).as("rr_of_top1"))
+    }),
+
     // k-center greedy coreset (Gonzalez '85, the 2-approximation) —
     // the diversity-maximizing DATA-SELECTION op (pick K exemplars so
     // every vector is near one; the facility-location/coverage shape
@@ -791,7 +836,7 @@ object Similarity {
     * the SAME two arms (a map self-reference inside the `oracles`
     * initializer would NPE — the bm25OracleSql rule).
     */
-  private lazy val q38OracleSql: String =
+  private def bruteTopKOracleSql(k: Int): String =
     s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb
        |           FROM embeddings WHERE label = 0),
        |scored AS (
@@ -799,9 +844,11 @@ object Similarity {
        |         ${cosineSql("q.q_emb", "e.embedding")} AS cosine
        |  FROM embeddings e CROSS JOIN q
        |  WHERE e.vec_id <> q.q_id)
-       |${topKSql("scored", 5)}""".stripMargin
+       |${topKSql("scored", k)}""".stripMargin
 
-  private lazy val q52OracleSql: String =
+  private lazy val q38OracleSql: String = bruteTopKOracleSql(5)
+
+  private def multiprobeOracleSql(k: Int): String =
     s"""WITH sigs AS (
        |  SELECT vec_id, embedding, label,
        |    ${hyperplaneSigSql("embedding", Q52Bits)} AS sig
@@ -815,7 +862,9 @@ object Similarity {
        |         ${cosineSql("q.q_emb", "e.embedding")} AS cosine
        |  FROM sigs e JOIN q ON e.sig = q.sig
        |  WHERE e.vec_id <> q.q_id)
-       |${topKSql("cands", 3)}""".stripMargin
+       |${topKSql("cands", k)}""".stripMargin
+
+  private lazy val q52OracleSql: String = multiprobeOracleSql(3)
 
   val oracles: Map[String, String] = Map(
     "q38_cosine_topk" -> q38OracleSql,
@@ -955,6 +1004,39 @@ object Similarity {
          |  round(coalesce(h.n_hits, 0) / 3.0, 6) AS recall_at_3
          |FROM (SELECT DISTINCT q_id FROM truth) q
          |LEFT JOIN hits h ON h.q_id = q.q_id""".stripMargin,
+
+    "q197_ann_ndcg" -> {
+      val k = NdcgK
+      s"""WITH truth AS (
+         |  SELECT q_id, neighbor_id, rn AS t_rn
+         |  FROM (${bruteTopKOracleSql(k)})),
+         |idcg AS (
+         |  SELECT q_id,
+         |    sum(CAST(round((${k + 1} - t_rn) / log2(t_rn + 1) * 1e6, 0)
+         |      AS BIGINT)) AS idcg_micro
+         |  FROM truth GROUP BY q_id),
+         |approx AS (
+         |  SELECT q_id, neighbor_id, rn AS a_rn
+         |  FROM (${multiprobeOracleSql(k)})),
+         |j AS (
+         |  SELECT a.q_id, a.a_rn, t.t_rn
+         |  FROM approx a LEFT JOIN truth t
+         |    ON t.q_id = a.q_id AND t.neighbor_id = a.neighbor_id),
+         |d AS (
+         |  SELECT q_id,
+         |    sum(CASE WHEN t_rn IS NOT NULL THEN
+         |      CAST(round((${k + 1} - t_rn) / log2(a_rn + 1) * 1e6, 0)
+         |        AS BIGINT) ELSE 0 END) AS dcg_micro,
+         |    sum(CASE WHEN t_rn IS NOT NULL THEN 1 ELSE 0 END) AS n_overlap,
+         |    max(CASE WHEN t_rn = 1 THEN
+         |      CAST(round(1e6 / a_rn, 0) AS BIGINT) ELSE 0 END) AS rr_micro
+         |  FROM j GROUP BY q_id)
+         |SELECT d.q_id, CAST(d.n_overlap AS BIGINT) AS n_overlap,
+         |  round(CAST(d.dcg_micro AS DOUBLE) / i.idcg_micro, 6)
+         |    AS ndcg_at_10,
+         |  round(d.rr_micro / 1e6, 6) AS rr_of_top1
+         |FROM d JOIN idcg i ON i.q_id = d.q_id""".stripMargin
+    },
 
     // The greedy unrolled: c_i = argmax of the running min-distance,
     // m_i = the min-distance table after adding c_i. Same rounded-

@@ -73,6 +73,7 @@ class PlanGuardSpec extends AnyFunSuite {
     "q168_hard_negatives" -> "documented exact O(N*Q) baseline: corpus x broadcast query set (q38 pattern)",
     "q169_retrieval_agreement" -> "inherits q161's 1-row probe + q114 stats crossJoins",
     "q170_ann_recall" -> "inherits q38's exact-baseline corpus x query-set crossJoin",
+    "q197_ann_ndcg" -> "inherits q38's exact-baseline corpus x query-set crossJoin (truth arm)",
     "q173_proportional_sample" -> "1-row corpus total + 1-row base-seat sum, both broadcast",
     "q192_dsir_weights" -> "1-row target/raw occurrence totals into the 256-row bucket model",
     "q193_ccnet_buckets" -> "1-row corpus occurrence total into the unigram LM",
@@ -93,6 +94,7 @@ class PlanGuardSpec extends AnyFunSuite {
     "q38_cosine_topk" -> Set("filtered-scan"),
     "q168_hard_negatives" -> Set("filtered-scan"),
     "q170_ann_recall" -> Set("filtered-scan", "grouped-agg", "sampled"),
+    "q197_ann_ndcg" -> Set("filtered-scan", "grouped-agg", "sampled"),
     "q190_ivfpq_serving" -> Set("filtered-scan", "grouped-agg", "sampled"),
     "q161_rrf_fusion" -> Set("filtered-scan"),
     "q169_retrieval_agreement" -> Set("filtered-scan"),

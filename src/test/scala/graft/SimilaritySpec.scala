@@ -418,4 +418,46 @@ class SimilaritySpec extends AnyFunSuite with CacheCleanup {
     // and the ordering is meaningful: garbage scores far above everyone
     assert(out(99L)._1 > 2 * normal.map(n => out(n._1)._1).max)
   }
+
+  test("q197 nDCG/RR equal a sequential recompute from the two arms' lists") {
+    import graft.queries.Similarity
+    val d = TestSpark.sf0001
+    val e = Tables.embeddings(TestSpark.spark, d)
+    val k = Similarity.NdcgK
+    def lists(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("neighbor_id"),
+        r.getAs[Int]("rn")))
+      .groupBy(_._1).map { case (q, v) =>
+        q -> v.map(x => x._2 -> x._3).toMap
+      }
+    val truth = lists(Similarity.bruteTopK(e, k))
+    val approx = lists(Similarity.annMultiprobe(e, Similarity.Q52Bits, k))
+    def micro(x: Double) =
+      BigDecimal(x).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    def log2(x: Double) = math.log(x) / math.log(2.0)
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expected = approx.collect { case (q, al) if truth.contains(q) =>
+      val tl = truth(q)
+      val idcg = tl.values.map(tr => micro((k + 1.0 - tr) / log2(tr + 1.0) * 1e6)).sum
+      val dcg = al.collect { case (n, ar) if tl.contains(n) =>
+        micro((k + 1.0 - tl(n)) / log2(ar + 1.0) * 1e6)
+      }.sum
+      val overlap = al.keys.count(tl.contains).toLong
+      val rr = tl.find(_._2 == 1).flatMap { case (n1, _) =>
+        al.get(n1).map(p => micro(1e6 / p))
+      }.getOrElse(0L)
+      (q, overlap, r6(dcg.toDouble / idcg), r6(rr / 1e6))
+    }.toSet
+    val got = SparkEntry.queries("q197_ann_ndcg")(TestSpark.spark, d)
+      .as[(Long, Long, Double, Double)].collect().toSet
+    assert(got == expected)
+    assert(got.nonEmpty)
+    // sanity on the metric itself: nDCG and RR live in [0, 1], and a
+    // query whose approx list perfectly matches truth scores 1.0
+    got.foreach { case (q, _, ndcg, rr) =>
+      assert(ndcg >= 0.0 && ndcg <= 1.0 + 1e-9, s"q$q ndcg=$ndcg")
+      assert(rr >= 0.0 && rr <= 1.0, s"q$q rr=$rr")
+    }
+  }
 }
