@@ -29,13 +29,20 @@ object PlanAudit {
 
   def shapeOf(plan: SparkPlan): Shape = {
     var s = Shape(0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+    // each persisted lineage is counted ONCE, matching what the first
+    // evaluation actually runs — an iterative query references round
+    // k-1's cached state from several places in round k's plan, and
+    // re-walking it per reference multiplied the counts (q143's 2
+    // pointer-doubling rounds read as 110 shuffles instead of 17)
+    val seenCaches = java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[SparkPlan, java.lang.Boolean]())
     def walk(p: SparkPlan): Unit = p.foreach {
       case n: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
         walk(n.executedPlan)
       case n: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
         // count the cached lineage too: it runs once per session, but
         // it is real work the query's first evaluation pays
-        walk(n.relation.cachedPlan)
+        if (seenCaches.add(n.relation.cachedPlan)) walk(n.relation.cachedPlan)
       case _: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike =>
         s = s.copy(shuffles = s.shuffles + 1)
       case _: org.apache.spark.sql.execution.exchange.BroadcastExchangeLike =>
