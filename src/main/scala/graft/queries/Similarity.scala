@@ -591,13 +591,21 @@ object Similarity {
     // Plan shape: the ADC lookups are m broadcast joins against
     // queries×k-row tables, candidates stay IVF-bounded, the final
     // exact cosine touches 3 rows per query.
-    "q190_ivfpq_serving" -> ((s, d) => ivfPqServe(embeddings(s, d)))
+    "q190_ivfpq_serving" -> ((s, d) => ivfPqServe(embeddings(s, d),
+      codebook = Some(j => Clustering.sharedSubCentroids(
+        s, d, j, 64 / Clustering.PqM, Clustering.PqK, Clustering.PqIters))))
   )
 
   /** q190 body over any (vec_id, embedding[64], label) frame — see the
     * catalog entry's doc; split out so the spec can plant families.
+    * `codebook(j)` supplies an already-trained sub-codebook (the
+    * catalog passes [[Clustering.sharedSubCentroids]] — serving must
+    * score against the SAME codebooks the q181 build wrote, and
+    * training them twice per session was the bulk of this query's r8
+    * wall); None trains in-line (specs).
     */
-  def ivfPqServe(emb: DataFrame): DataFrame = {
+  def ivfPqServe(emb: DataFrame,
+                 codebook: Option[Int => DataFrame] = None): DataFrame = {
       val m = Clustering.PqM; val pk = Clustering.PqK
       val it = Clustering.PqIters; val subDim = 64 / m
       val e = ivfBase(emb)
@@ -605,7 +613,8 @@ object Similarity {
       val subs = (0 until m).map { j =>
         val sliced = e.select(col("vec_id"),
           slice(col("embedding"), j * subDim + 1, subDim).as("embedding"))
-        val cj = Clustering.kmeansCentroids(sliced, pk, it)
+        val cj = codebook.map(_(j))
+          .getOrElse(Clustering.kmeansCentroids(sliced, pk, it))
         val codes = Clustering.assign(sliced, cj)
           .select(col("vec_id"), col("cent_id").as(s"code$j"))
         val qd = e.filter(col("label") === 0)
