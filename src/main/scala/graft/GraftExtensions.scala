@@ -23,6 +23,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     new ExpressionInfo("graft", null, name, usage, "")
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // Resolve the cl100k ranks mode NOW (one "mode=EXACT/ESTIMATE"
+    // stderr line per JVM): a configured-but-unreadable ranks path
+    // fails the session build here, not the first query that happens
+    // to evaluate token_count_cl100k (ADVICE r8).
+    TokenCountCl100k.validateEagerly()
     ext.injectFunction((
       FunctionIdentifier("token_count"),
       info("token_count", "token_count(str) - BPE-ish token estimate (see graft.expressions.TokenCount)"),

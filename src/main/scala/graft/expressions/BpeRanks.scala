@@ -55,14 +55,34 @@ object BpeRanks {
     try parse(src.getLines()) finally src.close()
   }
 
+  /** Human-readable description of where [[loadDefault]] resolved its
+    * table from — the mode log line's provenance field.
+    */
+  def resolvedSource(): String =
+    sys.env.get("GRAFT_CL100K_RANKS").map(p => s"env GRAFT_CL100K_RANKS=$p")
+      .orElse(sys.props.get("graft.cl100k.ranks")
+        .map(p => s"-Dgraft.cl100k.ranks=$p"))
+      .getOrElse("classpath:/cl100k_base.tiktoken")
+
   /** Resolve the default table: explicit path (env, then system
     * property), then a classpath resource. None → estimator fallback.
+    * An explicit path that cannot be read THROWS (with the configured
+    * source named) rather than falling back — a typo'd path silently
+    * downgrading exact counts to estimates is the failure mode ADVICE
+    * r8 called out.
     */
   def loadDefault(): Option[JHashMap[String, Integer]] = {
     val explicit = sys.env.get("GRAFT_CL100K_RANKS")
       .orElse(sys.props.get("graft.cl100k.ranks"))
     explicit match {
-      case Some(p) => Some(loadFile(p))
+      case Some(p) =>
+        try Some(loadFile(p))
+        catch {
+          case scala.util.control.NonFatal(e) =>
+            throw new IllegalArgumentException(
+              s"cl100k ranks table configured (${resolvedSource()}) but " +
+                s"unreadable: $e", e)
+        }
       case None =>
         Option(getClass.getResourceAsStream("/cl100k_base.tiktoken")).map { in =>
           val src = scala.io.Source.fromInputStream(in, "UTF-8")

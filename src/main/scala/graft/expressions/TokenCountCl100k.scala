@@ -85,10 +85,34 @@ object TokenCountCl100k {
     * `-Dgraft.cl100k.ranks`, or a `/cl100k_base.tiktoken` classpath
     * resource — see [[BpeRanks]]). With it, counts are bit-exact
     * cl100k_base; without (this zero-egress build), the per-piece
-    * estimate below stands in. Loaded once per JVM.
+    * estimate below stands in. Loaded once per JVM, with the resolved
+    * MODE logged once to stderr (ADVICE r8: the exact/estimate switch
+    * is per-JVM environment, so a cluster where the driver resolves a
+    * ranks file but an executor doesn't would silently mix
+    * constant-folded exact counts with executor-estimated ones — the
+    * log line is the audit trail, and [[validateEagerly]] turns a bad
+    * path into a session-start failure instead of a mid-query one).
     */
-  private lazy val ranks: Option[java.util.HashMap[String, Integer]] =
-    BpeRanks.loadDefault()
+  private lazy val ranks: Option[java.util.HashMap[String, Integer]] = {
+    val r = BpeRanks.loadDefault()
+    System.err.println(r match {
+      case Some(t) =>
+        s"graft: token_count_cl100k mode=EXACT (${t.size()} merge ranks, " +
+          s"source=${BpeRanks.resolvedSource()})"
+      case None =>
+        "graft: token_count_cl100k mode=ESTIMATE (no ranks table: set " +
+          "GRAFT_CL100K_RANKS / -Dgraft.cl100k.ranks or ship " +
+          "/cl100k_base.tiktoken on the classpath for exact counts)"
+    })
+    r
+  }
+
+  /** Force ranks resolution NOW (called from GraftExtensions when a
+    * session is built): an explicitly-configured-but-unreadable ranks
+    * path throws here, at session start, not lazily inside the first
+    * query that evaluates the expression.
+    */
+  def validateEagerly(): Unit = { ranks; () }
 
   /** Piece cost without a ranks table: 1 for anything up to 8 chars
     * (the overwhelmingly common case, matching the real BPE where

@@ -726,8 +726,13 @@ object Dedup {
     * defense — the hottest shingles sort LAST and fall out of every
     * prefix, so the self-join keys are exactly the RARE shingles; the
     * quadratic verify runs only on surviving candidates (the q49
-    * discipline). Output is every candidate with its exact Jaccard and
-    * the ≥ t verdict (q130's estimate-vs-exact presentation).
+    * discipline). Output is every candidate that SURVIVES the length +
+    * positional filters (the round-8 PPJoin rewrite prunes
+    * provably-sub-threshold pairs before the verify, so prefix-sharing
+    * pairs that cannot reach t no longer appear as passes=0 rows — the
+    * passes=1 set is unchanged, and filter exactness is fuzzed against
+    * brute force in DedupSpec), with its exact Jaccard and the ≥ t
+    * verdict (q130's estimate-vs-exact presentation).
     */
   def prefixFilterJoin(docs: DataFrame, idCol: String, textCol: String,
                        t: Double): DataFrame = {

@@ -749,8 +749,12 @@ object TextAnalytics {
         .withColumn("n_words", size(col("ws")).cast("long"))
         .withColumn("sum_wlen",
           aggregate(col("ws"), lit(0L), (acc, w) => acc + length(w).cast("long")))
+        // \p{L} (any Unicode letter, Java and RE2 agree on the class):
+        // the published rule is "contains at least one alphabetic
+        // character" — an ASCII [a-z] class would fail every accented/
+        // Cyrillic/CJK word and flunk non-English docs (ADVICE r8)
         .withColumn("n_alpha",
-          size(filter(col("ws"), w => w.rlike("[a-z]"))).cast("long"))
+          size(filter(col("ws"), w => w.rlike("\\p{L}"))).cast("long"))
         .withColumn("n_sym",
           size(filter(col("ws"), w =>
             w.contains("#") || w.contains("..."))).cast("long"))
@@ -1462,7 +1466,7 @@ object TextAnalytics {
          |  SELECT doc_id, source,
          |    CAST(len(ws) AS BIGINT) AS n_words,
          |    list_sum(list_transform(ws, w -> length(w))) AS sum_wlen,
-         |    len(list_filter(ws, w -> regexp_matches(w, '[a-z]'))) AS n_alpha,
+         |    len(list_filter(ws, w -> regexp_matches(w, '\\p{L}'))) AS n_alpha,
          |    len(list_filter(ws, w ->
          |      contains(w, '#') OR contains(w, '...'))) AS n_sym,
          |    len(list_intersect(list_distinct(ws), [$stops])) AS n_stop

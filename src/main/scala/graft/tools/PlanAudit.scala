@@ -81,18 +81,38 @@ object PlanAudit {
       // the detail line repeats every name under "queries_min"/"
       // queries_spread"/"side_effect_queries" — scope to the median map
       // (plus the side-effect map, whose names are disjoint)
+      // brace-DEPTH matched, not first-'}' (ADVICE r8): a nested
+      // object inside the section would silently truncate the slice
+      // and drop bench numbers from PLANS.md
       def section(tag: String): String = {
         val i = full.indexOf("\"" + tag + "\":")
         if (i < 0) "" else {
-          val rest = full.substring(i)
-          val end = rest.indexOf('}')
-          if (end < 0) rest else rest.substring(0, end + 1)
+          val start = full.indexOf('{', i)
+          if (start < 0) "" else {
+            var depth = 0; var j = start
+            while (j < full.length && (depth > 0 || j == start)) {
+              full.charAt(j) match {
+                case '{' => depth += 1
+                case '}' => depth -= 1
+                case _ =>
+              }
+              j += 1
+            }
+            full.substring(start, j)
+          }
         }
       }
       val txt = section("queries") + section("side_effect_queries")
-      "\"(q[0-9]+[a-z0-9_]*|ref_[a-z_]+)\":([0-9]+\\.[0-9]+)".r
+      val parsed = "\"(q[0-9]+[a-z0-9_]*|ref_[a-z_]+)\":([0-9]+\\.[0-9]+)".r
         .findAllMatchIn(txt)
         .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      // guard against silent truncation: the detail line must cover
+      // (nearly) the whole catalog or the audit is mixing provenances
+      val catalog = graft.SparkEntry.queries.size
+      require(parsed.size >= catalog - 8,
+        s"bench detail at $path parsed ${parsed.size} timings for a " +
+          s"$catalog-query catalog — truncated or stale; regenerate it")
+      parsed
     }
 
   def main(args: Array[String]): Unit = {
@@ -123,15 +143,35 @@ object PlanAudit {
     val header = Seq(
       "| query | bench s | shuffles | bcasts | joins SMJ/BHJ/SHJ/BNLJ | codegen spans | scans (w/ pushdown) | windows | aggs |",
       "|---|---|---|---|---|---|---|---|---|")
+    // Provenance stamp (VERDICT r8 #6): which bench detail file the
+    // `bench s` column came from, by mtime + sf + total — so a reader
+    // can tell a local re-run from the official driver bench instead
+    // of silently mixing provenances.
+    val prov = {
+      val p = java.nio.file.Paths.get(benchPath)
+      if (!java.nio.file.Files.exists(p)) s"(no bench detail at $benchPath)"
+      else {
+        val full = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+        def field(t: String) =
+          ("\"" + t + "\":\"?([^,\"}]*)").r.findFirstMatchIn(full)
+            .map(_.group(1)).getOrElse("?")
+        s"`$benchPath` (mtime ${java.nio.file.Files.getLastModifiedTime(p)}, " +
+          s"sf=${field("sf")}, total=${field("value")} s, " +
+          s"passes=${field("passes")})"
+      }
+    }
     val intro =
-      """# PLANS — physical-plan shape audit over the full catalog
+      s"""# PLANS — physical-plan shape audit over the full catalog
         |
         |Generated by `sbt "runMain graft.tools.PlanAudit"` (plan
         |INSPECTION only — no query runs; the STATIC plan with AQE off,
         |so exchanges and codegen spans reflect the full pre-runtime
         |shape, persisted lineages included). `bench s` is the
-        |query's seconds from the latest in-repo `BENCH_detail.json`
-        |(sf0.1, median of 3 cache-cleared passes). Reading guide:
+        |query's seconds from $prov —
+        |a LOCAL run unless that file is byte-identical to the round's
+        |`BENCH_r*.json`; this box drifts ±20% day to day, so compare
+        |per-query ratios, not absolutes, across provenances.
+        |Reading guide:
         |
         |- **shuffles** — wide exchanges; the operators' scaladocs claim
         |  which ones they need (word-count class, doc-keyed aggregates,
