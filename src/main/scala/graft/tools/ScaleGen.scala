@@ -44,15 +44,76 @@ object ScaleGen {
     val srcDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val outDir = if (args.length > 1) args(1) else "/root/repo/scaleprobe/x10"
     val factor = if (args.length > 2) args(2).toInt else 10
+    // which arm(s) to generate: "all", "corpus" (documents+embeddings),
+    // or "facts" (trade facts + events — added round 9 so the existing
+    // x10/x30 corpora need not be regenerated to gain the new tables)
+    val arm = if (args.length > 3) args(3) else "all"
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    try generate(spark, srcDir, outDir, factor)
-    finally spark.stop()
+    try {
+      if (arm == "all" || arm == "corpus") generate(spark, srcDir, outDir, factor)
+      if (arm == "all" || arm == "facts") generateFacts(spark, srcDir, outDir, factor)
+    } finally spark.stop()
+  }
+
+  /** The trade-fact + events arm (round 9): scales the inputs of the
+    * iterative-graph family (q119/q141/q143/q146/q166 build their
+    * nation-nation edge list from lineitem⋈supplier ⋈ orders⋈customer)
+    * and the events family (q80 session concurrency).
+    *
+    * Replica semantics:
+    *  - DIMENSIONS (region, nation, customer, supplier, part) are
+    *    COPIED unchanged — "more history against the same entities",
+    *    the way a real fact table grows. The trade graph keeps its 25
+    *    nodes and ≤ 625 edges; only edge WEIGHTS grow ~N×, so the
+    *    probe isolates exactly the claim under test: the edge build is
+    *    linear in the facts and the iteration cost is
+    *    fact-count-independent.
+    *  - orders/lineitem replicate with orderkey offset
+    *    `ok + rep·(max_ok+1)` (l_orderkey follows o_orderkey, so the
+    *    order⋈lineitem join structure is preserved exactly); all other
+    *    columns ride along unchanged.
+    *  - events replicate with fresh event ids AND fresh user ids
+    *    (`+ rep·(max+1)`), timestamps unchanged: N× the users over the
+    *    same period — per-user session structure (gaps, overlaps) is
+    *    preserved per replica, while any per-window aggregate sees N×
+    *    rows per window. Sessionization shuffles on user_id, so the
+    *    key cardinality grows with the data (no synthetic hot key).
+    */
+  def generateFacts(spark: SparkSession, srcDir: String, outDir: String,
+                    factor: Int): Unit = {
+    val reps = broadcast(spark.range(factor).toDF("rep"))
+
+    for (t <- Seq("region", "nation", "customer", "supplier", "part"))
+      spark.read.parquet(s"$srcDir/$t.parquet")
+        .write.mode("overwrite").parquet(s"$outDir/$t.parquet")
+
+    val ord = spark.read.parquet(s"$srcDir/orders.parquet")
+    val maxOk = ord.agg(max(col("o_orderkey"))).collect()(0).getLong(0)
+    ord.crossJoin(reps)
+      .withColumn("o_orderkey", col("o_orderkey") + col("rep") * (maxOk + 1L))
+      .drop("rep")
+      .write.mode("overwrite").parquet(s"$outDir/orders.parquet")
+
+    spark.read.parquet(s"$srcDir/lineitem.parquet").crossJoin(reps)
+      .withColumn("l_orderkey", col("l_orderkey") + col("rep") * (maxOk + 1L))
+      .drop("rep")
+      .write.mode("overwrite").parquet(s"$outDir/lineitem.parquet")
+
+    val ev = graft.Tables.events(spark, srcDir)
+    val maxEv = ev.agg(max(col("event_id"))).collect()(0).getLong(0)
+    val maxUser = ev.agg(max(col("user_id"))).collect()(0).getLong(0)
+    ev.crossJoin(reps)
+      .withColumn("event_id", col("event_id") + col("rep") * (maxEv + 1L))
+      .withColumn("user_id", col("user_id") + col("rep") * (maxUser + 1L))
+      .drop("rep")
+      .write.mode("overwrite").parquet(s"$outDir/events.parquet")
   }
 
   def generate(spark: SparkSession, srcDir: String, outDir: String,

@@ -1,30 +1,94 @@
 package graft.tools
 
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
 import org.apache.spark.sql.SparkSession
 
-/** Empirical scale probe (VERDICT r7 #5): run the dedup/ANN headliners
-  * once at sf0.1 and once on the [[ScaleGen]] N× corpus, and record
-  * measured wall-time ratios in `SCALE.md` — turning the catalog's
-  * "linear by construction" claims (bucket caps, prefix filters,
-  * sublinear centroid sets) into an observed data point.
+/** Empirical scale probe (VERDICT r7 #5, widened r9 #2/#3): run the
+  * catalog's scale-critical headliners once at sf0.1 and once per
+  * [[ScaleGen]] N× corpus, and record measured wall-time ratios PLUS
+  * per-query shuffle-write and spill bytes in `SCALE.md` — turning the
+  * catalog's "linear by construction" claims (bucket caps, prefix
+  * filters, sublinear centroid sets, fact-independent graph
+  * iterations) into observed data points, and surfacing the failure
+  * mode that precedes a wall-time blowup: the q151 defect filled the
+  * disk with sort spill before it showed up in seconds.
   *
   * Method mirrors `graft.Bench`: warmup pass at sf0.001, caches cleared
   * before every timed pass, noop-sink materialization, per-query MIN of
-  * `passes` (min, not median — the probe asks "what does the plan cost",
-  * and the occasional GC pause is noise the ratio must not absorb).
+  * `passes` wall (min, not median — the probe asks "what does the plan
+  * cost", and the occasional GC pause is noise the ratio must not
+  * absorb) and per-query MAX of the telemetry counters (conservative
+  * for a spill flag).
   */
 object ScaleProbe {
 
-  val Headliners: Seq[String] = Seq(
-    "q41_dedup_near", "q151_prefix_join", "q160_semdedup",
-    "q62_ann_ivf", "q190_ivfpq_serving",
-    "q130_minhash_estimate", "q179_containment_dedup")
+  /** (probe family, query) — families keep the tables readable. */
+  val Headliners: Seq[(String, String)] = Seq(
+    "dedup/ANN" -> "q41_dedup_near",
+    "dedup/ANN" -> "q151_prefix_join",
+    "dedup/ANN" -> "q160_semdedup",
+    "dedup/ANN" -> "q62_ann_ivf",
+    "dedup/ANN" -> "q190_ivfpq_serving",
+    "dedup/ANN" -> "q130_minhash_estimate",
+    "dedup/ANN" -> "q179_containment_dedup",
+    "dedup/ANN" -> "q188_dedup_recall",
+    "graph" -> "q119_pagerank",
+    "graph" -> "q141_connected_components",
+    "graph" -> "q143_cc_pointer_doubling",
+    "graph" -> "q146_sssp",
+    "graph" -> "q166_label_prop",
+    "text" -> "q163_dup_spans",
+    "text" -> "q167_bigram_nll",
+    "text" -> "q174_inverted_index",
+    "events/rel" -> "q80_session_concurrency",
+    "events/rel" -> "q124_winsorize")
+
+  /** Aggregated task metrics since the last [[reset]] — stage-completed
+    * events carry the stage's summed TaskMetrics, so summing those
+    * gives query totals once the listener bus drains.
+    */
+  private final class Telemetry extends SparkListener {
+    val shuffleWrite = new AtomicLong
+    val memSpill = new AtomicLong
+    val diskSpill = new AtomicLong
+    override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
+      val m = sc.stageInfo.taskMetrics
+      if (m != null) {
+        shuffleWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        memSpill.addAndGet(m.memoryBytesSpilled)
+        diskSpill.addAndGet(m.diskBytesSpilled)
+        ()
+      }
+    }
+    def reset(): Unit = { shuffleWrite.set(0); memSpill.set(0); diskSpill.set(0) }
+  }
+
+  final case class Measure(sec: Double, shuffleWrite: Long, memSpill: Long,
+                           diskSpill: Long) {
+    def merge(o: Measure): Measure = Measure(
+      if (sec.isNaN) o.sec else if (o.sec.isNaN) sec else math.min(sec, o.sec),
+      math.max(shuffleWrite, o.shuffleWrite),
+      math.max(memSpill, o.memSpill),
+      math.max(diskSpill, o.diskSpill))
+  }
 
   def main(args: Array[String]): Unit = {
-    val baseDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
-    val bigDir = if (args.length > 1) args(1) else "/root/repo/scaleprobe/x10"
-    val factor = if (args.length > 2) args(2).toInt else 10
-    val outMd = if (args.length > 3) args(3) else "/root/repo/SCALE.md"
+    // ScaleProbe <baseDir> <outMd> <bigDir>:<factor> [<bigDir>:<factor> ...]
+    // (legacy 3-arg form <baseDir> <bigDir> <factor> still accepted)
+    val (baseDir, outMd, bigs) =
+      if (args.length >= 3 && args(2).forall(_.isDigit))
+        (args(0), if (args.length > 3) args(3) else "/root/repo/SCALE.md",
+          Seq(args(1) -> args(2).toInt))
+      else if (args.length >= 3)
+        (args(0), args(1),
+          args.drop(2).toSeq.map { a =>
+            val i = a.lastIndexOf(':')
+            a.substring(0, i) -> a.substring(i + 1).toInt
+          })
+      else ("/root/testdata/sf0.1", "/root/repo/SCALE.md",
+        Seq("/root/repo/scaleprobe/x10" -> 10))
     val passes = sys.env.getOrElse("SPARK_GRAFT_SCALE_PASSES", "2").toInt
     val spark = SparkSession.builder()
       .master("local[32]")
@@ -34,6 +98,8 @@ object ScaleProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val tele = new Telemetry
+    spark.sparkContext.addSparkListener(tele)
 
     def materialize(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
@@ -44,7 +110,8 @@ object ScaleProbe {
 
     val only = sys.env.get("SPARK_GRAFT_SCALE_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
-    val names = Headliners.filter(n => only.forall(_.exists(n.startsWith)))
+    val names = Headliners.map(_._2)
+      .filter(n => only.forall(_.exists(n.startsWith)))
 
     names.foreach(n =>
       try materialize(graft.SparkEntry.queries(n)(spark, "/root/testdata/sf0.001"))
@@ -52,10 +119,11 @@ object ScaleProbe {
 
     // a per-query failure (e.g. a disk-filling spill) must not lose the
     // other measurements — record it as NaN and keep probing
-    def time(dir: String): Map[String, Double] =
+    def time(dir: String): Map[String, Measure] =
       (1 to passes).map { p =>
         clearAll()
         names.map { n =>
+          tele.reset()
           val t0 = System.nanoTime()
           val sec = try {
             materialize(graft.SparkEntry.queries(n)(spark, dir))
@@ -66,71 +134,98 @@ object ScaleProbe {
                 String.valueOf(e.getMessage).take(200))
               Double.NaN
           }
-          System.err.println(f"SCALEPROBE $dir pass $p $n ${sec}%.2f s")
-          n -> sec
+          // the listener bus is async; give stage-completed events a
+          // beat to drain before reading the counters (tool-grade)
+          Thread.sleep(300)
+          val m = Measure(sec, tele.shuffleWrite.get, tele.memSpill.get,
+            tele.diskSpill.get)
+          System.err.println(f"SCALEPROBE $dir pass $p $n ${m.sec}%.2f s " +
+            f"shufW=${m.shuffleWrite / 1e6}%.0f MB " +
+            f"spill=${m.memSpill / 1e6}%.0f/${m.diskSpill / 1e6}%.0f MB")
+          n -> m
         }.toMap
-      }.reduce((a, b) => a.map { case (k, v) =>
-        k -> (if (v.isNaN) b(k)
-              else if (b(k).isNaN) v
-              else math.min(v, b(k))) })
+      }.reduce((a, b) => a.map { case (k, v) => k -> v.merge(b(k)) })
 
     val base = time(baseDir)
-    val big = time(bigDir)
+    val bigByFactor = bigs.map { case (dir, f) => (f, time(dir)) }
     spark.stop()
 
-    // the table is composed OUTSIDE the stripMargin templates: markdown
-    // table rows begin with '|', which stripMargin would eat as a
-    // margin marker (it mangled the first two generated tables)
-    val table = (Seq(
-      s"| query | sf0.1 (s) | ${factor}× (s) | ratio |",
-      "|---|---|---|---|") ++ names.map { n =>
-      f"| $n | ${base(n)}%.2f | ${big(n)}%.2f | ${big(n) / base(n)}%.1f× |"
-    }).mkString("\n")
+    def mb(v: Long): String = f"${v / 1e6}%.0f"
+    // markdown tables are composed OUTSIDE the stripMargin templates:
+    // rows begin with '|', which stripMargin would eat as a margin
+    // marker (it mangled the first two generated tables)
+    def tableFor(factor: Int, big: Map[String, Measure]): String = {
+      val rows = Headliners.filter(h => names.contains(h._2)).map {
+        case (fam, n) =>
+          val b = base(n); val g = big(n)
+          f"| $n | $fam | ${b.sec}%.2f | ${g.sec}%.2f | ${g.sec / b.sec}%.1f× " +
+            f"| ${mb(g.shuffleWrite)} | ${mb(g.memSpill)} / ${mb(g.diskSpill)} |"
+      }
+      (Seq(
+        s"| query | family | sf0.1 (s) | ${factor}× (s) | ratio | ${factor}× shuffle write (MB) | ${factor}× spill mem/disk (MB) |",
+        "|---|---|---|---|---|---|---|") ++ rows).mkString("\n")
+    }
+    val spillTotal = bigByFactor.map { case (_, big) =>
+      big.values.map(m => m.memSpill + m.diskSpill).sum }.sum
+    val factors = bigs.map(_._2).mkString("×, ") + "×"
     val md =
-      s"""# SCALE — measured wall-time scaling of the dedup/ANN headliners
+      s"""# SCALE — measured scaling of the dedup/ANN, graph, text and events headliners
          |
-         |`graft.tools.ScaleGen` synthesizes a ${factor}× documents+embeddings
-         |corpus from sf0.1 (deterministic replicas that preserve the
-         |source's exact-duplicate rate and same-length near-dups while
-         |decorrelating replica shingles and growing vocabulary per
-         |Heaps' law — see the ScaleGen scaladoc), and
-         |`graft.tools.ScaleProbe` times each headliner on both corpora
-         |(min of $passes cache-cleared passes, noop sink, local[32]).
-         |Reproduce with:
+         |`graft.tools.ScaleGen` synthesizes $factors replicas of the
+         |sf0.1 corpus — documents+embeddings (deterministic replicas
+         |that preserve the exact-duplicate rate and same-length
+         |near-dups while decorrelating replica shingles and growing
+         |vocabulary per Heaps' law) AND, since round 9, the trade
+         |facts + events (`generateFacts`: dimensions copied, orders/
+         |lineitem replicated with orderkey offsets, events replicated
+         |with fresh user ids over the same period) — and
+         |`graft.tools.ScaleProbe` times each headliner on every corpus
+         |(min of $passes cache-cleared passes, noop sink, local[32]),
+         |recording per-query SHUFFLE-WRITE and SPILL bytes from the
+         |stage-completed task metrics (max across passes). Reproduce:
          |
          |```
-         |sbt "runMain graft.tools.ScaleGen /root/testdata/sf0.1 /root/repo/scaleprobe/x$factor $factor"
-         |sbt "runMain graft.tools.ScaleProbe /root/testdata/sf0.1 /root/repo/scaleprobe/x$factor $factor"
+         |sbt "runMain graft.tools.ScaleGen /root/testdata/sf0.1 /root/repo/scaleprobe/x10 10"
+         |sbt "runMain graft.tools.ScaleProbe /root/testdata/sf0.1 /root/repo/SCALE.md /root/repo/scaleprobe/x10:10 /root/repo/scaleprobe/x30:30"
          |```
          |
-         |""".stripMargin + table + s"""
+         |""".stripMargin +
+        bigByFactor.map { case (f, big) =>
+          s"## ${f}× corpus\n\n" + tableFor(f, big) }.mkString("\n\n") +
+      s"""
          |
-         |Input scale: documents ×$factor rows, embeddings ×$factor rows.
-         |A ratio ≲ ${factor}× (plus constant overheads at the small end)
-         |is the linearity the 100-TB designs claim: banded LSH with
-         |bucket caps (q41), AllPairs/PPJoin prefix+length+positional
-         |filtering (q151), k-means-blocked SemDeDup (q160), √N-centroid
-         |IVF (q62), and IVF-PQ ADC serving (q190) all avoid any N²
-         |stage, so wall time should track corpus size ~linearly with a
-         |sublinear extra for the √N centroid stages.
+         |A wall ratio ≲ the input growth (plus constant overheads at
+         |the small end) is the linearity the 100-TB designs claim:
+         |banded LSH with bucket caps (q41), AllPairs/PPJoin
+         |prefix+length+positional filtering (q151), k-means-blocked
+         |SemDeDup (q160), √N-centroid IVF (q62), IVF-PQ ADC serving
+         |(q190). The GRAPH family's inputs scale through the fact
+         |tables while the nation graph keeps 25 nodes — the expected
+         |shape is edge-build-linear with iteration cost flat, so
+         |ratios well BELOW the input growth. The TEXT family (dup
+         |spans, bigram NLL, inverted index) is explode+aggregate
+         |shaped — at-or-below linear. SPILL is the early-warning
+         |column: the r8 q151 defect filled the disk with sort spill
+         |before it showed in wall time; total spill observed this run
+         |across every headliner × factor: ${mb(spillTotal)} MB.
          |
          |## What the first probe run caught (round 8)
          |
-         |The probe is not a formality — its first run found a real scale
-         |defect. q151's verify stage joined every candidate pair back to
-         |both docs' exploded shingle ROWS (|cands| × |shingles| ≈ 1B rows
-         |at 10×) and filled the disk with sort spill; and the first
-         |10× generator kept the source's tiny CLOSED vocabulary, which
-         |saturates the 3-gram shingle space (every shingle's df grows
-         |with corpus size → 132× candidate growth at 10× input — the
-         |documented worst case for exact similarity joins). Fixes, both
-         |measured above: (a) q151 now prunes candidates with the full
-         |AllPairs/PPJoin bundle inside the pair aggregation and verifies
-         |via array_intersect over per-doc shingle arrays (one row per
-         |candidate): 260 s → ~15 s at 10×, and ~1.8× faster at sf0.1,
-         |bit-identical oracle; (b) ScaleGen replicas mint fresh word
-         |types at ~30% of positions (open-vocabulary growth, as real
-         |crawls exhibit), so shingle df distributions stay
+         |The probe is not a formality — its first run found a real
+         |scale defect. q151's verify stage joined every candidate pair
+         |back to both docs' exploded shingle ROWS (|cands| × |shingles|
+         |≈ 1B rows at 10×) and filled the disk with sort spill; and the
+         |first 10× generator kept the source's tiny CLOSED vocabulary,
+         |which saturates the 3-gram shingle space (every shingle's df
+         |grows with corpus size → 132× candidate growth at 10× input —
+         |the documented worst case for exact similarity joins). Fixes,
+         |both measured above: (a) q151 now prunes candidates with the
+         |full AllPairs/PPJoin bundle inside the pair aggregation and
+         |verifies via array_intersect over per-doc shingle arrays (one
+         |row per candidate): 260 s → ~15 s at 10×, and ~1.8× faster at
+         |sf0.1, bit-identical oracle; (b) ScaleGen replicas mint fresh
+         |word types at ~30% of positions (open-vocabulary growth, as
+         |real crawls exhibit), so shingle df distributions stay
          |corpus-size-independent, as they are in natural text.
          |""".stripMargin
     java.nio.file.Files.write(java.nio.file.Paths.get(outMd),
