@@ -458,32 +458,8 @@ object Similarity {
     // ANN family member substitutes the candidate step at scale); the
     // two argmax selections are per-anchor windows over the SAME
     // scored pairs (one scan), both partitioned by q_id.
-    "q168_hard_negatives" -> ((s, d) => {
-      val e = embeddings(s, d)
-        .select(col("vec_id"), col("embedding"), col("label"),
-          norm(col("embedding")).as("nrm"))
-      val q = e.filter(col("label") === 0)
-        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-          col("label").as("q_label"), col("nrm").as("q_nrm"))
-      val scored = e.crossJoin(broadcast(q))
-        .filter(col("vec_id") =!= col("q_id"))
-        .select(col("q_id"), col("vec_id").as("n_id"),
-          (col("label") === col("q_label")).as("same"),
-          cosinePre(col("q_emb"), col("embedding"),
-            col("q_nrm"), col("nrm")).as("cos"))
-      def top1(same: Boolean, idc: String, cosc: String): DataFrame =
-        scored.filter(col("same") === same)
-          .withColumn("rn", row_number().over(
-            Window.partitionBy(col("q_id"))
-              .orderBy(col("cos").desc, col("n_id"))))
-          .filter(col("rn") === 1)
-          .select(col("q_id"), col("n_id").as(idc), col("cos").as(cosc))
-      top1(same = true, "pos_id", "pos_cos")
-        .join(top1(same = false, "neg_id", "neg_cos"), Seq("q_id"))
-        .select(col("q_id"), col("pos_id"), col("pos_cos"),
-          col("neg_id"), col("neg_cos"),
-          round(col("pos_cos") - col("neg_cos"), 6).as("margin"))
-    }),
+    "q168_hard_negatives" -> ((s, d) =>
+      hardNegTriplets(hardNegScoredExact(embeddings(s, d)))),
 
     // ANN index EVALUATION — recall@3 of the q52 multi-probe LSH
     // against the q38 exact baseline, per query, IN-ENGINE (the spec's
@@ -519,36 +495,7 @@ object Similarity {
     // micro-units (the q167 rule) so the ≤10-term sums are exact;
     // nDCG is one long/long division. Cost is the two arms it
     // evaluates; the comparison is anchor-sized joins.
-    "q197_ann_ndcg" -> ((s, d) => {
-      val k = NdcgK
-      val e = embeddings(s, d)
-      val truth = bruteTopK(e, k)
-        .select(col("q_id"), col("neighbor_id"), col("rn").as("t_rn"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      graft.pipeline.Chunker.registerForCleanup(truth)
-      val idcg = truth.groupBy(col("q_id"))
-        .agg(sum(round((lit(k + 1) - col("t_rn"))
-            / log2(col("t_rn") + lit(1)) * 1e6, 0).cast("long"))
-          .as("idcg_micro"))
-      val approx = annMultiprobe(e, Q52Bits, k)
-        .select(col("q_id"), col("neighbor_id"), col("rn").as("a_rn"))
-      approx.join(truth, Seq("q_id", "neighbor_id"), "left")
-        .groupBy(col("q_id"))
-        .agg(
-          sum(when(col("t_rn").isNotNull,
-            round((lit(k + 1) - col("t_rn"))
-              / log2(col("a_rn") + lit(1)) * 1e6, 0).cast("long"))
-            .otherwise(0L)).as("dcg_micro"),
-          sum(when(col("t_rn").isNotNull, 1L).otherwise(0L)).as("n_overlap"),
-          max(when(col("t_rn") === 1,
-            round(lit(1e6) / col("a_rn"), 0).cast("long"))
-            .otherwise(0L)).as("rr_micro"))
-        .join(idcg, Seq("q_id"))
-        .select(col("q_id"), col("n_overlap"),
-          round(col("dcg_micro").cast("double") / col("idcg_micro"), 6)
-            .as("ndcg_at_10"),
-          round(col("rr_micro") / 1e6, 6).as("rr_of_top1"))
-    }),
+    "q197_ann_ndcg" -> ((s, d) => annNdcg(embeddings(s, d), NdcgK, Q52Bits)),
 
     // k-center greedy coreset (Gonzalez '85, the 2-approximation) —
     // the diversity-maximizing DATA-SELECTION op (pick K exemplars so
@@ -595,6 +542,99 @@ object Similarity {
       codebook = Some(j => Clustering.sharedSubCentroids(
         s, d, j, 64 / Clustering.PqM, Clustering.PqK, Clustering.PqIters))))
   )
+
+  /** q168 exact candidate generation: every anchor (label-0 query)
+    * against the whole corpus via broadcast — the documented O(N·Q)
+    * baseline. Returns (q_id, n_id, same, cos).
+    */
+  def hardNegScoredExact(emb: DataFrame): DataFrame = {
+    val e = emb.select(col("vec_id"), col("embedding"), col("label"),
+      norm(col("embedding")).as("nrm"))
+    val q = e.filter(col("label") === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("label").as("q_label"), col("nrm").as("q_nrm"))
+    e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        (col("label") === col("q_label")).as("same"),
+        cosinePre(col("q_emb"), col("embedding"),
+          col("q_nrm"), col("nrm")).as("cos"))
+  }
+
+  /** q168 candidate generation through the MULTI-PROBE LSH family —
+    * the 100-TB substitution for [[hardNegScoredExact]] (same output
+    * shape, candidates confined to each anchor's probed buckets
+    * instead of the full corpus, so cost is anchors × bucket size).
+    * AnnSubstitutionSpec measures the pos/neg recall this trade buys.
+    */
+  def hardNegScoredAnn(emb: DataFrame, bits: Int): DataFrame = {
+    val sigs = withSig(emb, bits)
+    val q = sigs.filter(col("label") === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("label").as("q_label"), col("nrm").as("q_nrm"),
+        explode(array(probeSigs(col("sig"), bits): _*)).as("sig"))
+    sigs.join(broadcast(q), Seq("sig"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        (col("label") === col("q_label")).as("same"),
+        cosinePre(col("q_emb"), col("embedding"),
+          col("q_nrm"), col("nrm")).as("cos"))
+  }
+
+  /** q168 triplet construction over any (q_id, n_id, same, cos)
+    * candidate set: nearest same-label = positive, nearest
+    * different-label = hard negative, margin = pos − neg. The two
+    * argmax selections are per-anchor windows over the SAME scored
+    * candidates (one scan), both partitioned by q_id.
+    */
+  def hardNegTriplets(scored: DataFrame): DataFrame = {
+    def top1(same: Boolean, idc: String, cosc: String): DataFrame =
+      scored.filter(col("same") === same)
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("q_id"))
+            .orderBy(col("cos").desc, col("n_id"))))
+        .filter(col("rn") === 1)
+        .select(col("q_id"), col("n_id").as(idc), col("cos").as(cosc))
+    top1(same = true, "pos_id", "pos_cos")
+      .join(top1(same = false, "neg_id", "neg_cos"), Seq("q_id"))
+      .select(col("q_id"), col("pos_id"), col("pos_cos"),
+        col("neg_id"), col("neg_cos"),
+        round(col("pos_cos") - col("neg_cos"), 6).as("margin"))
+  }
+
+  /** q197 body over any (vec_id, embedding, label) frame — nDCG@k +
+    * reciprocal rank of the multi-probe ANN arm against the exact
+    * brute-force ranking (see the catalog entry's doc); split out so
+    * specs can drive planted/degenerate corpora.
+    */
+  def annNdcg(e: DataFrame, k: Int, bits: Int): DataFrame = {
+    val truth = bruteTopK(e, k)
+      .select(col("q_id"), col("neighbor_id"), col("rn").as("t_rn"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.pipeline.Chunker.registerForCleanup(truth)
+    val idcg = truth.groupBy(col("q_id"))
+      .agg(sum(round((lit(k + 1) - col("t_rn"))
+          / log2(col("t_rn") + lit(1)) * 1e6, 0).cast("long"))
+        .as("idcg_micro"))
+    val approx = annMultiprobe(e, bits, k)
+      .select(col("q_id"), col("neighbor_id"), col("rn").as("a_rn"))
+    approx.join(truth, Seq("q_id", "neighbor_id"), "left")
+      .groupBy(col("q_id"))
+      .agg(
+        sum(when(col("t_rn").isNotNull,
+          round((lit(k + 1) - col("t_rn"))
+            / log2(col("a_rn") + lit(1)) * 1e6, 0).cast("long"))
+          .otherwise(0L)).as("dcg_micro"),
+        sum(when(col("t_rn").isNotNull, 1L).otherwise(0L)).as("n_overlap"),
+        max(when(col("t_rn") === 1,
+          round(lit(1e6) / col("a_rn"), 0).cast("long"))
+          .otherwise(0L)).as("rr_micro"))
+      .join(idcg, Seq("q_id"))
+      .select(col("q_id"), col("n_overlap"),
+        round(col("dcg_micro").cast("double") / col("idcg_micro"), 6)
+          .as("ndcg_at_10"),
+        round(col("rr_micro") / 1e6, 6).as("rr_of_top1"))
+  }
 
   /** q190 body over any (vec_id, embedding[64], label) frame — see the
     * catalog entry's doc; split out so the spec can plant families.

@@ -235,6 +235,76 @@ object TextAnalytics {
     */
   val StratN = 40
 
+  /** q194 body over any (doc_id, text, source) frame — the Gopher rule
+    * battery as named boolean flags (see the catalog entry's doc);
+    * split out so EmptyInputSpec can drive degenerate corpora.
+    */
+  def gopherRules(docs: DataFrame): DataFrame = {
+    val ws = TextOps.wordsOf(col("text"))
+    docs
+      .withColumn("ws", ws)
+      .withColumn("n_words", size(col("ws")).cast("long"))
+      .withColumn("sum_wlen",
+        aggregate(col("ws"), lit(0L), (acc, w) => acc + length(w).cast("long")))
+      // \p{L} (any Unicode letter, Java and RE2 agree on the class):
+      // the published rule is "contains at least one alphabetic
+      // character" — an ASCII [a-z] class would fail every accented/
+      // Cyrillic/CJK word and flunk non-English docs (ADVICE r8)
+      .withColumn("n_alpha",
+        size(filter(col("ws"), w => w.rlike("\\p{L}"))).cast("long"))
+      .withColumn("n_sym",
+        size(filter(col("ws"), w =>
+          w.contains("#") || w.contains("..."))).cast("long"))
+      .withColumn("n_stop_distinct",
+        size(array_intersect(array_distinct(col("ws")),
+          array(Stopwords.map(lit): _*))).cast("long"))
+      .select(col("doc_id"), col("source"), col("n_words"),
+        (col("n_words") >= GopherMinWords &&
+          col("n_words") <= GopherMaxWords).cast("long").as("r_word_count"),
+        (col("n_words") > 0 &&
+          col("sum_wlen").cast("double") / col("n_words") >= 3.0 &&
+          col("sum_wlen").cast("double") / col("n_words") <= 10.0)
+          .cast("long").as("r_mean_word_len"),
+        (col("n_words") > 0 &&
+          col("n_alpha").cast("double") / col("n_words") >= 0.8)
+          .cast("long").as("r_alpha_words"),
+        (col("n_words") > 0 &&
+          col("n_sym").cast("double") / col("n_words") <= 0.1)
+          .cast("long").as("r_symbol_ratio"),
+        (col("n_stop_distinct") >= 2L).cast("long").as("r_stop_words"))
+      .withColumn("n_rules_passed",
+        col("r_word_count") + col("r_mean_word_len") + col("r_alpha_words")
+          + col("r_symbol_ratio") + col("r_stop_words"))
+      .withColumn("keep", (col("n_rules_passed") === 5L).cast("long"))
+  }
+
+  /** q195 body over any (text, source) frame — per-source type-token
+    * ratio, tokens-per-word fertility, average word length (see the
+    * catalog entry's doc); split out so EmptyInputSpec can drive
+    * degenerate corpora.
+    */
+  def lexicalProfile(docs: DataFrame): DataFrame = {
+    val w = docs.select(col("source"),
+        explode(TextOps.wordsOf(col("text"))).as("w"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_words"),
+        countDistinct(col("w")).as("n_types"),
+        sum(length(col("w")).cast("long")).as("sum_wlen"))
+    val t = docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(graft.functions.token_count(col("text")).cast("long"))
+          .as("n_tokens"))
+    w.join(t, Seq("source"))
+      .select(col("source"), col("n_docs"), col("n_words"), col("n_types"),
+        col("n_tokens"),
+        round(col("n_types").cast("double") / col("n_words"), 6)
+          .as("type_token_ratio"),
+        round(col("n_tokens").cast("double") / col("n_words"), 6)
+          .as("tokens_per_word"),
+        round(col("sum_wlen").cast("double") / col("n_words"), 6)
+          .as("avg_word_len"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Count-min sketch, estimate vs exact — the fixed-memory frequency
@@ -742,44 +812,7 @@ object TextAnalytics {
     // fixture-scaled ([[GopherMinWords]] = 10; the paper uses 50 —
     // constants are the operator's parameters). Pure projection per
     // doc, no shuffle at all.
-    "q194_gopher_rules" -> ((s, d) => {
-      val ws = TextOps.wordsOf(col("text"))
-      documents(s, d)
-        .withColumn("ws", ws)
-        .withColumn("n_words", size(col("ws")).cast("long"))
-        .withColumn("sum_wlen",
-          aggregate(col("ws"), lit(0L), (acc, w) => acc + length(w).cast("long")))
-        // \p{L} (any Unicode letter, Java and RE2 agree on the class):
-        // the published rule is "contains at least one alphabetic
-        // character" — an ASCII [a-z] class would fail every accented/
-        // Cyrillic/CJK word and flunk non-English docs (ADVICE r8)
-        .withColumn("n_alpha",
-          size(filter(col("ws"), w => w.rlike("\\p{L}"))).cast("long"))
-        .withColumn("n_sym",
-          size(filter(col("ws"), w =>
-            w.contains("#") || w.contains("..."))).cast("long"))
-        .withColumn("n_stop_distinct",
-          size(array_intersect(array_distinct(col("ws")),
-            array(Stopwords.map(lit): _*))).cast("long"))
-        .select(col("doc_id"), col("source"), col("n_words"),
-          (col("n_words") >= GopherMinWords &&
-            col("n_words") <= GopherMaxWords).cast("long").as("r_word_count"),
-          (col("n_words") > 0 &&
-            col("sum_wlen").cast("double") / col("n_words") >= 3.0 &&
-            col("sum_wlen").cast("double") / col("n_words") <= 10.0)
-            .cast("long").as("r_mean_word_len"),
-          (col("n_words") > 0 &&
-            col("n_alpha").cast("double") / col("n_words") >= 0.8)
-            .cast("long").as("r_alpha_words"),
-          (col("n_words") > 0 &&
-            col("n_sym").cast("double") / col("n_words") <= 0.1)
-            .cast("long").as("r_symbol_ratio"),
-          (col("n_stop_distinct") >= 2L).cast("long").as("r_stop_words"))
-        .withColumn("n_rules_passed",
-          col("r_word_count") + col("r_mean_word_len") + col("r_alpha_words")
-            + col("r_symbol_ratio") + col("r_stop_words"))
-        .withColumn("keep", (col("n_rules_passed") === 5L).cast("long"))
-    }),
+    "q194_gopher_rules" -> ((s, d) => gopherRules(documents(s, d))),
 
     // Per-source lexical/fertility profile — the tokenizer-budget view
     // of the corpus mix: type-token ratio (lexical diversity, the
@@ -787,28 +820,7 @@ object TextAnalytics {
     // counter, and average word length, per source stratum. One word
     // explode feeding a per-source count+distinct aggregate, one
     // doc-level token sum, joined on the bounded source key.
-    "q195_lexical_profile" -> ((s, d) => {
-      val docs = documents(s, d)
-      val w = docs.select(col("source"),
-          explode(TextOps.wordsOf(col("text"))).as("w"))
-        .groupBy(col("source"))
-        .agg(count(lit(1)).as("n_words"),
-          countDistinct(col("w")).as("n_types"),
-          sum(length(col("w")).cast("long")).as("sum_wlen"))
-      val t = docs.groupBy(col("source"))
-        .agg(count(lit(1)).as("n_docs"),
-          sum(graft.functions.token_count(col("text")).cast("long"))
-            .as("n_tokens"))
-      w.join(t, Seq("source"))
-        .select(col("source"), col("n_docs"), col("n_words"), col("n_types"),
-          col("n_tokens"),
-          round(col("n_types").cast("double") / col("n_words"), 6)
-            .as("type_token_ratio"),
-          round(col("n_tokens").cast("double") / col("n_words"), 6)
-            .as("tokens_per_word"),
-          round(col("sum_wlen").cast("double") / col("n_words"), 6)
-            .as("avg_word_len"))
-    }),
+    "q195_lexical_profile" -> ((s, d) => lexicalProfile(documents(s, d))),
 
     // Quality GATE: keep only docs at/above their language's 25th
     // percentile of avg word length — the "filter the corpus on a
@@ -1109,9 +1121,20 @@ object TextAnalytics {
     // combinable count, one TakeOrdered(1), one narrow projection; the
     // driver collects exactly the winning pair per step (the
     // q180/Ranks driver-sized-collect pattern).
-    "q182_bpe_merges" -> ((s, d) => {
+    "q182_bpe_merges" -> ((s, d) =>
+      bpeInduce(s, documents(s, d), BpeMergeSteps))
+  )
+
+  /** q182 body — `steps` BPE merge inductions over the corpus's
+    * lowercase word vocabulary (word-level, `</w>` end marker). Split
+    * out so BpeEndToEndSpec can train a DEEPER table than the
+    * unrolled-oracle-sized catalog entry and feed it to the byte-level
+    * cl100k counter.
+    */
+  def bpeInduce(s: SparkSession, docs: DataFrame, steps: Int,
+                truncateEvery: Int = 0): DataFrame = {
       import s.implicits._
-      val vocab = documents(s, d)
+      val vocab = docs
         .select(explode(TextOps.wordsOf(col("text"))).as("word"))
         .filter(col("word").rlike("^[a-z]+$"))
         .groupBy(col("word")).agg(count(lit(1)).as("n"))
@@ -1124,29 +1147,49 @@ object TextAnalytics {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       graft.pipeline.Chunker.registerForCleanup(cur)
       val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
-      for (step <- 1 to BpeMergeSteps) {
+      var exhausted = false
+      for (step <- 1 to steps if !exhausted) {
         val syms = split(col("repr"), " ")
-        val pairs = cur.select(col("n"),
+        // fully-merged words (one surviving symbol) contribute no
+        // pairs — without the guard, a deep induction run walks
+        // element_at past a 1-element array (BpeEndToEndSpec trains 40
+        // steps; the 6-step catalog entry never merged a whole word)
+        val pairs = cur.filter(size(syms) >= 2).select(col("n"),
           explode(transform(sequence(lit(0), size(syms) - 2), i =>
             concat(element_at(syms, i + 1), lit(" "),
               element_at(syms, i + 2)))).as("pair"))
-        val (bestPair, bestC) = pairs.groupBy(col("pair"))
+        pairs.groupBy(col("pair"))
           .agg(sum(col("n")).as("c"))
           .orderBy(col("c").desc, col("pair")).limit(1)
-          .as[(String, Long)].collect().head
-        val Array(lw, rw) = bestPair.split(" ")
-        def unwrap(x: String) = x.stripPrefix("|").stripSuffix("|")
-        merges += ((step, unwrap(lw), unwrap(rw), bestC))
-        val merged = bestPair.replace("| |", "")
-        val next = cur.select(col("n"),
-          expr(s"replace(repr, '$bestPair', '$merged')").as("repr"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        graft.pipeline.Chunker.registerForCleanup(next)
-        cur = next
+          .as[(String, Long)].collect().headOption match {
+          case None => exhausted = true // every word fully merged
+          case Some((bestPair, bestC)) =>
+            val Array(lw, rw) = bestPair.split(" ")
+            def unwrap(x: String) = x.stripPrefix("|").stripSuffix("|")
+            merges += ((step, unwrap(lw), unwrap(rw), bestC))
+            val merged = bestPair.replace("| |", "")
+            val stepped = cur.select(col("n"),
+              expr(s"replace(repr, '$bestPair', '$merged')").as("repr"))
+            // deep inductions (BpeEndToEndSpec trains 40 steps) carry
+            // `steps` nested replace() expressions: Catalyst re-analyzes
+            // and string-renders the WHOLE tree per step, which goes
+            // quadratic. localCheckpoint resets the logical lineage to
+            // the materialized rows every few steps; the 6-step catalog
+            // entry keeps its pure-plan shape (truncateEvery = 0).
+            val next =
+              if (truncateEvery > 0 && step % truncateEvery == 0)
+                stepped.localCheckpoint(true)
+              else {
+                val p = stepped.persist(
+                  org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+                graft.pipeline.Chunker.registerForCleanup(p)
+                p
+              }
+            cur = next
+        }
       }
       merges.toSeq.toDF("step", "lhs", "rhs", "pair_n")
-    })
-  )
+  }
 
   /** BPE merge count for q182 — enough to produce multi-character
     * tokens that then win further merges (the recursive structure the

@@ -118,10 +118,18 @@ object ScaleProbe {
       catch { case scala.util.control.NonFatal(_) => () })
 
     // a per-query failure (e.g. a disk-filling spill) must not lose the
-    // other measurements — record it as NaN and keep probing
-    def time(dir: String): Map[String, Measure] =
+    // other measurements — record it as NaN and keep probing.
+    // Shuffle partitions scale with the corpus factor (32 per 10× —
+    // SURVEY's own sizing rule: partitions sized so a task's slice
+    // fits executor memory at the target SF; a fixed 32 at 30× put
+    // ~30 MB×arrays per task into the pair aggregations and produced
+    // the only observed spill). AQE coalesces the excess on the small
+    // queries, so ratios stay comparable.
+    def time(dir: String, factor: Int): Map[String, Measure] =
       (1 to passes).map { p =>
         clearAll()
+        spark.conf.set("spark.sql.shuffle.partitions",
+          (32 * math.max(1, math.ceil(factor / 10.0).toInt)).toString)
         names.map { n =>
           tele.reset()
           val t0 = System.nanoTime()
@@ -146,8 +154,8 @@ object ScaleProbe {
         }.toMap
       }.reduce((a, b) => a.map { case (k, v) => k -> v.merge(b(k)) })
 
-    val base = time(baseDir)
-    val bigByFactor = bigs.map { case (dir, f) => (f, time(dir)) }
+    val base = time(baseDir, 1)
+    val bigByFactor = bigs.map { case (dir, f) => (f, time(dir, f)) }
     spark.stop()
 
     def mb(v: Long): String = f"${v / 1e6}%.0f"
@@ -180,9 +188,12 @@ object ScaleProbe {
          |lineitem replicated with orderkey offsets, events replicated
          |with fresh user ids over the same period) — and
          |`graft.tools.ScaleProbe` times each headliner on every corpus
-         |(min of $passes cache-cleared passes, noop sink, local[32]),
-         |recording per-query SHUFFLE-WRITE and SPILL bytes from the
-         |stage-completed task metrics (max across passes). Reproduce:
+         |(min of $passes cache-cleared passes, noop sink, local[32],
+         |shuffle partitions scaled 32-per-10× — the production sizing
+         |rule: a task's slice must fit executor memory at the target
+         |SF), recording per-query SHUFFLE-WRITE and SPILL bytes from
+         |the stage-completed task metrics (max across passes).
+         |Reproduce:
          |
          |```
          |sbt "runMain graft.tools.ScaleGen /root/testdata/sf0.1 /root/repo/scaleprobe/x10 10"

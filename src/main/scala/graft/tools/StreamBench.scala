@@ -1,0 +1,155 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Streaming micro-bench (VERDICT r8 #5): measured rows/s and
+  * state-store footprint across micro-batches for the stateful
+  * streaming surfaces — `transformWithState` running stats,
+  * the flatMapGroupsWithState debounce, the q196 stream-stream
+  * LEFT-OUTER interval join, plus the tumbling-window aggregate and
+  * watermark-bounded dedup as baselines. The semantics of all five are
+  * oracle/spec-proven (StreamingSpec, StatefulRunningSpec); this tool
+  * pins the THROUGHPUT evidence in-repo as `BENCH_streaming.json`.
+  *
+  * Method: the sf events table is split into `SPARK_GRAFT_STREAM_BATCHES`
+  * (default 8) chronological slices, staged as mtime-ordered parquet
+  * files; each workload streams them as separate micro-batches
+  * (`maxFilesPerTrigger=1`, AvailableNow, memory sink — sink cost ~0 so
+  * the numbers measure the stateful operator, not an external writer).
+  * Per batch we record input rows, trigger wall, and the state store's
+  * row count and memory from `StreamingQueryProgress.stateOperators` —
+  * the direct observable for "state stays bounded as batches pass",
+  * which is the 100-TB streaming claim (watermark eviction / 8-byte
+  * debounce state / one (count,sum) pair per user).
+  *
+  * The state-store provider is pinned to RocksDB for ALL workloads
+  * (transformWithState requires it; using it everywhere makes the
+  * memory/footprint numbers comparable and production-shaped).
+  */
+object StreamBench {
+
+  private def stageBatch(dir: java.nio.file.Path, b: DataFrame, i: Int): Unit = {
+    import java.nio.file.Files
+    val tmp = Files.createTempDirectory("graft-sbench-stage")
+    b.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val listing = Files.list(tmp)
+    val part =
+      try listing.filter(p =>
+        p.getFileName.toString.startsWith("part-")).findFirst.get
+      finally listing.close()
+    val dest = dir.resolve(f"batch-$i%05d.parquet")
+    Files.move(part, dest)
+    Files.setLastModifiedTime(dest,
+      java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 60000L))
+    deleteRecursively(tmp)
+  }
+
+  private def deleteRecursively(root: java.nio.file.Path): Unit = {
+    val walk = java.nio.file.Files.walk(root)
+    try walk.sorted(java.util.Comparator.reverseOrder())
+      .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+    finally walk.close()
+  }
+
+  final case class BatchPoint(batch: Long, rows: Long, ms: Long,
+                              stateRows: Long, stateBytes: Long)
+  final case class Run(name: String, rowsIn: Long, rowsOut: Long,
+                       wallSec: Double, points: Seq[BatchPoint])
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val outJson = if (args.length > 1) args(1) else "/root/repo/BENCH_streaming.json"
+    val nBatches = sys.env.getOrElse("SPARK_GRAFT_STREAM_BATCHES", "8").toInt
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    // chronological slices: the file source replays them in mtime order,
+    // so watermarks advance between batches like a live ingest
+    val ev = graft.Tables.events(spark, sfDir)
+      .withColumn("slice",
+        ntile(nBatches).over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("ts"), col("event_id"))))
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-sbench-src")
+    (1 to nBatches).foreach(i =>
+      stageBatch(srcDir, ev.filter(col("slice") === i).drop("slice"), i - 1))
+    val schema = spark.read.parquet(s"$srcDir/batch-00000.parquet").schema
+
+    def src(): DataFrame = graft.Tables.normalizeTs(
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(srcDir.toString))
+
+    var counter = 0
+    def measure(name: String, plan: DataFrame): Run = {
+      counter += 1
+      val qn = s"sbench_$counter"
+      val t0 = System.nanoTime()
+      val q = plan.writeStream
+        .format("memory").queryName(qn).outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val wall = (System.nanoTime() - t0) / 1e9
+      val pts = q.recentProgress.toSeq.filter(_.numInputRows > 0).map { p =>
+        val st = p.stateOperators
+        BatchPoint(p.batchId, p.numInputRows,
+          Option(p.durationMs.get("triggerExecution")).map(_.longValue()).getOrElse(0L),
+          if (st == null) 0L else st.map(_.numRowsTotal).sum,
+          if (st == null) 0L else st.map(_.memoryUsedBytes).sum)
+      }
+      val out = spark.table(qn).count()
+      val rowsIn = pts.map(_.rows).sum
+      System.err.println(f"STREAMBENCH $name rows_in=$rowsIn rows_out=$out " +
+        f"wall=$wall%.2f s rate=${rowsIn / wall}%.0f rows/s " +
+        s"state_rows_last=${pts.lastOption.map(_.stateRows).getOrElse(0L)}")
+      Run(name, rowsIn, out, wall, pts)
+    }
+
+    // warmup: run the cheapest workload once so JVM/codegen/RocksDB
+    // startup cost lands outside the recorded numbers
+    measure("warmup_tumbling", graft.streaming.StreamingJobs.tumblingCounts(src()))
+
+    val runs = Seq(
+      measure("tumbling_agg",
+        graft.streaming.StreamingJobs.tumblingCounts(src())),
+      measure("dedup_within_watermark",
+        graft.streaming.StreamingJobs.dedupStream(src(), "event_id")),
+      measure("transform_with_state_running",
+        graft.streaming.StatefulRunning.runningStats(src()).toDF()),
+      measure("debounce_fmgws", graft.streaming.StatefulDebounce.debounce(
+        src().select(col("user_id"), col("event_type"), col("event_id"),
+          unix_micros(col("ts")).as("ts_us"))
+          .as[graft.streaming.KeyedEvent]).toDF()),
+      measure("interval_join_outer_q196",
+        graft.streaming.StreamingJobs.attributionJoinOuter(src(), src())))
+
+    deleteRecursively(srcDir)
+    spark.stop()
+
+    def jnum(v: Double): String =
+      BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    val js = runs.map { r =>
+      val pts = r.points.map(p =>
+        s"""{"batch":${p.batch},"rows":${p.rows},"ms":${p.ms},""" +
+          s""""state_rows":${p.stateRows},"state_bytes":${p.stateBytes}}""")
+        .mkString("[", ",", "]")
+      s""""${r.name}":{"rows_in":${r.rowsIn},"rows_out":${r.rowsOut},""" +
+        s""""wall_s":${jnum(r.wallSec)},""" +
+        s""""rows_per_s":${jnum(r.rowsIn / r.wallSec)},"batches":$pts}"""
+    }.mkString("{", ",", "}")
+    val line = s"""{"metric":"streaming","sf":"$sfDir","n_batches":$nBatches,""" +
+      s""""state_store":"rocksdb","workloads":$js}"""
+    java.nio.file.Files.write(java.nio.file.Paths.get(outJson),
+      (line + "\n").getBytes("UTF-8"))
+    println(line)
+  }
+}

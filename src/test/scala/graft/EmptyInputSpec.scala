@@ -92,6 +92,55 @@ class EmptyInputSpec extends AnyFunSuite with CacheCleanup {
     assert(graft.queries.Clustering.clusterSilhouette(few, 1, 1).count() == 0)
   }
 
+  test("round-8 operators (q194-q197) on empty and degenerate inputs") {
+    // q194: empty corpus -> empty battery; an empty-text doc has
+    // n_words = 0, so every n_words-guarded rule is 0 and keep = 0
+    // (never a divide-by-zero or a null verdict)
+    val noSrcDocs = Seq.empty[(Long, String, String)]
+      .toDF("doc_id", "text", "source")
+    assert(graft.queries.TextAnalytics.gopherRules(noSrcDocs).count() == 0)
+    val blank = Seq((1L, "", "web")).toDF("doc_id", "text", "source")
+    val br = graft.queries.TextAnalytics.gopherRules(blank).collect()
+    assert(br.length == 1)
+    assert(br.head.getAs[Long]("n_rules_passed") == 0L &&
+      br.head.getAs[Long]("keep") == 0L)
+    // q195: empty corpus -> no profile rows; a source whose only doc
+    // has zero words drops out of the inner word-join entirely (the
+    // oracle's semantics), rather than emitting a null-ratio row
+    assert(graft.queries.TextAnalytics.lexicalProfile(noSrcDocs).count() == 0)
+    assert(graft.queries.TextAnalytics.lexicalProfile(blank).count() == 0)
+    // q196: no events -> no attribution rows; a purchase with no view
+    // anywhere still surfaces once as a null-view outer row
+    val noEvents = Seq.empty[(Long, java.sql.Timestamp, Long, String, Double)]
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    assert(graft.streaming.StreamingJobs
+      .attributionJoinOuter(noEvents, noEvents).count() == 0)
+    val purchaseOnly = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 7L,
+        "purchase", 5.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val po = graft.streaming.StreamingJobs
+      .attributionJoinOuter(purchaseOnly, purchaseOnly).collect()
+    assert(po.length == 1 && po.head.isNullAt(po.head.fieldIndex("view_id")))
+    // q197: empty corpus -> empty eval; and a QUERY SET LARGER THAN
+    // THE CORPUS REMAINDER (all rows are label-0 queries, k far above
+    // corpus size) must yield valid [0,1] nDCG rows, not a crash or
+    // a >1 score from a short ideal list
+    val noLabeled = Seq.empty[(Long, Seq[Float], Int)]
+      .toDF("vec_id", "embedding", "label")
+    assert(graft.queries.Similarity.annNdcg(noLabeled, 10,
+      graft.queries.Similarity.Q52Bits).count() == 0)
+    val allQueries = Seq(
+      (1L, Seq.fill(64)(1f), 0), (2L, Seq.fill(64)(0.9f), 0),
+      (3L, Seq.fill(64)(-1f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val nd = graft.queries.Similarity
+      .annNdcg(allQueries, 10, graft.queries.Similarity.Q52Bits).collect()
+    assert(nd.nonEmpty)
+    assert(nd.forall { r =>
+      val s = r.getAs[Double]("ndcg_at_10"); s >= 0.0 && s <= 1.0 })
+  }
+
   test("round-7 wave-3+ operators on empty inputs") {
     // containment dedup: empty corpus and single-doc corpus pair nothing
     assert(Dedup.containmentPairs(noDocs, "doc_id", "text").count() == 0)
