@@ -45,6 +45,52 @@ object Curation {
   val Tertile1 = "0.3333333333333333"
   val Tertile2 = "0.6666666666666666"
 
+  /** q199: deterministic eval-set rate and overlap n-gram width. The
+    * published decontamination recipes test 8–13-gram overlap against
+    * benchmark sets; the fixture's ~15–40-word docs scale that to 5
+    * (the parameter, not the operator, is fixture-sized).
+    */
+  val DecontamEvalFrac = 0.02
+  val DecontamN = 5
+
+  /** q199 body — TEST-SET DECONTAMINATION (the GPT-3/PaLM appendix
+    * recipe as an operator): a deterministic hash-held-out slice of
+    * the corpus stands in for the benchmark/eval set; every TRAINING
+    * doc sharing at least one word [[DecontamN]]-gram with any eval
+    * doc is flagged, with its count of distinct shared n-grams (the
+    * audit column — "how contaminated", not just whether).
+    *
+    * Scale shape: eval sets are benchmark-sized, so their distinct
+    * n-gram table BROADCASTS at any corpus scale; the train side is
+    * one explode + array_distinct per doc, a broadcast semi-join, and
+    * one doc-keyed aggregate — never a shuffle keyed on a hot n-gram
+    * (the per-doc distinct means a stopword-run gram contributes one
+    * row per DOC, not per occurrence).
+    */
+  def decontaminate(docs: DataFrame): DataFrame = {
+    val n = DecontamN
+    val grams = docs
+      .select(col("doc_id"), TextOps.wordsOf(col("text")).as("ws"))
+      .filter(size(col("ws")) >= n)
+      .select(col("doc_id"), explode(array_distinct(transform(
+        sequence(lit(0), size(col("ws")) - n), i =>
+          concat_ws(" ", (0 until n).map(j =>
+            element_at(col("ws"), i + j + 1)): _*)))).as("g"))
+    val isEval = hashFraction(col("doc_id")) < DecontamEvalFrac
+    val evalGrams = grams.filter(isEval).select(col("g")).distinct()
+    val hits = grams.filter(!isEval)
+      .join(broadcast(evalGrams), Seq("g"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared_grams")) // grams are per-doc distinct
+    docs.filter(!isEval)
+      .select(col("doc_id"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_shared_grams"), lit(0L)).as("n_shared_grams"),
+        (coalesce(col("n_shared_grams"), lit(0L)) > 0L)
+          .cast("long").as("contaminated"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Inverted-index build — the retrieval side of a curation stack
@@ -259,7 +305,10 @@ object Curation {
     // in integer micro-units (q167's rule); boundary comparisons are
     // safe because 4-decimal scores are ≥1e-4 apart while interpolated
     // boundaries sit strictly inside a bracketing pair's gap.
-    "q193_ccnet_buckets" -> ((s, d) => ccnetBuckets(documents(s, d)))
+    "q193_ccnet_buckets" -> ((s, d) => ccnetBuckets(documents(s, d))),
+
+    // Test-set decontamination — see [[decontaminate]].
+    "q199_decontaminate" -> ((s, d) => decontaminate(documents(s, d)))
   )
 
   /** The q192 operator over any documents-shaped frame (doc_id, source,
@@ -325,6 +374,29 @@ object Curation {
   }
 
   def oracles: Map[String, String] = Map(
+
+    "q199_decontaminate" ->
+      s"""WITH g AS (
+         |  SELECT doc_id, unnest(list_distinct(list_transform(
+         |      range(1, len(ws) - ${DecontamN - 2}),
+         |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' '
+         |        || ws[i+3] || ' ' || ws[i+4]))) AS g
+         |  FROM (SELECT doc_id, ${TextOps.wordsSql} AS ws FROM documents)
+         |  WHERE len(ws) >= $DecontamN),
+         |ev AS (
+         |  SELECT DISTINCT g FROM g
+         |  WHERE ${hashFractionSql("doc_id")} < $DecontamEvalFrac),
+         |hits AS (
+         |  SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_shared_grams
+         |  FROM g JOIN ev USING (g)
+         |  WHERE ${hashFractionSql("g.doc_id")} >= $DecontamEvalFrac
+         |  GROUP BY g.doc_id)
+         |SELECT d.doc_id,
+         |  coalesce(h.n_shared_grams, 0) AS n_shared_grams,
+         |  CAST(coalesce(h.n_shared_grams, 0) > 0 AS BIGINT) AS contaminated
+         |FROM documents d
+         |LEFT JOIN hits h ON h.doc_id = d.doc_id
+         |WHERE ${hashFractionSql("d.doc_id")} >= $DecontamEvalFrac""".stripMargin,
 
     "q174_inverted_index" ->
       s"""WITH w AS (

@@ -234,6 +234,16 @@ object Dedup {
     Chunker.sharedTable(s, s"dedup:cands:$dir")(
       minhashCandidatesFromMinhashes(corpusMinhash(s, dir)))
 
+  /** Memoized q151 output — the certified exact J ≥ t pair table over
+    * [[corpusShingles]]. The q188 eval's ground-truth arm re-derived
+    * the whole AllPairs join per query; at 30× that re-derivation
+    * (running with every other dedup build already cache-resident) was
+    * the last spill in SCALE.md.
+    */
+  def corpusPrefixJoin(s: SparkSession, dir: String): DataFrame =
+    Chunker.sharedTable(s, s"dedup:prefixjoin:$dir")(
+      prefixFilterJoinFromShingles(corpusShingles(s, dir), PrefixJoinT))
+
   /** Exact n-gram Jaccard VERIFY stage over the MinHash candidates: the
     * classic two-stage near-dup pipeline. Stage 1 (bucketed LSH) emits
     * candidate pairs; stage 2 computes the exact shingle-set Jaccard
@@ -811,8 +821,7 @@ object Dedup {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q151_prefix_join" -> ((s, d) =>
-      prefixFilterJoinFromShingles(corpusShingles(s, d), PrefixJoinT)),
+    "q151_prefix_join" -> ((s, d) => corpusPrefixJoin(s, d)),
 
     // Dedup-index EVALUATION — recall/precision of the MinHash-LSH
     // candidate set against the EXACT J >= t ground truth the q151
@@ -825,13 +834,11 @@ object Dedup {
     // shingle build (a single corpus scan); the final combine is three
     // 1-row aggregates crossed together.
     "q188_dedup_recall" -> ((s, d) => {
-      // one SHARED shingle build feeds BOTH arms (exact truth + LSH
-      // candidates) — and any other dedup query in the same run
-      val sh = corpusShingles(s, d)
-      val truth = prefixFilterJoinFromShingles(sh, PrefixJoinT)
+      // BOTH arms come from the shared corpus builds (exact truth =
+      // the memoized q151 table, candidates = the memoized LSH pairs)
+      // — nothing here re-derives what another dedup query certified
+      val truth = corpusPrefixJoin(s, d)
         .filter(col("passes") === 1L).select(col("doc_a"), col("doc_b"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      Chunker.registerForCleanup(truth)
       val approx = corpusCandidates(s, d)
         .select(col("doc_a"), col("doc_b"))
       val nTruth = truth.agg(count(lit(1)).as("n_truth"))

@@ -305,6 +305,81 @@ object TextAnalytics {
           .as("avg_word_len"))
   }
 
+  /** q198 published repetition thresholds (Gopher §A1.1, word-n-gram
+    * family): a doc fails when too much of it is one repeated phrase.
+    */
+  val RepTop2Max = 0.20
+  val RepTop3Max = 0.18
+  val RepDup5Max = 0.15
+
+  /** q198 body — the REPETITION half of the published quality battery
+    * (q194 covers the composition rules): per doc, the fraction of
+    * characters covered by (a) the most frequent word 2-gram, (b) the
+    * most frequent word 3-gram, and (c) all DUPLICATED word 5-grams
+    * (those occurring 2+ times), each tested against its published
+    * ceiling. Char coverage is occurrences × n-gram string length
+    * (spaces included) / doc length — the Gopher definition, with the
+    * dup-5 form counting every occurrence (overlapping spans counted
+    * once each; the paper's exact char-union needs per-position
+    * bookkeeping that changes nothing on natural text and is
+    * documented as the simplification). Docs with fewer than n words
+    * have no n-grams and pass that rule with fraction 0.
+    *
+    * Scale shape: one words projection feeding three explodes, each
+    * aggregated on (doc, gram) — doc+gram-keyed shuffles; the top-1
+    * window partitions by doc and rides the aggregate's exchange;
+    * results join back doc-keyed. Everything linear in corpus size.
+    */
+  def repetitionBattery(docs: DataFrame): DataFrame = {
+    val base = docs.select(col("doc_id"),
+      length(col("text")).cast("long").as("n_chars"),
+      TextOps.wordsOf(col("text")).as("ws"))
+    def grams(n: Int): DataFrame =
+      base.filter(size(col("ws")) >= n)
+        .select(col("doc_id"), explode(transform(
+          sequence(lit(0), size(col("ws")) - n), i =>
+            concat_ws(" ", (0 until n).map(j =>
+              element_at(col("ws"), i + j + 1)): _*))).as("g"))
+    def topFrac(n: Int, out: String): DataFrame =
+      grams(n).groupBy(col("doc_id"), col("g"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("doc_id"))
+            .orderBy(col("c").desc, col("g"))))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"),
+          (col("c") * length(col("g")).cast("long")).as(s"${out}_chars"))
+    val dup5 = grams(5).groupBy(col("doc_id"), col("g"))
+      .agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2)
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c") * length(col("g")).cast("long")).as("dup5_chars"))
+    base.select(col("doc_id"), col("n_chars"))
+      .join(topFrac(2, "top2"), Seq("doc_id"), "left")
+      .join(topFrac(3, "top3"), Seq("doc_id"), "left")
+      .join(dup5, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_chars"),
+        // empty doc: no chars, no grams — every fraction is 0 (and the
+        // rules pass), never a divide-by-zero null verdict
+        when(col("n_chars") === 0L, lit(0.0))
+          .otherwise(round(coalesce(col("top2_chars"), lit(0L)).cast("double")
+            / col("n_chars"), 6)).as("top2_frac"),
+        when(col("n_chars") === 0L, lit(0.0))
+          .otherwise(round(coalesce(col("top3_chars"), lit(0L)).cast("double")
+            / col("n_chars"), 6)).as("top3_frac"),
+        when(col("n_chars") === 0L, lit(0.0))
+          .otherwise(round(coalesce(col("dup5_chars"), lit(0L)).cast("double")
+            / col("n_chars"), 6)).as("dup5_frac"))
+      .select(col("doc_id"), col("n_chars"),
+        col("top2_frac"), col("top3_frac"), col("dup5_frac"),
+        (col("top2_frac") <= RepTop2Max).cast("long").as("r_top2"),
+        (col("top3_frac") <= RepTop3Max).cast("long").as("r_top3"),
+        (col("dup5_frac") <= RepDup5Max).cast("long").as("r_dup5"))
+      .withColumn("keep",
+        (col("r_top2") + col("r_top3") + col("r_dup5") === 3L).cast("long"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Count-min sketch, estimate vs exact — the fixed-memory frequency
@@ -821,6 +896,11 @@ object TextAnalytics {
     // explode feeding a per-source count+distinct aggregate, one
     // doc-level token sum, joined on the bounded source key.
     "q195_lexical_profile" -> ((s, d) => lexicalProfile(documents(s, d))),
+
+    // The repetition half of the published battery — see
+    // [[repetitionBattery]].
+    "q198_repetition_battery" -> ((s, d) =>
+      repetitionBattery(documents(s, d))),
 
     // Quality GATE: keep only docs at/above their language's 25th
     // percentile of avg word length — the "filter the corpus on a
@@ -1538,6 +1618,67 @@ object TextAnalytics {
          |    + r_symbol_ratio + r_stop_words = 5 AS BIGINT) AS keep
          |FROM r""".stripMargin
     },
+
+    "q198_repetition_battery" ->
+      s"""WITH w AS (
+         |  SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+         |    ${TextOps.wordsSql} AS ws
+         |  FROM documents),
+         |g2 AS (
+         |  SELECT doc_id, ws[i] || ' ' || ws[i+1] AS g
+         |  FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i
+         |        FROM w WHERE len(ws) >= 2)),
+         |t2 AS (
+         |  SELECT doc_id, c * length(g) AS chars FROM (
+         |    SELECT doc_id, g, count(*) AS c,
+         |      row_number() OVER (PARTITION BY doc_id
+         |        ORDER BY count(*) DESC, g) AS rn
+         |    FROM g2 GROUP BY doc_id, g)
+         |  WHERE rn = 1),
+         |g3 AS (
+         |  SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g
+         |  FROM (SELECT doc_id, ws, unnest(range(1, len(ws) - 1)) AS i
+         |        FROM w WHERE len(ws) >= 3)),
+         |t3 AS (
+         |  SELECT doc_id, c * length(g) AS chars FROM (
+         |    SELECT doc_id, g, count(*) AS c,
+         |      row_number() OVER (PARTITION BY doc_id
+         |        ORDER BY count(*) DESC, g) AS rn
+         |    FROM g3 GROUP BY doc_id, g)
+         |  WHERE rn = 1),
+         |g5 AS (
+         |  SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' '
+         |      || ws[i+3] || ' ' || ws[i+4] AS g
+         |  FROM (SELECT doc_id, ws, unnest(range(1, len(ws) - 3)) AS i
+         |        FROM w WHERE len(ws) >= 5)),
+         |d5 AS (
+         |  SELECT doc_id, sum(c * length(g)) AS chars FROM (
+         |    SELECT doc_id, g, count(*) AS c FROM g5 GROUP BY doc_id, g)
+         |  WHERE c >= 2 GROUP BY doc_id),
+         |f AS (
+         |  SELECT w.doc_id, w.n_chars,
+         |    CASE WHEN w.n_chars = 0 THEN 0.0 ELSE
+         |      round(CAST(coalesce(t2.chars, 0) AS DOUBLE) / w.n_chars, 6)
+         |    END AS top2_frac,
+         |    CASE WHEN w.n_chars = 0 THEN 0.0 ELSE
+         |      round(CAST(coalesce(t3.chars, 0) AS DOUBLE) / w.n_chars, 6)
+         |    END AS top3_frac,
+         |    CASE WHEN w.n_chars = 0 THEN 0.0 ELSE
+         |      round(CAST(coalesce(d5.chars, 0) AS DOUBLE) / w.n_chars, 6)
+         |    END AS dup5_frac
+         |  FROM w
+         |  LEFT JOIN t2 ON t2.doc_id = w.doc_id
+         |  LEFT JOIN t3 ON t3.doc_id = w.doc_id
+         |  LEFT JOIN d5 ON d5.doc_id = w.doc_id)
+         |SELECT doc_id, n_chars, top2_frac, top3_frac, dup5_frac,
+         |  CAST(top2_frac <= $RepTop2Max AS BIGINT) AS r_top2,
+         |  CAST(top3_frac <= $RepTop3Max AS BIGINT) AS r_top3,
+         |  CAST(dup5_frac <= $RepDup5Max AS BIGINT) AS r_dup5,
+         |  CAST(CAST(top2_frac <= $RepTop2Max AS BIGINT)
+         |    + CAST(top3_frac <= $RepTop3Max AS BIGINT)
+         |    + CAST(dup5_frac <= $RepDup5Max AS BIGINT) = 3 AS BIGINT)
+         |    AS keep
+         |FROM f""".stripMargin,
 
     "q195_lexical_profile" ->
       s"""WITH w AS (

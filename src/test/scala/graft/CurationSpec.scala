@@ -257,4 +257,30 @@ class CurationSpec extends AnyFunSuite {
         BigDecimal.RoundingMode.HALF_UP).toDouble)
     }
   }
+
+  test("q199 decontaminate flags exactly the planted overlap") {
+    // doc 17 hashes into the eval slice? Build the fixture AROUND the
+    // hash: find one id in the eval band and two outside it, plant a
+    // shared 5-gram between the eval doc and ONE train doc
+    val ids = (1L to 200L)
+    def frac(id: Long): Double = {
+      val df = Seq(id).toDF("doc_id")
+        .select(graft.queries.TextAnalytics.hashFraction(col("doc_id")).as("f"))
+      df.collect().head.getDouble(0)
+    }
+    val evalId = ids.find(frac(_) < Curation.DecontamEvalFrac).get
+    val trainIds = ids.filter(frac(_) >= Curation.DecontamEvalFrac).take(2)
+    val shared = "alpha beta gamma delta epsilon"
+    val docs = Seq(
+      (evalId, s"intro words $shared closing words"),
+      (trainIds(0), s"unrelated prefix then $shared and a suffix"),
+      (trainIds(1), "completely different content with no overlap here"))
+      .toDF("doc_id", "text")
+    val out = Curation.decontaminate(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_shared_grams"), r.getAs[Long]("contaminated"))).toMap
+    assert(!out.contains(evalId), "eval docs are excluded from the output")
+    assert(out(trainIds(0))._2 == 1L && out(trainIds(0))._1 >= 1L)
+    assert(out(trainIds(1)) == (0L, 0L))
+  }
 }

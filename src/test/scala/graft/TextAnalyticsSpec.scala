@@ -281,4 +281,31 @@ class TextAnalyticsSpec extends AnyFunSuite with CacheCleanup {
     assert(got == expected)
     assert(got.nonEmpty)
   }
+
+  test("q198 repetition battery: planted loop fails, varied text passes") {
+    import graft.queries.TextAnalytics.{repetitionBattery => rb}
+    val loop = ("spam ham " * 30).trim              // one 2-gram IS the doc
+    val varied = (1 to 60).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, loop), (2L, varied), (3L, "")).toDF("doc_id", "text")
+    val out = rb(docs).collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // doc 1: "spam ham" covers nearly every char -> all three rules fail
+    assert(out(1L).getAs[Double]("top2_frac") > 0.85)
+    assert(out(1L).getAs[Long]("keep") == 0L)
+    // doc 2: every word unique -> top2 is one pair over the whole doc,
+    // no duplicated 5-gram at all
+    assert(out(2L).getAs[Double]("dup5_frac") == 0.0)
+    assert(out(2L).getAs[Long]("keep") == 1L)
+    // doc 3: empty text -> all fractions 0, all rules pass
+    assert(out(3L).getAs[Double]("top2_frac") == 0.0 &&
+      out(3L).getAs[Long]("keep") == 1L)
+    // sequential re-derivation of doc 1's top-2-gram coverage
+    val wsL = loop.toLowerCase.split(" ").toSeq
+    val bigrams = wsL.sliding(2).map(_.mkString(" ")).toSeq
+    // (count desc, gram asc) — the operator's deterministic tiebreak
+    val (topG, topC) = bigrams.groupBy(identity).view.mapValues(_.size)
+      .toSeq.minBy { case (g, c) => (-c, g) }
+    val expect = BigDecimal(topC.toLong * topG.length.toLong)
+      ./(BigDecimal(loop.length)).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    assert(BigDecimal(out(1L).getAs[Double]("top2_frac")) == expect)
+  }
 }
