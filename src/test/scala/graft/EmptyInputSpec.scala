@@ -141,6 +141,23 @@ class EmptyInputSpec extends AnyFunSuite with CacheCleanup {
       val s = r.getAs[Double]("ndcg_at_10"); s >= 0.0 && s <= 1.0 })
   }
 
+  test("round-9 operators (q198/q199) on empty corpora") {
+    // repetition battery: no docs -> no rows (empty-text behavior is
+    // covered by TextAnalyticsSpec's planted fixture)
+    val noSrcDocs2 = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(graft.queries.TextAnalytics.repetitionBattery(noSrcDocs2)
+      .count() == 0)
+    // decontamination: no docs -> no rows; a corpus whose every doc is
+    // SHORTER than the n-gram width has no grams on either side, so
+    // every training doc comes back clean rather than dropping out
+    assert(graft.queries.Curation.decontaminate(noSrcDocs2).count() == 0)
+    val short = (1L to 20L).map(i => (i, "too short")).toDF("doc_id", "text")
+    val sr = graft.queries.Curation.decontaminate(short).collect()
+    assert(sr.nonEmpty)
+    assert(sr.forall(r => r.getAs[Long]("contaminated") == 0L &&
+      r.getAs[Long]("n_shared_grams") == 0L))
+  }
+
   test("round-7 wave-3+ operators on empty inputs") {
     // containment dedup: empty corpus and single-doc corpus pair nothing
     assert(Dedup.containmentPairs(noDocs, "doc_id", "text").count() == 0)
