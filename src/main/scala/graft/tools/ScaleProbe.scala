@@ -189,15 +189,20 @@ object ScaleProbe {
          |with fresh user ids over the same period) — and
          |`graft.tools.ScaleProbe` times each headliner on every corpus
          |(min of $passes cache-cleared passes, noop sink, local[32],
-         |shuffle partitions scaled 32-per-10× — the production sizing
-         |rule: a task's slice must fit executor memory at the target
-         |SF), recording per-query SHUFFLE-WRITE and SPILL bytes from
-         |the stage-completed task metrics (max across passes).
-         |Reproduce:
+         |JVM heap ${Runtime.getRuntime.maxMemory / (1L << 30)} GiB,
+         |shuffle partitions scaled 32-per-10× — both halves of the
+         |production sizing rule: a task's slice must fit executor
+         |memory at the target SF, and executor memory scales with the
+         |data; at 100× the sf0.1 corpus the default 8 GiB fixture heap
+         |spills ~GBs in the aggregate-heavy operators while wall time
+         |STAYS sub-linear — graceful degradation — and a data-sized
+         |heap clears it), recording per-query SHUFFLE-WRITE and SPILL
+         |bytes from the stage-completed task metrics (max across
+         |passes). Reproduce:
          |
          |```
          |sbt "runMain graft.tools.ScaleGen /root/testdata/sf0.1 /root/repo/scaleprobe/x10 10"
-         |sbt "runMain graft.tools.ScaleProbe /root/testdata/sf0.1 /root/repo/SCALE.md /root/repo/scaleprobe/x10:10 /root/repo/scaleprobe/x30:30"
+         |SPARK_DRIVER_MEM=32g sbt "runMain graft.tools.ScaleProbe /root/testdata/sf0.1 /root/repo/SCALE.md /root/repo/scaleprobe/x10:10 /root/repo/scaleprobe/x30:30 /root/repo/scaleprobe/x100:100"
          |```
          |
          |""".stripMargin +
