@@ -62,15 +62,39 @@ object Bench {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.exists(n.startsWith)))
-    if (warmDir.nonEmpty) names.foreach { n =>
-      try materialize(SparkEntry.queries(n)(spark, warmDir))
-      catch { case NonFatal(_) => () }
+    if (warmDir.nonEmpty) {
+      SparkEntry.sharedBuilds.foreach { case (_, fn) =>
+        try materialize(fn(spark, warmDir)) catch { case NonFatal(_) => () } }
+      names.foreach { n =>
+        try materialize(SparkEntry.queries(n)(spark, warmDir))
+        catch { case NonFatal(_) => () }
+      }
     }
 
     var errors = Map.empty[String, String]
+    // Shared memoized builds (Chunker.sharedTable) are materialized
+    // FIRST each pass under their own named timers, so the build cost
+    // of a train-once-serve-many intermediate no longer lands on
+    // whichever consumer query runs first in alphabetical order
+    // (VERDICT r9 "what's wrong" #1: q84/q80-class numbers swung 3-10x
+    // round-over-round purely from attribution). Reported in a
+    // separate "shared_builds" JSON section; their sum stays inside
+    // the headline "value" (same total work, now attributable).
+    val sharedNames = SparkEntry.sharedBuilds.map(_._1)
+    val runShared = only.isEmpty // a filtered dev run times queries standalone
     val timings = (1 to passes).map { _ =>
       clearAll()
-      names.map { name =>
+      val shared = if (!runShared) Map.empty[String, Double] else
+        SparkEntry.sharedBuilds.map { case (name, fn) =>
+          val t0 = System.nanoTime()
+          try materialize(fn(spark, sfDir))
+          catch { case e: Throwable =>
+            if (!errors.contains(name))
+              errors += name -> Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+          }
+          name -> (System.nanoTime() - t0) / 1e9
+        }.toMap
+      shared ++ names.map { name =>
         val t0 = System.nanoTime()
         try materialize(SparkEntry.queries(name)(spark, sfDir))
         catch { case e: Throwable =>
@@ -90,7 +114,8 @@ object Bench {
     // An errored query's wall time is a fast-fail, not a measurement —
     // reporting it as a timing made error-vs-fast indistinguishable in
     // the r6 artifact (ADVICE r6). Errored names live ONLY in `errors`.
-    val timed = names.filterNot(errors.contains)
+    val timed = ((if (runShared) sharedNames else Nil) ++ names)
+      .filterNot(errors.contains)
     val med = timed.map(n => n -> median(timings.map(_(n))))
     val mins = timed.map(n => n -> timings.map(_(n)).min)
     // Per-query spread (max - min across passes): lets a reader classify
@@ -117,9 +142,15 @@ object Bench {
     // evaluation — that's the in-plan resume PROOF, not a plan, and its
     // timing measures tmpfs writes. Report it separately so "value" and
     // "queries" measure plans only.
-    val (sideEff, plans) = med.partition(kv => SideEffectQueries(kv._1))
-    val total = plans.map(_._2).sum
-    val line = s"""{"metric":"total","value":${jnum(total)},"unit":"sec","passes":$passes,"queries":${jmap(plans)},"queries_min":${jmap(mins.filterNot(kv => SideEffectQueries(kv._1)))},"queries_spread":${jmap(spread.filterNot(kv => SideEffectQueries(kv._1)))},"side_effect_queries":${jmap(sideEff)},"errors":$es,"sf":"$sfDir"}"""
+    val (sharedMed, med2) = med.partition(kv => kv._1.startsWith("shared:"))
+    val (sideEff, plans) = med2.partition(kv => SideEffectQueries(kv._1))
+    // shared-build medians stay inside the headline total: the work was
+    // always part of "value" (it used to hide inside the first consumer
+    // query); only the attribution moved.
+    val total = plans.map(_._2).sum + sharedMed.map(_._2).sum
+    val nonPlan = (kv: (String, Double)) =>
+      SideEffectQueries(kv._1) || kv._1.startsWith("shared:")
+    val line = s"""{"metric":"total","value":${jnum(total)},"unit":"sec","passes":$passes,"queries":${jmap(plans)},"queries_min":${jmap(mins.filterNot(nonPlan))},"queries_spread":${jmap(spread.filterNot(nonPlan))},"shared_builds":${jmap(sharedMed)},"side_effect_queries":${jmap(sideEff)},"errors":$es,"sf":"$sfDir"}"""
     // The full per-query line outgrew the driver's 2000-char stdout tail
     // window at ~136 queries (r3/r4/r5 all recorded parsed:null because
     // the line's HEAD — "{"metric":... — fell outside the window). So:

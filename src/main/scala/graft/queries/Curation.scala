@@ -60,12 +60,18 @@ object Curation {
     * doc is flagged, with its count of distinct shared n-grams (the
     * audit column — "how contaminated", not just whether).
     *
-    * Scale shape: eval sets are benchmark-sized, so their distinct
-    * n-gram table BROADCASTS at any corpus scale; the train side is
-    * one explode + array_distinct per doc, a broadcast semi-join, and
-    * one doc-keyed aggregate — never a shuffle keyed on a hot n-gram
-    * (the per-doc distinct means a stopword-run gram contributes one
-    * row per DOC, not per occurrence).
+    * Scale shape: the train side is one explode + array_distinct per
+    * doc, an n-gram-keyed semi-join, and one doc-keyed aggregate — the
+    * per-doc distinct means a stopword-run gram contributes one row
+    * per DOC, not per occurrence, so no n-gram key is hotter than the
+    * doc count. In production the eval side is a fixed benchmark set
+    * (thousands of docs) whose distinct-gram table broadcasts; THIS
+    * fixture's stand-in is a 2% hash-slice of the corpus, which grows
+    * WITH the corpus — so the join carries no broadcast hint and the
+    * planner (AQE at runtime) picks broadcast while the eval side is
+    * small and degrades gracefully to a shuffled semi-join when it is
+    * not (ADVICE r9: a hard `broadcast()` here would exceed the
+    * broadcast limit at the 100-TB scale the old doc claimed).
     */
   def decontaminate(docs: DataFrame): DataFrame = {
     val n = DecontamN
@@ -79,7 +85,7 @@ object Curation {
     val isEval = hashFraction(col("doc_id")) < DecontamEvalFrac
     val evalGrams = grams.filter(isEval).select(col("g")).distinct()
     val hits = grams.filter(!isEval)
-      .join(broadcast(evalGrams), Seq("g"))
+      .join(evalGrams, Seq("g")) // no hint: see scale shape above
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_shared_grams")) // grams are per-doc distinct
     docs.filter(!isEval)

@@ -25,7 +25,10 @@ object PlanAudit {
 
   final case class Shape(shuffles: Int, bcasts: Int, smj: Int, bhj: Int,
                          shj: Int, bnlj: Int, wscg: Int, scans: Int,
-                         pushed: Int, windows: Int, aggs: Int)
+                         pushed: Int, windows: Int, aggs: Int,
+                         skewReads: Int = 0) {
+    def joins: String = s"$smj/$bhj/$shj/$bnlj"
+  }
 
   def shapeOf(plan: SparkPlan): Shape = {
     var s = Shape(0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
@@ -39,6 +42,13 @@ object PlanAudit {
     def walk(p: SparkPlan): Unit = p.foreach {
       case n: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
         walk(n.executedPlan)
+      // in an EXECUTED adaptive plan, materialized stages are
+      // QueryStageExec leaves whose real plan is a field, not a child
+      case n: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        walk(n.plan)
+      case n: org.apache.spark.sql.execution.adaptive.AQEShuffleReadExec
+          if n.hasSkewedPartition =>
+        s = s.copy(skewReads = s.skewReads + 1)
       case n: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
         // count the cached lineage too: it runs once per session, but
         // it is real work the query's first evaluation pays
@@ -108,12 +118,26 @@ object PlanAudit {
         .map(m => m.group(1) -> m.group(2).toDouble).toMap
       // guard against silent truncation: the detail line must cover
       // (nearly) the whole catalog or the audit is mixing provenances
-      val catalog = graft.SparkEntry.queries.size
-      require(parsed.size >= catalog - 8,
+      val catalogNames = graft.SparkEntry.queries.keySet
+      val missing = catalogNames -- parsed.keySet
+      require(missing.size <= BenchSlack,
         s"bench detail at $path parsed ${parsed.size} timings for a " +
-          s"$catalog-query catalog — truncated or stale; regenerate it")
+          s"${catalogNames.size}-query catalog (slack $BenchSlack) — " +
+          s"truncated, stale, or a filtered SPARK_GRAFT_ONLY run; " +
+          s"missing: ${missing.toSeq.sorted.mkString(", ")}")
       parsed
     }
+
+  /** How many catalog entries may lack a bench timing before
+    * [[benchTimes]] declares the detail file stale/truncated. Slack
+    * exists because the catalog legitimately grows between the bench
+    * run and the audit (a round adds a handful of queries before
+    * re-benching); 8 ≈ the most queries any round has added. A
+    * filtered `SPARK_GRAFT_ONLY` bench run fails loudly with the
+    * missing names instead of silently auditing a partial file
+    * (ADVICE r9).
+    */
+  val BenchSlack = 8
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.001"
@@ -132,17 +156,39 @@ object PlanAudit {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val times = benchTimes(benchPath)
-    val rows = graft.SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val sh = shapeOf(fn(spark, sfDir).queryExecution.executedPlan)
+    val static = graft.SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      name -> shapeOf(fn(spark, sfDir).queryExecution.executedPlan)
+    }
+    // AQE-ON audit pass (VERDICT r9 #2): production (and the driver
+    // bench) runs adaptive — skew-join splits, partition coalescing and
+    // runtime BHJ promotions can change the shapes the static audit
+    // certifies. EXECUTE each query (sf0.001, foreach sink — an action
+    // over full rows, so projections are not pruned) and walk the FINAL
+    // adaptively re-optimized plan. The `aqe Δjoins` column shows the
+    // runtime join mix; `skew` counts skew-split shuffle reads.
+    graft.pipeline.Chunker.clearCaches()
+    spark.catalog.clearCache()
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    val adaptive = graft.SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val df = fn(spark, sfDir)
+      try df.foreach(_ => ())
+      catch { case scala.util.control.NonFatal(e) =>
+        System.err.println(s"PLANAUDIT aqe-run fail $name: ${e.getMessage}") }
+      name -> shapeOf(df.queryExecution.executedPlan)
+    }.toMap
+    val rows = static.map { case (name, sh) =>
       val t = times.get(name).map(v => f"$v%.2f").getOrElse("—")
-      s"| $name | $t | ${sh.shuffles} | ${sh.bcasts} | ${sh.smj}/${sh.bhj}/${sh.shj}/${sh.bnlj} " +
-        s"| ${sh.wscg} | ${sh.scans} (${sh.pushed}) | ${sh.windows} | ${sh.aggs} |"
+      val a = adaptive(name)
+      val aqeJoins = if (a.joins == sh.joins) "=" else a.joins
+      s"| $name | $t | ${sh.shuffles} | ${sh.bcasts} | ${sh.joins} " +
+        s"| ${sh.wscg} | ${sh.scans} (${sh.pushed}) | ${sh.windows} | ${sh.aggs} " +
+        s"| ${a.shuffles} | $aqeJoins | ${a.skewReads} |"
     }
     graft.pipeline.Chunker.clearCaches()
     spark.stop()
     val header = Seq(
-      "| query | bench s | shuffles | bcasts | joins SMJ/BHJ/SHJ/BNLJ | codegen spans | scans (w/ pushdown) | windows | aggs |",
-      "|---|---|---|---|---|---|---|---|---|")
+      "| query | bench s | shuffles | bcasts | joins SMJ/BHJ/SHJ/BNLJ | codegen spans | scans (w/ pushdown) | windows | aggs | aqe shuffles | aqe joins | aqe skew splits |",
+      "|---|---|---|---|---|---|---|---|---|---|---|---|")
     // Provenance stamp (VERDICT r8 #6): which bench detail file the
     // `bench s` column came from, by mtime + sf + total — so a reader
     // can tell a local re-run from the official driver bench instead
@@ -163,11 +209,20 @@ object PlanAudit {
     val intro =
       s"""# PLANS — physical-plan shape audit over the full catalog
         |
-        |Generated by `sbt "runMain graft.tools.PlanAudit"` (plan
-        |INSPECTION only — no query runs; the STATIC plan with AQE off,
-        |so exchanges and codegen spans reflect the full pre-runtime
-        |shape, persisted lineages included). `bench s` is the
-        |query's seconds from $prov —
+        |Generated by `sbt "runMain graft.tools.PlanAudit"`. The first
+        |column group is the STATIC plan with AQE off (plan inspection
+        |only — exchanges and codegen spans reflect the full pre-runtime
+        |shape, persisted lineages included). The `aqe *` columns come
+        |from a second pass that EXECUTES each query at sf0.001 with
+        |adaptive execution ON and walks the FINAL re-optimized plan
+        |(VERDICT r9 #2): `aqe joins` is `=` when the runtime join mix
+        |matches the static one, else the adaptive SMJ/BHJ/SHJ/BNLJ mix
+        |(SMJ→BHJ promotions are AQE doing its job on fixture-sized
+        |shuffles; at sf0.1+ the static mix is the honest shape);
+        |`aqe skew splits` counts skew-split shuffle reads (0 expected —
+        |the fixture has no >256 MB skewed partition; SaltingSpec proves
+        |the AQE skew path equivalently on a thresholded fixture).
+        |`bench s` is the query's seconds from $prov —
         |a LOCAL run unless that file is byte-identical to the round's
         |`BENCH_r*.json`; this box drifts ±20% day to day, so compare
         |per-query ratios, not absolutes, across provenances.

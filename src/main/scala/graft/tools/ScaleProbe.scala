@@ -5,26 +5,62 @@ import java.util.concurrent.atomic.AtomicLong
 import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
 import org.apache.spark.sql.SparkSession
 
-/** Empirical scale probe (VERDICT r7 #5, widened r9 #2/#3): run the
-  * catalog's scale-critical headliners once at sf0.1 and once per
-  * [[ScaleGen]] N× corpus, and record measured wall-time ratios PLUS
-  * per-query shuffle-write and spill bytes in `SCALE.md` — turning the
-  * catalog's "linear by construction" claims (bucket caps, prefix
+/** Empirical scale probe (VERDICT r7 #5, widened r9 #2/#3, widened to
+  * the FULL catalog r10 #1): run catalog queries once at sf0.1 and once
+  * per [[ScaleGen]] N× corpus, and record measured wall-time ratios
+  * PLUS per-query shuffle-write and spill bytes in `SCALE.md` — turning
+  * the catalog's "linear by construction" claims (bucket caps, prefix
   * filters, sublinear centroid sets, fact-independent graph
   * iterations) into observed data points, and surfacing the failure
   * mode that precedes a wall-time blowup: the q151 defect filled the
   * disk with sort spill before it showed up in seconds.
+  *
+  * Coverage: factors ≤ [[FullSweepMaxFactor]] sweep EVERY catalog
+  * entry (the r9 verdict's top item — the operators most likely to
+  * hide a q151-style blowup are precisely the ones never probed);
+  * larger factors sweep the [[Headliners]]. Shared memoized builds
+  * ([[graft.SparkEntry.sharedBuilds]]) are materialized first under
+  * their own named timers, so per-query ratios measure the query, not
+  * whichever consumer ran first.
+  *
+  * Flag rule: a query is FLAGGED when its per-unit cost ratio
+  * (wall ratio ÷ input factor) exceeds [[PerUnitFlag]] AND its big-run
+  * wall exceeds [[FlagFloorSec]] (constant overheads dominate sub-
+  * second queries and would false-flag them; a sub-second query cannot
+  * hide a scale cliff that matters).
   *
   * Method mirrors `graft.Bench`: warmup pass at sf0.001, caches cleared
   * before every timed pass, noop-sink materialization, per-query MIN of
   * `passes` wall (min, not median — the probe asks "what does the plan
   * cost", and the occasional GC pause is noise the ratio must not
   * absorb) and per-query MAX of the telemetry counters (conservative
-  * for a spill flag).
+  * for a spill flag). Telemetry attribution waits for the listener bus
+  * to DRAIN after each query (ADVICE r9: a fixed 300 ms sleep let late
+  * stage-completed events bleed into the next query's counters).
   */
 object ScaleProbe {
 
-  /** (probe family, query) — families keep the tables readable. */
+  /** Factors up to this sweep the whole catalog; beyond it, the
+    * headliners (the 100× corpus exists only for docs-family tables at
+    * full fidelity and a full sweep there would spend most of its wall
+    * on queries whose inputs grow 100×; the 10× point is the gate).
+    */
+  val FullSweepMaxFactor = 10
+
+  /** Per-unit cost ratio (wall ratio ÷ input factor) above which a
+    * query is flagged as scaling super-linearly.
+    */
+  val PerUnitFlag = 1.5
+
+  /** Big-run wall (seconds) below which the flag is suppressed:
+    * constant plan/scheduling overheads (~0.1 s) dominate sub-second
+    * queries at BOTH scales and the ratio measures noise.
+    */
+  val FlagFloorSec = 1.0
+
+  /** (probe family, query) — the scale-critical headliners probed at
+    * every factor, families keep the tables readable.
+    */
   val Headliners: Seq[(String, String)] = Seq(
     "dedup/ANN" -> "q41_dedup_near",
     "dedup/ANN" -> "q151_prefix_join",
@@ -74,22 +110,51 @@ object ScaleProbe {
       math.max(diskSpill, o.diskSpill))
   }
 
+  private def usage(msg: String): Nothing = {
+    System.err.println(
+      s"""$msg
+         |usage: ScaleProbe [<baseDir>] [<outMd>] [<bigDir>:<factor> ...]
+         |  defaults: baseDir=/root/testdata/sf0.1 outMd=/root/repo/SCALE.md
+         |            bigs=/root/repo/scaleprobe/x10:10
+         |  (legacy 3-arg form `<baseDir> <bigDir> <factor>` still accepted;
+         |   a 2nd arg ending in .md is the output file, otherwise it is a
+         |   10x corpus dir)
+         |env: SPARK_GRAFT_SCALE_PASSES (default 2),
+         |     SPARK_GRAFT_SCALE_ONLY=q151,... (prefix filter),
+         |     SPARK_GRAFT_SCALE_FULL=0 (headliners only at every factor)""".stripMargin)
+    sys.exit(2)
+  }
+
+  /** `<dir>:<factor>` → pair, with a usage message instead of a raw
+    * StringIndexOutOfBounds on a missing colon (ADVICE r9).
+    */
+  private def parseBig(a: String): (String, Int) = {
+    val i = a.lastIndexOf(':')
+    if (i <= 0 || i == a.length - 1) usage(s"bad <bigDir>:<factor> arg: $a")
+    val f = a.substring(i + 1)
+    if (!f.forall(_.isDigit)) usage(s"non-numeric factor in arg: $a")
+    a.substring(0, i) -> f.toInt
+  }
+
   def main(args: Array[String]): Unit = {
-    // ScaleProbe <baseDir> <outMd> <bigDir>:<factor> [<bigDir>:<factor> ...]
-    // (legacy 3-arg form <baseDir> <bigDir> <factor> still accepted)
-    val (baseDir, outMd, bigs) =
-      if (args.length >= 3 && args(2).forall(_.isDigit))
-        (args(0), if (args.length > 3) args(3) else "/root/repo/SCALE.md",
-          Seq(args(1) -> args(2).toInt))
-      else if (args.length >= 3)
-        (args(0), args(1),
-          args.drop(2).toSeq.map { a =>
-            val i = a.lastIndexOf(':')
-            a.substring(0, i) -> a.substring(i + 1).toInt
-          })
-      else ("/root/testdata/sf0.1", "/root/repo/SCALE.md",
-        Seq("/root/repo/scaleprobe/x10" -> 10))
+    val DefaultBase = "/root/testdata/sf0.1"
+    val DefaultOut = "/root/repo/SCALE.md"
+    val DefaultBigs = Seq("/root/repo/scaleprobe/x10" -> 10)
+    // every arg count 0..n is handled explicitly (ADVICE r9: 1-/2-arg
+    // calls silently fell through to the built-in defaults)
+    val (baseDir, outMd, bigs) = args.toSeq match {
+      case Seq() => (DefaultBase, DefaultOut, DefaultBigs)
+      case Seq(b) => (b, DefaultOut, DefaultBigs)
+      case Seq(b, second) =>
+        if (second.endsWith(".md")) (b, second, DefaultBigs)
+        else (b, DefaultOut, Seq(second -> 10))
+      case Seq(b, big, f) if f.forall(_.isDigit) && f.nonEmpty => // legacy
+        (b, DefaultOut, Seq(big -> f.toInt))
+      case Seq(b, out, rest @ _*) => (b, out, rest.map(parseBig))
+    }
+    if (bigs.isEmpty) usage("no <bigDir>:<factor> given")
     val passes = sys.env.getOrElse("SPARK_GRAFT_SCALE_PASSES", "2").toInt
+    val fullSweep = sys.env.getOrElse("SPARK_GRAFT_SCALE_FULL", "1") != "0"
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -107,13 +172,37 @@ object ScaleProbe {
       graft.pipeline.Chunker.clearCaches()
       spark.catalog.clearCache()
     }
+    // deterministic telemetry cut-off: drain the async listener bus
+    // before reading counters (late events mis-attributed ~query-sized
+    // byte counts under the old fixed sleep)
+    def drainBus(): Unit =
+      try org.apache.spark.graft.ListenerBusHook
+        .waitUntilListenerBusEmpty(spark.sparkContext, 30000L)
+      catch { case _: java.util.concurrent.TimeoutException =>
+        System.err.println("SCALEPROBE WARN listener bus drain timed out") }
 
     val only = sys.env.get("SPARK_GRAFT_SCALE_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
-    val names = Headliners.map(_._2)
-      .filter(n => only.forall(_.exists(n.startsWith)))
+    def keep(n: String) = only.forall(_.exists(n.startsWith))
+    val headNames = Headliners.map(_._2).filter(keep)
+    val allNames = graft.SparkEntry.queries.keys.toSeq.sorted.filter(keep)
+    val shared: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)] =
+      if (only.nonEmpty) Seq.empty // filtered dev runs time queries standalone
+      else graft.SparkEntry.sharedBuilds
+    val needFull = fullSweep && bigs.exists(_._2 <= FullSweepMaxFactor)
+    val warmNames = if (needFull) allNames else headNames
 
-    names.foreach(n =>
+    // entries for one measured sweep: shared builds first (their own
+    // rows — attribution), then the query set for this factor
+    def entriesFor(factor: Int): Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)] = {
+      val names = if (fullSweep && factor <= FullSweepMaxFactor) allNames else headNames
+      shared ++ names.map(n => n -> graft.SparkEntry.queries(n))
+    }
+
+    shared.foreach { case (_, fn) =>
+      try materialize(fn(spark, "/root/testdata/sf0.001"))
+      catch { case scala.util.control.NonFatal(_) => () } }
+    warmNames.foreach(n =>
       try materialize(graft.SparkEntry.queries(n)(spark, "/root/testdata/sf0.001"))
       catch { case scala.util.control.NonFatal(_) => () })
 
@@ -130,11 +219,11 @@ object ScaleProbe {
         clearAll()
         spark.conf.set("spark.sql.shuffle.partitions",
           (32 * math.max(1, math.ceil(factor / 10.0).toInt)).toString)
-        names.map { n =>
+        entriesFor(factor).map { case (n, fn) =>
           tele.reset()
           val t0 = System.nanoTime()
           val sec = try {
-            materialize(graft.SparkEntry.queries(n)(spark, dir))
+            materialize(fn(spark, dir))
             (System.nanoTime() - t0) / 1e9
           } catch {
             case scala.util.control.NonFatal(e) =>
@@ -142,9 +231,7 @@ object ScaleProbe {
                 String.valueOf(e.getMessage).take(200))
               Double.NaN
           }
-          // the listener bus is async; give stage-completed events a
-          // beat to drain before reading the counters (tool-grade)
-          Thread.sleep(300)
+          drainBus()
           val m = Measure(sec, tele.shuffleWrite.get, tele.memSpill.get,
             tele.diskSpill.get)
           System.err.println(f"SCALEPROBE $dir pass $p $n ${m.sec}%.2f s " +
@@ -158,26 +245,62 @@ object ScaleProbe {
     val bigByFactor = bigs.map { case (dir, f) => (f, time(dir, f)) }
     spark.stop()
 
+    val moduleOf = graft.SparkEntry.moduleOf
+    val headFam = Headliners.map(_.swap).toMap // query -> probe family
+    def familyOf(n: String): String =
+      if (n.startsWith("shared:")) "shared"
+      else if (graft.Bench.SideEffectQueries(n)) "side-effect"
+      else headFam.getOrElse(n, moduleOf.getOrElse(n, "?"))
+
     def mb(v: Long): String = f"${v / 1e6}%.0f"
+    final case class Row(name: String, fam: String, baseSec: Double,
+                         bigSec: Double, factor: Int,
+                         shufW: Long, memSp: Long, diskSp: Long) {
+      def ratio: Double = bigSec / baseSec
+      def perUnit: Double = ratio / factor
+      def failed: Boolean = baseSec.isNaN || bigSec.isNaN
+      def flagged: Boolean =
+        failed || (perUnit > PerUnitFlag && bigSec > FlagFloorSec)
+    }
+    def rowsFor(factor: Int, big: Map[String, Measure]): Seq[Row] =
+      entriesFor(factor).map(_._1).flatMap { n =>
+        (base.get(n), big.get(n)) match {
+          case (Some(b), Some(g)) => Some(Row(n, familyOf(n), b.sec, g.sec,
+            factor, g.shuffleWrite, g.memSpill, g.diskSpill))
+          case _ => None
+        }
+      }
     // markdown tables are composed OUTSIDE the stripMargin templates:
     // rows begin with '|', which stripMargin would eat as a margin
     // marker (it mangled the first two generated tables)
-    def tableFor(factor: Int, big: Map[String, Measure]): String = {
-      val rows = Headliners.filter(h => names.contains(h._2)).map {
-        case (fam, n) =>
-          val b = base(n); val g = big(n)
-          f"| $n | $fam | ${b.sec}%.2f | ${g.sec}%.2f | ${g.sec / b.sec}%.1f× " +
-            f"| ${mb(g.shuffleWrite)} | ${mb(g.memSpill)} / ${mb(g.diskSpill)} |"
+    def tableOf(rows: Seq[Row]): String = {
+      val f = rows.head.factor
+      val body = rows.map { r =>
+        val flag = if (r.failed) "FAIL" else if (r.flagged) "⚠" else ""
+        f"| ${r.name} | ${r.fam} | ${r.baseSec}%.2f | ${r.bigSec}%.2f " +
+          f"| ${r.ratio}%.1f× | ${r.perUnit}%.2f | ${mb(r.shufW)} " +
+          f"| ${mb(r.memSp)} / ${mb(r.diskSp)} | $flag |"
       }
       (Seq(
-        s"| query | family | sf0.1 (s) | ${factor}× (s) | ratio | ${factor}× shuffle write (MB) | ${factor}× spill mem/disk (MB) |",
-        "|---|---|---|---|---|---|---|") ++ rows).mkString("\n")
+        s"| query | family | sf0.1 (s) | ${f}× (s) | ratio | per-unit | ${f}× shuffle write (MB) | ${f}× spill mem/disk (MB) | flag |",
+        "|---|---|---|---|---|---|---|---|---|") ++ body).mkString("\n")
     }
-    val spillTotal = bigByFactor.map { case (_, big) =>
-      big.values.map(m => m.memSpill + m.diskSpill).sum }.sum
+
+    val allRows = bigByFactor.map { case (f, big) => (f, rowsFor(f, big)) }
+    val flagged = allRows.flatMap { case (f, rows) =>
+      rows.filter(_.flagged).map(r => s"${r.name}@${f}×") }
+    val spillTotal = allRows.flatMap(_._2).map(r => r.memSp + r.diskSp).sum
     val factors = bigs.map(_._2).mkString("×, ") + "×"
+    val flagLine =
+      if (flagged.isEmpty)
+        s"**Flag gate: 0 of ${allRows.map(_._2.size).sum} measured rows " +
+          s"flagged** (per-unit cost ratio > $PerUnitFlag with big-run " +
+          s"wall > $FlagFloorSec s, or a failed run)."
+      else
+        s"**Flag gate: ${flagged.size} flagged — ${flagged.mkString(", ")}** " +
+          "(per-unit cost ratio = wall ratio ÷ input factor; investigate before scale-up)."
     val md =
-      s"""# SCALE — measured scaling of the dedup/ANN, graph, text and events headliners
+      s"""# SCALE — measured scaling of the FULL catalog (10×) and the scale headliners ($factors)
          |
          |`graft.tools.ScaleGen` synthesizes $factors replicas of the
          |sf0.1 corpus — documents+embeddings (deterministic replicas
@@ -187,27 +310,38 @@ object ScaleProbe {
          |facts + events (`generateFacts`: dimensions copied, orders/
          |lineitem replicated with orderkey offsets, events replicated
          |with fresh user ids over the same period) — and
-         |`graft.tools.ScaleProbe` times each headliner on every corpus
-         |(min of $passes cache-cleared passes, noop sink, local[32],
-         |JVM heap ${Runtime.getRuntime.maxMemory / (1L << 30)} GiB,
-         |shuffle partitions scaled 32-per-10× — both halves of the
-         |production sizing rule: a task's slice must fit executor
-         |memory at the target SF, and executor memory scales with the
-         |data; at 100× the sf0.1 corpus the default 8 GiB fixture heap
-         |spills ~GBs in the aggregate-heavy operators while wall time
-         |STAYS sub-linear — graceful degradation — and a data-sized
-         |heap clears it), recording per-query SHUFFLE-WRITE and SPILL
-         |bytes from the stage-completed task metrics (max across
-         |passes). Reproduce:
+         |`graft.tools.ScaleProbe` times the catalog on every corpus:
+         |EVERY catalog entry at factors ≤ $FullSweepMaxFactor (round 10:
+         |the full-catalog scale gate — 179 plan queries previously had
+         |no measured scale point), the headliners beyond that (min of
+         |$passes cache-cleared passes, noop sink, local[32], JVM heap
+         |${Runtime.getRuntime.maxMemory / (1L << 30)} GiB, shuffle
+         |partitions scaled 32-per-10× — both halves of the production
+         |sizing rule: a task's slice must fit executor memory at the
+         |target SF, and executor memory scales with the data; at 100×
+         |the sf0.1 corpus the default 8 GiB fixture heap spills ~GBs in
+         |the aggregate-heavy operators while wall time STAYS sub-linear
+         |— graceful degradation — and a data-sized heap clears it).
+         |Shared memoized builds (`SparkEntry.sharedBuilds`) are
+         |materialized first under their own `shared:` rows, so per-query
+         |ratios measure the query, not whichever consumer ran first.
+         |Per-query SHUFFLE-WRITE and SPILL bytes come from the
+         |stage-completed task metrics (max across passes), attributed
+         |after a deterministic listener-bus drain. Reproduce:
          |
          |```
          |sbt "runMain graft.tools.ScaleGen /root/testdata/sf0.1 /root/repo/scaleprobe/x10 10"
          |SPARK_DRIVER_MEM=32g sbt "runMain graft.tools.ScaleProbe /root/testdata/sf0.1 /root/repo/SCALE.md /root/repo/scaleprobe/x10:10 /root/repo/scaleprobe/x30:30 /root/repo/scaleprobe/x100:100"
          |```
          |
+         |$flagLine
+         |
          |""".stripMargin +
-        bigByFactor.map { case (f, big) =>
-          s"## ${f}× corpus\n\n" + tableFor(f, big) }.mkString("\n\n") +
+        allRows.map { case (f, rows) =>
+          val title = if (fullSweep && f <= FullSweepMaxFactor)
+            s"## ${f}× corpus — full catalog (${rows.size} rows)"
+          else s"## ${f}× corpus — headliners"
+          title + "\n\n" + tableOf(rows) }.mkString("\n\n") +
       s"""
          |
          |A wall ratio ≲ the input growth (plus constant overheads at
@@ -220,32 +354,42 @@ object ScaleProbe {
          |shape is edge-build-linear with iteration cost flat, so
          |ratios well BELOW the input growth. The TEXT family (dup
          |spans, bigram NLL, inverted index) is explode+aggregate
-         |shaped — at-or-below linear. SPILL is the early-warning
-         |column: the r8 q151 defect filled the disk with sort spill
-         |before it showed in wall time; total spill observed this run
-         |across every headliner × factor: ${mb(spillTotal)} MB.
+         |shaped — at-or-below linear. Queries reading only the copied
+         |dimension tables have ratio ≈ 1 (their input does not grow).
+         |SPILL is the early-warning column: the r8 q151 defect filled
+         |the disk with sort spill before it showed in wall time; total
+         |spill observed this run across every row × factor:
+         |${mb(spillTotal)} MB.
          |
-         |## What the first probe run caught (round 8)
+         |## What the probe has caught so far
          |
-         |The probe is not a formality — its first run found a real
-         |scale defect. q151's verify stage joined every candidate pair
-         |back to both docs' exploded shingle ROWS (|cands| × |shingles|
-         |≈ 1B rows at 10×) and filled the disk with sort spill; and the
-         |first 10× generator kept the source's tiny CLOSED vocabulary,
-         |which saturates the 3-gram shingle space (every shingle's df
-         |grows with corpus size → 132× candidate growth at 10× input —
-         |the documented worst case for exact similarity joins). Fixes,
-         |both measured above: (a) q151 now prunes candidates with the
-         |full AllPairs/PPJoin bundle inside the pair aggregation and
-         |verifies via array_intersect over per-doc shingle arrays (one
-         |row per candidate): 260 s → ~15 s at 10×, and ~1.8× faster at
-         |sf0.1, bit-identical oracle; (b) ScaleGen replicas mint fresh
-         |word types at ~30% of positions (open-vocabulary growth, as
-         |real crawls exhibit), so shingle df distributions stay
-         |corpus-size-independent, as they are in natural text.
+         |The probe is not a formality — every widening found a real
+         |defect. Round 8 (first run): q151's verify stage joined every
+         |candidate pair back to both docs' exploded shingle ROWS
+         |(|cands| × |shingles| ≈ 1B rows at 10×) and filled the disk
+         |with sort spill; and the first 10× generator kept the source's
+         |tiny CLOSED vocabulary, which saturates the 3-gram shingle
+         |space (every shingle's df grows with corpus size → 132×
+         |candidate growth at 10× input — the documented worst case for
+         |exact similarity joins). Fixes, both measured above: (a) q151
+         |now prunes candidates with the full AllPairs/PPJoin bundle
+         |inside the pair aggregation and verifies via array_intersect
+         |over per-doc shingle arrays (one row per candidate): 260 s →
+         |~15 s at 10×, and ~1.8× faster at sf0.1, bit-identical oracle;
+         |(b) ScaleGen replicas mint fresh word types at ~30% of
+         |positions (open-vocabulary growth, as real crawls exhibit), so
+         |shingle df distributions stay corpus-size-independent, as they
+         |are in natural text. Round 9 (spill telemetry + 30×/100×):
+         |caught q151's 30× sort spill (fixed by scaling shuffle
+         |partitions with the corpus) and q188 re-deriving the certified
+         |pair table per query (fixed by sharing `corpusPrefixJoin`).
          |""".stripMargin
     java.nio.file.Files.write(java.nio.file.Paths.get(outMd),
       md.getBytes("UTF-8"))
     println(md)
+    if (flagged.nonEmpty) {
+      System.err.println(s"SCALEPROBE FLAGGED: ${flagged.mkString(", ")}")
+      sys.exit(1)
+    }
   }
 }
