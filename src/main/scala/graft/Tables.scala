@@ -11,8 +11,24 @@ import org.apache.spark.sql.functions._
   * partition pruning when the path is a partitioned layout).
   */
 object Tables {
-  def table(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  /** TEST-ONLY fault-injection hook (RetryDeterminismSpec): when set,
+    * every table load is wrapped by this transform. The spec installs
+    * an identity `mapPartitions` that throws on the FIRST attempt of a
+    * deterministic subset of partitions, forcing Spark's task-retry
+    * path through every scan-rooted stage (in a pipelined plan the
+    * scan task IS the shuffle map task), then asserts the catalog
+    * output is byte-identical to a clean run — the cluster reality
+    * (speculative execution, preemption, lost executors) that
+    * local[n] with maxFailures=1 never exercises. Production code
+    * never sets it; `null`-free Option keeps the hot path a single
+    * volatile read.
+    */
+  @volatile private[graft] var chaos: Option[DataFrame => DataFrame] = None
+
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    chaos match { case Some(f) => f(df); case None => df }
+  }
 
   def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = table(s, d, "nation")

@@ -1044,34 +1044,7 @@ object TextAnalytics {
     // global window), and the fuse is a full outer join of two N-row
     // lists + one rounded double add. All ranks travel as BIGINT; the
     // 1/(c+rank) divisions are single IEEE ops, identical cross-engine.
-    "q161_rrf_fusion" -> ((s, d) => {
-      val probe = embeddings(s, d).filter(col("label") === 0)
-        .orderBy(col("vec_id")).limit(1)
-        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-      val sparse = queries("q114_bm25")(s, d)
-        .crossJoin(broadcast(probe.select(col("q_id"))))
-        .withColumn("sparse_rn", row_number().over(
-          Window.partitionBy(col("q_id"))
-            .orderBy(col("bm25").desc, col("doc_id"))).cast("long"))
-        .filter(col("sparse_rn") <= RrfN)
-        .select(col("q_id"), col("doc_id"), col("sparse_rn"))
-      val e = embeddings(s, d)
-      val dense = e.crossJoin(broadcast(probe))
-        .filter(col("vec_id") =!= col("q_id"))
-        .select(col("q_id"), col("vec_id").as("doc_id"),
-          Similarity.cosine(col("q_emb"), col("embedding")).as("cosine"))
-        .withColumn("dense_rn", row_number().over(
-          Window.partitionBy(col("q_id"))
-            .orderBy(col("cosine").desc, col("doc_id"))).cast("long"))
-        .filter(col("dense_rn") <= RrfN)
-        .select(col("q_id"), col("doc_id"), col("dense_rn"))
-      sparse.join(dense, Seq("q_id", "doc_id"), "full")
-        .select(col("q_id"), col("doc_id"), col("sparse_rn"), col("dense_rn"),
-          round(
-            coalesce(lit(1.0) / (lit(RrfC) + col("sparse_rn")), lit(0.0)) +
-            coalesce(lit(1.0) / (lit(RrfC) + col("dense_rn")), lit(0.0)),
-            6).as("rrf_score"))
-    }),
+    "q161_rrf_fusion" -> ((s, d) => rrfFuseWith(s, d, rrfDenseExact(s, d))),
 
     // Bigram-LM negative log-likelihood — the sequential-structure
     // quality signal q98's unigram surprisal cannot see (a bag of
@@ -1205,6 +1178,63 @@ object TextAnalytics {
       bpeInduce(s, documents(s, d), BpeMergeSteps))
   )
 
+  /** q161 probe: the single fixed dense/sparse query — the lowest-id
+    * label-0 vector (1 row, broadcastable by construction).
+    */
+  def rrfProbe(s: SparkSession, d: String): DataFrame =
+    embeddings(s, d).filter(col("label") === 0)
+      .orderBy(col("vec_id")).limit(1)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+
+  /** q161's EXACT dense arm: brute-force cosine of the probe against
+    * the whole corpus, top [[RrfN]] — oracle-exact, O(N·Q).
+    */
+  def rrfDenseExact(s: SparkSession, d: String): DataFrame =
+    embeddings(s, d).crossJoin(broadcast(rrfProbe(s, d)))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("doc_id"),
+        Similarity.cosine(col("q_emb"), col("embedding")).as("cosine"))
+      .withColumn("dense_rn", row_number().over(
+        Window.partitionBy(col("q_id"))
+          .orderBy(col("cosine").desc, col("doc_id"))).cast("long"))
+      .filter(col("dense_rn") <= RrfN)
+      .select(col("q_id"), col("doc_id"), col("dense_rn"))
+
+  /** q161's dense arm served by the q52 multi-probe LSH index instead
+    * of the exact O(N·Q) scan — the 100-TB substitution; candidates
+    * confined to the probed buckets, same output contract as
+    * [[rrfDenseExact]]. AnnRetrievalSubstitutionSpec measures the
+    * fusion-quality delta (nDCG\@10, agreement\@k) this trade costs.
+    */
+  def rrfDenseAnn(s: SparkSession, d: String, bits: Int): DataFrame =
+    Similarity.annMultiprobe(embeddings(s, d), bits, RrfN)
+      .join(rrfProbe(s, d).select(col("q_id")), Seq("q_id"))
+      .select(col("q_id"), col("neighbor_id").as("doc_id"),
+        col("rn").cast("long").as("dense_rn"))
+
+  /** q161 body with a PLUGGABLE dense arm (`dense` must be
+    * (q_id, doc_id, dense_rn ≤ [[RrfN]])): the catalog entry passes
+    * [[rrfDenseExact]] to stay oracle-exact; the substitution spec
+    * passes [[rrfDenseAnn]]. Split out per VERDICT r9 #6 so the
+    * retrieval arms carry the same measured-ANN-substitution evidence
+    * as q168's mining.
+    */
+  def rrfFuseWith(s: SparkSession, d: String, dense: DataFrame): DataFrame = {
+    val sparse = queries("q114_bm25")(s, d)
+      .crossJoin(broadcast(rrfProbe(s, d).select(col("q_id"))))
+      .withColumn("sparse_rn", row_number().over(
+        Window.partitionBy(col("q_id"))
+          .orderBy(col("bm25").desc, col("doc_id"))).cast("long"))
+      .filter(col("sparse_rn") <= RrfN)
+      .select(col("q_id"), col("doc_id"), col("sparse_rn"))
+    sparse.join(dense, Seq("q_id", "doc_id"), "full")
+      .select(col("q_id"), col("doc_id"), col("sparse_rn"), col("dense_rn"),
+        round(
+          coalesce(lit(1.0) / (lit(RrfC) + col("sparse_rn")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(RrfC) + col("dense_rn")), lit(0.0)),
+          6).as("rrf_score"))
+  }
+
   /** q182 body — `steps` BPE merge inductions over the corpus's
     * lowercase word vocabulary (word-level, `</w>` end marker). Split
     * out so BpeEndToEndSpec can train a DEEPER table than the
@@ -1212,7 +1242,9 @@ object TextAnalytics {
     * cl100k counter.
     */
   def bpeInduce(s: SparkSession, docs: DataFrame, steps: Int,
-                truncateEvery: Int = 0): DataFrame = {
+                truncateEvery: Int = 0,
+                onStep: (Int, Long) => Unit = (_, _) => (),
+                onDone: DataFrame => Unit = _ => ()): DataFrame = {
       import s.implicits._
       val vocab = docs
         .select(explode(TextOps.wordsOf(col("text"))).as("word"))
@@ -1229,6 +1261,7 @@ object TextAnalytics {
       val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
       var exhausted = false
       for (step <- 1 to steps if !exhausted) {
+        val stepT0 = System.nanoTime()
         val syms = split(col("repr"), " ")
         // fully-merged words (one surviving symbol) contribute no
         // pairs — without the guard, a deep induction run walks
@@ -1250,16 +1283,20 @@ object TextAnalytics {
             val merged = bestPair.replace("| |", "")
             val stepped = cur.select(col("n"),
               expr(s"replace(repr, '$bestPair', '$merged')").as("repr"))
-            // deep inductions (BpeEndToEndSpec trains 40 steps) carry
+            // deep inductions (BpeEndToEndSpec trains 1,000 steps) carry
             // `steps` nested replace() expressions: Catalyst re-analyzes
             // and string-renders the WHOLE tree per step, which goes
             // quadratic. localCheckpoint resets the logical lineage to
-            // the materialized rows every few steps; the 6-step catalog
-            // entry keeps its pure-plan shape (truncateEvery = 0).
+            // the materialized rows every few steps; between checkpoints
+            // the un-persisted tail recomputes at most truncateEvery-1
+            // narrow replace() projections over the |vocab|-row table —
+            // cheaper than pinning ~steps cached tables. The 6-step
+            // catalog entry keeps its pure-plan shape (truncateEvery=0).
             val next =
-              if (truncateEvery > 0 && step % truncateEvery == 0)
-                stepped.localCheckpoint(true)
-              else {
+              if (truncateEvery > 0) {
+                if (step % truncateEvery == 0) stepped.localCheckpoint(true)
+                else stepped
+              } else {
                 val p = stepped.persist(
                   org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
                 graft.pipeline.Chunker.registerForCleanup(p)
@@ -1267,7 +1304,13 @@ object TextAnalytics {
               }
             cur = next
         }
+        onStep(step, System.nanoTime() - stepT0) // per-step wall, for the
+        // linearity assertion in BpeEndToEndSpec (a deep induction whose
+        // lineage is NOT truncated goes quadratic in Catalyst re-analysis)
       }
+      onDone(cur) // final (n, repr) vocabulary state — BpeEndToEndSpec
+      // replays the whole merge list sequentially on the driver and
+      // asserts symbol-exact equality with this trained state
       merges.toSeq.toDF("step", "lhs", "rhs", "pair_n")
   }
 

@@ -171,7 +171,12 @@ object PlanAudit {
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     val adaptive = graft.SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val df = fn(spark, sfDir)
-      try df.foreach(_ => ())
+      // collect(), NOT foreach()/noop-write: those run a SEPARATE
+      // QueryExecution (rddQueryExecution / the writer's), leaving THIS
+      // df's AdaptiveSparkPlanExec un-finalized (isFinalPlan=false) and
+      // the audit reading the pre-runtime plan. sf0.001 results are
+      // fixture-sized, so the driver-side collect is bounded.
+      try { df.collect(); () }
       catch { case scala.util.control.NonFatal(e) =>
         System.err.println(s"PLANAUDIT aqe-run fail $name: ${e.getMessage}") }
       name -> shapeOf(df.queryExecution.executedPlan)

@@ -26,6 +26,14 @@ import org.apache.spark.sql.functions._
   * The state-store provider is pinned to RocksDB for ALL workloads
   * (transformWithState requires it; using it everywhere makes the
   * memory/footprint numbers comparable and production-shaped).
+  *
+  * Round 10 adds KEY-CARDINALITY arms (VERDICT r9 #7): the base run
+  * scales rows with ~fixed keys; the `*_keys_x10` arms re-key the same
+  * rows onto 10× the users (state rows must grow ~10× at flat
+  * throughput — state scales with keys, not rows) and the
+  * `*_keys_skewed` arms drop ~90% of rows onto one hot user (the run
+  * completing at the same order of rows/s proves a hot key cannot
+  * stall a micro-batch).
   */
 object StreamBench {
 
@@ -82,11 +90,30 @@ object StreamBench {
     val srcDir = java.nio.file.Files.createTempDirectory("graft-sbench-src")
     (1 to nBatches).foreach(i =>
       stageBatch(srcDir, ev.filter(col("slice") === i).drop("slice"), i - 1))
+    // KEY-CARDINALITY arms (VERDICT r9 #7): same rows, different key
+    // structure — the state stores must scale with KEYS, not rows, and
+    // a hot key must not stall a micro-batch.
+    //  - keys ×10: user_id fanned out 10-ways by event_id, so the
+    //    per-user state population grows ~10× at identical row count;
+    //  - skewed: ~90% of rows land on ONE hot user (the remainder keep
+    //    their key), so one task owns a corpus-sized key group.
+    val keys10Dir = java.nio.file.Files.createTempDirectory("graft-sbench-k10")
+    val skewDir = java.nio.file.Files.createTempDirectory("graft-sbench-skew")
+    val evK10 = ev.withColumn("user_id",
+      col("user_id") * 10 + pmod(col("event_id"), lit(10)))
+    val evSkew = ev.withColumn("user_id",
+      when(pmod(col("event_id"), lit(10)) === 0, col("user_id"))
+        .otherwise(lit(0L)))
+    (1 to nBatches).foreach { i =>
+      stageBatch(keys10Dir, evK10.filter(col("slice") === i).drop("slice"), i - 1)
+      stageBatch(skewDir, evSkew.filter(col("slice") === i).drop("slice"), i - 1)
+    }
     val schema = spark.read.parquet(s"$srcDir/batch-00000.parquet").schema
 
-    def src(): DataFrame = graft.Tables.normalizeTs(
+    def srcFrom(dir: java.nio.file.Path): DataFrame = graft.Tables.normalizeTs(
       spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1).parquet(srcDir.toString))
+        .option("maxFilesPerTrigger", 1).parquet(dir.toString))
+    def src(): DataFrame = srcFrom(srcDir)
 
     var counter = 0
     def measure(name: String, plan: DataFrame): Run = {
@@ -130,9 +157,30 @@ object StreamBench {
           unix_micros(col("ts")).as("ts_us"))
           .as[graft.streaming.KeyedEvent]).toDF()),
       measure("interval_join_outer_q196",
-        graft.streaming.StreamingJobs.attributionJoinOuter(src(), src())))
+        graft.streaming.StreamingJobs.attributionJoinOuter(src(), src())),
+      // keys-scaling arms on the transformWithState running stats (the
+      // per-key-state flagship): state_rows_last must track the KEY
+      // count (~10x base for keys_x10, ~collapsed for keys_skewed)
+      // while rows/s stays the same order — and the skewed arm's
+      // completion at full input proves a hot key cannot stall a
+      // micro-batch (per-key state work is O(batch rows of that key),
+      // not O(accumulated state)).
+      measure("running_keys_x10",
+        graft.streaming.StatefulRunning.runningStats(srcFrom(keys10Dir)).toDF()),
+      measure("running_keys_skewed",
+        graft.streaming.StatefulRunning.runningStats(srcFrom(skewDir)).toDF()),
+      measure("debounce_keys_x10", graft.streaming.StatefulDebounce.debounce(
+        srcFrom(keys10Dir).select(col("user_id"), col("event_type"),
+          col("event_id"), unix_micros(col("ts")).as("ts_us"))
+          .as[graft.streaming.KeyedEvent]).toDF()),
+      measure("debounce_keys_skewed", graft.streaming.StatefulDebounce.debounce(
+        srcFrom(skewDir).select(col("user_id"), col("event_type"),
+          col("event_id"), unix_micros(col("ts")).as("ts_us"))
+          .as[graft.streaming.KeyedEvent]).toDF()))
 
     deleteRecursively(srcDir)
+    deleteRecursively(keys10Dir)
+    deleteRecursively(skewDir)
     spark.stop()
 
     def jnum(v: Double): String =

@@ -6,10 +6,15 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.expressions.TokenCount
 import graft.pipeline._
 
-/** Shared session for all suites (one JVM-wide session; local[4]). */
+/** Shared session for all suites (one JVM-wide session; local[4]).
+  * maxFailures=2 (the `local[4, 2]` form) so RetryDeterminismSpec's
+  * injected first-attempt task failures go through Spark's real retry
+  * path instead of aborting the stage; a no-op for every other suite
+  * (tasks that don't fail never retry).
+  */
 object TestSpark {
   lazy val spark: SparkSession = SparkSession.builder()
-    .master("local[4]")
+    .master("local[4, 2]")
     .appName("graft-test")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
