@@ -149,6 +149,38 @@ object Similarity {
     topK(scored, k)
   }
 
+  /** q200 query-set size — a production serving/eval benchmark is a
+    * FIXED request batch, not a corpus fraction.
+    */
+  val FixedQCount = 64
+
+  /** q200 — the serving-shaped exact top-k: the same O(N·Q) brute
+    * scan as [[bruteTopK]] but over a FIXED, benchmark-sized query set
+    * (the [[FixedQCount]] lowest-vec_id label-0 vectors, a
+    * deterministic TakeOrdered of Q rows — never data-sized). This is
+    * the arm that makes the ScaleProbe `ExactBaselines` exemption a
+    * MEASURED claim instead of an argued one: q38/q170/q197 scale
+    * ~quadratically on the fixture ONLY because their query set is the
+    * label-0 slice (a constant fraction of the corpus, so Q grows with
+    * N); pin Q and the scan side is linear in N — the probe measures
+    * exactly that at 10×.
+    */
+  def bruteTopKFixedQ(emb: DataFrame, k: Int, nQ: Int): DataFrame = {
+    val e = emb
+      .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
+    val q = emb.filter(col("label") === 0)
+      .select(col("vec_id"), col("embedding"))
+      .orderBy(col("vec_id")).limit(nQ)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        norm(col("embedding")).as("q_nrm"))
+    val scored = e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("neighbor_id"),
+        cosinePre(col("q_emb"), col("embedding"),
+          col("q_nrm"), col("nrm")).as("cosine"))
+    topK(scored, k)
+  }
+
   /** Bucketed ANN: signature computed map-side, candidates = same-bucket
     * rows only (~N/2^bits per query instead of N), exact cosine re-rank
     * inside the bucket. Never all-pairs: the join is an equi-join on the
@@ -353,6 +385,8 @@ object Similarity {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q38_cosine_topk" -> ((s, d) => bruteTopK(embeddings(s, d), 5)),
+    "q200_topk_fixed_queries" ->
+      ((s, d) => bruteTopKFixedQ(embeddings(s, d), 5, FixedQCount)),
     "q39_ann_buckets" -> ((s, d) => annBuckets(embeddings(s, d), Q39Bits, 3)),
     "q52_ann_multiprobe" -> ((s, d) => annMultiprobe(embeddings(s, d), Q52Bits, 3)),
     "q62_ann_ivf" -> ((s, d) => annIvf(embeddings(s, d), 2, 3)),
@@ -897,6 +931,20 @@ object Similarity {
 
   private lazy val q38OracleSql: String = bruteTopKOracleSql(5)
 
+  /** q200 mirror — identical scoring arms to q38, query set pinned to
+    * the [[FixedQCount]] lowest vec_ids (deterministic: vec_id unique).
+    */
+  private lazy val q200OracleSql: String =
+    s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb
+       |           FROM embeddings WHERE label = 0
+       |           ORDER BY vec_id LIMIT $FixedQCount),
+       |scored AS (
+       |  SELECT q.q_id, e.vec_id AS neighbor_id,
+       |         ${cosineSql("q.q_emb", "e.embedding")} AS cosine
+       |  FROM embeddings e CROSS JOIN q
+       |  WHERE e.vec_id <> q.q_id)
+       |${topKSql("scored", 5)}""".stripMargin
+
   private def multiprobeOracleSql(k: Int): String =
     s"""WITH sigs AS (
        |  SELECT vec_id, embedding, label,
@@ -917,6 +965,7 @@ object Similarity {
 
   val oracles: Map[String, String] = Map(
     "q38_cosine_topk" -> q38OracleSql,
+    "q200_topk_fixed_queries" -> q200OracleSql,
 
     "q39_ann_buckets" ->
       s"""WITH sigs AS (

@@ -186,6 +186,30 @@ class SimilaritySpec extends AnyFunSuite with CacheCleanup {
       .count() > 0)
   }
 
+  test("q200 fixed-Q serving arm equals q38 restricted to its query slice") {
+    // the fixed-Q arm must be the SAME exact computation as the full
+    // brute baseline, just over a pinned benchmark-sized query set —
+    // so q38's rows for the FixedQCount lowest label-0 vec_ids are
+    // exactly q200's rows (same neighbors, same ranks, same cosines)
+    val d = TestSpark.sf0001
+    val emb = graft.Tables.embeddings(spark, d)
+    val qIds = emb.filter(col("label") === 0)
+      .select(col("vec_id")).orderBy(col("vec_id"))
+      .limit(Similarity.FixedQCount)
+      .collect().map(_.getLong(0)).toSet
+    assert(qIds.nonEmpty && qIds.size <= Similarity.FixedQCount)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.filter(col("q_id").isInCollection(qIds))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+        .toSet
+    val full = rows(Similarity.bruteTopK(emb, 5))
+    val fixed = rows(
+      Similarity.bruteTopKFixedQ(emb, 5, Similarity.FixedQCount))
+    assert(fixed == full,
+      "fixed-Q arm diverged from the full baseline on its own slice")
+  }
+
   test("q165 JL projection is bit-equal to a sequential recompute") {
     val d = TestSpark.sf0001
     def r6(x: Double) = BigDecimal(java.math.BigDecimal.valueOf(x))
