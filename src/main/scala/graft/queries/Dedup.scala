@@ -988,6 +988,95 @@ object Dedup {
           round(abs(col("est_raw") - col("exact_raw")), 6).as("est_err"))
     }),
 
+    // CROSS-document line removal — the other half of the C4 cleaning
+    // recipe (Raffel et al. 2020 §2.2: "we discarded any line that
+    // occurred more than twice in the data set"): a line whose
+    // corpus-wide OCCURRENCE count (not distinct-doc count) reaches
+    // [[C4LineMinOcc]] is boilerplate (nav bars, cookie banners,
+    // licence footers) and is dropped from EVERY document. Lines are
+    // the q128 synthesized 6-word windows (the fixture has no
+    // newlines), and a constant boilerplate line is PLANTED at
+    // position 0 of every doc — mirrored in the oracle — so the
+    // operator provably removes on every doc while natural word-soup
+    // lines stay mostly unique. Scale shape: the line-frequency
+    // aggregate is line-keyed with map-side partial combine (a
+    // corpus-hot boilerplate line collapses to one row per task
+    // before the shuffle), the removal is a LEFT ANTI join
+    // co-partitioned on the same line key, and the re-assembly is
+    // doc-keyed — two line-keyed exchanges, no all-pairs work.
+    "q201_c4_line_removal" -> ((s, d) => {
+      val L = LineDedupWords
+      val lines = documents(s, d)
+        .select(col("doc_id"), TextOps.wordsOf(col("text")).as("ws"))
+        .filter(size(col("ws")) > 0)
+        .select(col("doc_id"),
+          transform(
+            sequence(lit(0), floor((size(col("ws")) - 1) / L).cast("int")),
+            i => concat_ws(" ", slice(col("ws"), i * L + 1, lit(L)))).as("ls"))
+        .select(col("doc_id"),
+          concat(array(lit(C4PlantLine)), col("ls")).as("ls")) // plant
+      val pos = lines.select(col("doc_id"),
+        posexplode(col("ls")).as(Seq("pos", "line")))
+      val removed = pos.groupBy(col("line"))
+        .agg(count(lit(1)).as("n_occ"))
+        .filter(col("n_occ") >= C4LineMinOcc)
+        .select(col("line"), lit(1).as("rm"))
+      // one flagged LEFT join + one doc-keyed aggregation: counting
+      // kept/removed and rebuilding the surviving text in the same agg
+      // avoids a third pass over the line explode (collect_list skips
+      // the nulls the `when` leaves on removed lines; a fully-removed
+      // doc hashes the empty string, same as the oracle's coalesce)
+      pos.join(removed, Seq("line"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_lines_in"),
+          count(when(col("rm").isNull, lit(1))).as("n_lines_kept"),
+          sha2(concat_ws(" ", transform(
+            array_sort(collect_list(when(col("rm").isNull,
+              struct(col("pos"), col("line"))))),
+            x => x("line"))), 256).as("kept_hash"))
+        .select(col("doc_id"), col("n_lines_in"), col("n_lines_kept"),
+          (col("n_lines_in") - col("n_lines_kept")).as("n_lines_removed"),
+          col("kept_hash"))
+    }),
+
+    // Per-SOURCE boilerplate-template extraction — the per-domain half
+    // of web-corpus line cleaning (RefinedWeb-style: a nav bar or
+    // cookie banner is boilerplate WITHIN its site even when rare
+    // globally): a line present in at least half of a source's
+    // documents (distinct-DOC frequency vs the source's doc count —
+    // integer compare `2*n_docs >= n_source_docs`, no float ratio, so
+    // the oracle hash is exact) is that source's template. A
+    // source-branded header line is PLANTED at position 0 of every doc
+    // (mirrored in the oracle), so every source provably yields its
+    // template row on the word-soup fixture. Scale shape: one
+    // (source, line)-keyed distinct-doc aggregate, a per-source doc
+    // count (source-cardinality rows — the planner broadcasts it), and
+    // a filter; no cross-source or all-pairs work.
+    "q202_source_boilerplate" -> ((s, d) => {
+      val L = LineDedupWords
+      val base = documents(s, d)
+        .select(col("doc_id"), col("source"),
+          TextOps.wordsOf(col("text")).as("ws"))
+        .filter(size(col("ws")) > 0)
+        .select(col("doc_id"), col("source"),
+          transform(
+            sequence(lit(0), floor((size(col("ws")) - 1) / L).cast("int")),
+            i => concat_ws(" ", slice(col("ws"), i * L + 1, lit(L)))).as("ls"))
+        .select(col("doc_id"), col("source"),
+          concat(array(concat_ws(" ", lit("header line for"), col("source"),
+            lit("page top"))), col("ls")).as("ls")) // plant
+      val perLine = base
+        .select(col("source"), col("doc_id"), explode(col("ls")).as("line"))
+        .groupBy(col("source"), col("line"))
+        .agg(countDistinct(col("doc_id")).as("n_docs"))
+      val perSrc = base.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_source_docs"))
+      perLine.join(perSrc, Seq("source"))
+        .filter(col("n_docs") * 2 >= col("n_source_docs"))
+        .select(col("source"), col("line"), col("n_docs"),
+          col("n_source_docs"))
+    }),
+
     // WITHIN-document duplicate-line removal — the C4/RefinedWeb
     // cleaning step that strips repeated boilerplate lines INSIDE one
     // document (nav bars, footers, cookie banners), keeping each line's
@@ -1117,6 +1206,14 @@ object Dedup {
 
   /** q128 synthesized-line width (words per line). */
   val LineDedupWords = 6
+
+  /** q201: corpus-wide occurrence count at which a line is boilerplate
+    * (C4's "more than twice" — reference: Raffel et al. 2020 §2.2).
+    */
+  val C4LineMinOcc = 3
+
+  /** q201 planted boilerplate line (6 words, the q128 line width). */
+  val C4PlantLine = "click here to read more now"
 
   /** Shared DuckDB CTE chain: words -> shingles -> minhashes -> bands
     * (mirrors [[shingleTable]] + [[minhashCandidates]] exactly).
@@ -1315,6 +1412,63 @@ object Dedup {
          |JOIN counts ca ON ca.doc = e.doc_a
          |JOIN counts cb ON cb.doc = e.doc_b""".stripMargin
     },
+
+    "q202_source_boilerplate" ->
+      s"""WITH w AS (
+         |  SELECT doc_id, source, ${TextOps.wordsSql} AS ws FROM documents),
+         |base AS (
+         |  SELECT doc_id, source,
+         |    list_transform(range(0, (len(ws) - 1) // $LineDedupWords + 1),
+         |      i -> array_to_string(
+         |        ws[i * $LineDedupWords + 1 : i * $LineDedupWords + $LineDedupWords],
+         |        ' ')) AS ls
+         |  FROM w WHERE len(ws) > 0),
+         |planted AS (
+         |  SELECT doc_id, source,
+         |    list_concat([('header line for ' || source || ' page top')], ls) AS ls
+         |  FROM base),
+         |e AS (SELECT source, doc_id, unnest(ls) AS line FROM planted),
+         |perline AS (
+         |  SELECT source, line, count(DISTINCT doc_id) AS n_docs
+         |  FROM e GROUP BY 1, 2),
+         |persrc AS (
+         |  SELECT source, count(*) AS n_source_docs FROM planted GROUP BY 1)
+         |SELECT p.source, p.line, CAST(p.n_docs AS BIGINT) AS n_docs,
+         |  CAST(s.n_source_docs AS BIGINT) AS n_source_docs
+         |FROM perline p JOIN persrc s USING (source)
+         |WHERE p.n_docs * 2 >= s.n_source_docs""".stripMargin,
+
+    "q201_c4_line_removal" ->
+      s"""WITH w AS (
+         |  SELECT doc_id, ${TextOps.wordsSql} AS ws FROM documents),
+         |base AS (
+         |  SELECT doc_id,
+         |    list_transform(range(0, (len(ws) - 1) // $LineDedupWords + 1),
+         |      i -> array_to_string(
+         |        ws[i * $LineDedupWords + 1 : i * $LineDedupWords + $LineDedupWords],
+         |        ' ')) AS ls
+         |  FROM w WHERE len(ws) > 0),
+         |planted AS (
+         |  SELECT doc_id, list_concat(['$C4PlantLine'], ls) AS ls FROM base),
+         |e AS (
+         |  SELECT doc_id, unnest(ls) AS line,
+         |    generate_subscripts(ls, 1) AS pos
+         |  FROM planted),
+         |boiler AS (
+         |  SELECT line FROM e GROUP BY line HAVING count(*) >= $C4LineMinOcc),
+         |k AS (
+         |  SELECT doc_id, pos, line FROM e
+         |  WHERE line NOT IN (SELECT line FROM boiler)),
+         |ka AS (
+         |  SELECT doc_id, count(*) AS n_kept,
+         |    sha256(string_agg(line, ' ' ORDER BY pos)) AS kh
+         |  FROM k GROUP BY doc_id),
+         |n AS (SELECT doc_id, len(ls) AS n_in FROM planted)
+         |SELECT n.doc_id, CAST(n.n_in AS BIGINT) AS n_lines_in,
+         |  CAST(coalesce(ka.n_kept, 0) AS BIGINT) AS n_lines_kept,
+         |  CAST(n.n_in - coalesce(ka.n_kept, 0) AS BIGINT) AS n_lines_removed,
+         |  coalesce(ka.kh, sha256('')) AS kept_hash
+         |FROM n LEFT JOIN ka USING (doc_id)""".stripMargin,
 
     "q128_line_dedup" ->
       s"""WITH w AS (

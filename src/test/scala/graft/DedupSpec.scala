@@ -317,6 +317,63 @@ class DedupSpec extends AnyFunSuite with CacheCleanup {
     assert(out(2L) == ((3L, 2L, 1L)), s"got ${out(2L)}")
   }
 
+  test("C4 cross-doc line removal drops corpus-frequent lines, keeps unique ones") {
+    // hot: a 6-word line shared by 3 docs (hits the >= 3 occurrence
+    // rule); each doc also carries a unique 6-word line that must
+    // survive. The planted boilerplate line is removed from EVERY doc
+    // (its count is the doc count), so n_lines_removed >= 1 everywhere.
+    val hot = "common cookie banner shown every page"
+    val docs = Seq(
+      (1L, s"$hot apple river stone cloud ember glass"),
+      (2L, s"$hot maple torch quill vapor ridge flint"),
+      (3L, s"$hot orbit nectar prism walnut cinder moss"),
+      (4L, "sable garnet tundra willow basalt fjord")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_c4line").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = Dedup.queries("q201_c4_line_removal")(spark, dir)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_lines_in"), r.getAs[Long]("n_lines_kept"),
+          r.getAs[Long]("n_lines_removed"))).toMap
+    // docs 1-3: plant + hot + unique = 3 in; plant and hot removed
+    (1L to 3L).foreach(i => assert(out(i) == ((3L, 1L, 2L)), s"doc $i: ${out(i)}"))
+    // doc 4: plant + unique = 2 in; only the plant removed
+    assert(out(4L) == ((2L, 1L, 1L)), s"doc 4: ${out(4L)}")
+    // removal must preserve surviving-line ORDER: doc 1's kept hash is
+    // the hash of exactly its unique line
+    val kh = Dedup.queries("q201_c4_line_removal")(spark, dir)
+      .filter(col("doc_id") === 1L).collect()(0).getAs[String]("kept_hash")
+    val expect = docs.sparkSession.range(1)
+      .select(sha2(lit("apple river stone cloud ember glass"), 256))
+      .collect()(0).getString(0)
+    assert(kh == expect)
+  }
+
+  test("per-source boilerplate catalogs the >=half-of-docs template lines") {
+    // srcA (4 docs): a template line in 2 of 4 docs is EXACTLY at the
+    // half threshold (2*2 >= 4, listed); a line in 1 of 4 is below
+    // (dropped). srcB (1 doc): every line of its single doc is >= half
+    // by definition — plant + its own lines all listed.
+    val tmpl = "navigate home products pricing contact about"
+    val docs = Seq(
+      (1L, s"$tmpl apple river stone cloud ember glass", "srcA"),
+      (2L, s"$tmpl maple torch quill vapor ridge flint", "srcA"),
+      (3L, "orbit nectar prism walnut cinder moss", "srcA"),
+      (4L, "sable garnet tundra willow basalt fjord", "srcA"),
+      (5L, "lone doc lines all count here", "srcB")).toDF(
+      "doc_id", "text", "source")
+    val dir = java.nio.file.Files.createTempDirectory("graft_srcboiler").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = Dedup.queries("q202_source_boilerplate")(spark, dir)
+      .collect().map(r => (r.getAs[String]("source"), r.getAs[String]("line")) ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_source_docs"))).toMap
+    assert(out(("srcA", "header line for srcA page top")) == ((4L, 4L)))
+    assert(out(("srcA", tmpl)) == ((2L, 4L)))
+    assert(!out.keySet.exists { case (s, l) =>
+      s == "srcA" && l.startsWith("apple") }, "a 1-of-4 line is not template")
+    assert(out(("srcB", "lone doc lines all count here")) == ((1L, 1L)))
+    assert(out(("srcB", "header line for srcB page top")) == ((1L, 1L)))
+  }
+
   test("boilerplate heavy-hitters are exact and partition-independent") {
     val hot = "common header line repeated on every single page here"
     val docs = (0L until 40L).map { i =>
