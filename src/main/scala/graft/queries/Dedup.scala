@@ -988,6 +988,65 @@ object Dedup {
           round(abs(col("est_raw") - col("exact_raw")), 6).as("est_err"))
     }),
 
+    // Exact-substring TRIM — the removal half of Lee et al. 2021's
+    // ExactSubstr dedup (q163 only DETECTS the duplicated spans): every
+    // occurrence of a duplicated word-3-gram EXCEPT the canonical first
+    // one (global (doc, pos) minimum — the paper keeps one copy of each
+    // duplicated substring) has its covered word positions cut from the
+    // document, and the survivors are re-assembled in order. Duplication
+    // is by total occurrence count (>= 2 anywhere, within- OR cross-doc
+    // — the suffix-array semantics), unlike q163's cross-doc test.
+    // Scale shape: one shingle-keyed aggregate computes the occurrence
+    // count AND the canonical occurrence as a min-struct fold (no
+    // window over the corpus), the join back to occurrences is
+    // co-keyed on the same shingle, the cut-position explode is <= 3
+    // rows per non-canonical occurrence, and the re-assembly is the
+    // q201 doc-keyed left-join aggregate. A suffix array — the paper's
+    // single-node tool — cannot shard this way; the shingle key can.
+    "q203_exactsubstr_trim" -> ((s, d) => {
+      val base = documents(s, d)
+        .select(col("doc_id").as("doc"), TextOps.wordsOf(col("text")).as("ws"))
+        .filter(size(col("ws")) > 0)
+      val words = base.select(col("doc"),
+        posexplode(col("ws")).as(Seq("pos", "word")))
+      val posh = base.filter(size(col("ws")) >= 3)
+        .select(col("doc"), posexplode(transform(
+          sequence(lit(0), size(col("ws")) - 3), i =>
+            concat_ws(" ", element_at(col("ws"), i + 1),
+              element_at(col("ws"), i + 2),
+              element_at(col("ws"), i + 3)))).as(Seq("pos", "shingle")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      Chunker.registerForCleanup(posh)
+      val occ = posh.groupBy(col("shingle"))
+        .agg(count(lit(1)).as("n_occ"),
+          min(struct(col("doc"), col("pos"))).as("c"))
+        .filter(col("n_occ") >= 2)
+      val cut = posh.join(occ, Seq("shingle"))
+        .filter(!(col("doc") === col("c").getField("doc") &&
+          col("pos") === col("c").getField("pos")))
+        .select(col("doc"), explode(sequence(col("pos"), col("pos") + 2))
+          .as("pos"))
+        .distinct()
+        .withColumn("rm", lit(1))
+      // cut is distinct on (doc, pos), so the left join preserves the
+      // words row count and count(*) is the doc's word total; the
+      // `when` leaves nulls on cut positions, which collect_list skips
+      // (a fully-trimmed doc hashes the empty string, as the oracle's
+      // coalesce does)
+      words.join(cut, Seq("doc", "pos"), "left")
+        .groupBy(col("doc"))
+        .agg(count(lit(1)).as("n_words_in"),
+          count(when(col("rm").isNull, lit(1))).as("n_words_kept"),
+          sha2(concat_ws(" ", transform(
+            array_sort(collect_list(when(col("rm").isNull,
+              struct(col("pos"), col("word"))))),
+            x => x("word"))), 256).as("kept_hash"))
+        .select(col("doc").as("doc_id"), col("n_words_in"),
+          col("n_words_kept"),
+          (col("n_words_in") - col("n_words_kept")).as("n_words_removed"),
+          col("kept_hash"))
+    }),
+
     // CROSS-document line removal — the other half of the C4 cleaning
     // recipe (Raffel et al. 2020 §2.2: "we discarded any line that
     // occurred more than twice in the data set"): a line whose
@@ -1437,6 +1496,45 @@ object Dedup {
          |  CAST(s.n_source_docs AS BIGINT) AS n_source_docs
          |FROM perline p JOIN persrc s USING (source)
          |WHERE p.n_docs * 2 >= s.n_source_docs""".stripMargin,
+
+    "q203_exactsubstr_trim" ->
+      s"""WITH w AS (
+         |  SELECT doc_id AS doc, ${TextOps.wordsSql} AS ws FROM documents),
+         |words AS (
+         |  SELECT doc, CAST(i - 1 AS BIGINT) AS pos, ws[i] AS word
+         |  FROM (SELECT doc, ws, unnest(range(1, len(ws) + 1)) AS i
+         |        FROM w WHERE len(ws) > 0)),
+         |p AS (
+         |  SELECT doc, ws, unnest(range(1, len(ws) - 1)) AS i
+         |  FROM w WHERE len(ws) >= 3),
+         |posh AS (
+         |  SELECT doc, CAST(i - 1 AS BIGINT) AS pos,
+         |    ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+         |  FROM p),
+         |r AS (
+         |  SELECT doc, pos,
+         |    row_number() OVER (PARTITION BY shingle ORDER BY doc, pos) AS rn,
+         |    count(*) OVER (PARTITION BY shingle) AS n_occ
+         |  FROM posh),
+         |cut AS (
+         |  SELECT DISTINCT doc, pos + o AS pos
+         |  FROM r CROSS JOIN (SELECT unnest([0, 1, 2]) AS o) t
+         |  WHERE n_occ >= 2 AND rn > 1),
+         |k AS (
+         |  SELECT ww.doc, ww.pos, ww.word
+         |  FROM words ww LEFT JOIN cut c
+         |    ON ww.doc = c.doc AND ww.pos = c.pos
+         |  WHERE c.doc IS NULL),
+         |ka AS (
+         |  SELECT doc, count(*) AS n_kept,
+         |    sha256(string_agg(word, ' ' ORDER BY pos)) AS kh
+         |  FROM k GROUP BY doc),
+         |n AS (SELECT doc, len(ws) AS n_in FROM w WHERE len(ws) > 0)
+         |SELECT n.doc AS doc_id, CAST(n.n_in AS BIGINT) AS n_words_in,
+         |  CAST(coalesce(ka.n_kept, 0) AS BIGINT) AS n_words_kept,
+         |  CAST(n.n_in - coalesce(ka.n_kept, 0) AS BIGINT) AS n_words_removed,
+         |  coalesce(ka.kh, sha256('')) AS kept_hash
+         |FROM n LEFT JOIN ka USING (doc)""".stripMargin,
 
     "q201_c4_line_removal" ->
       s"""WITH w AS (

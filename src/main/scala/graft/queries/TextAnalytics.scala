@@ -278,6 +278,27 @@ object TextAnalytics {
       .withColumn("keep", (col("n_rules_passed") === 5L).cast("long"))
   }
 
+  /** q204 body over any (text, source) frame with a caller-chosen
+    * vocabulary size — split out so the spec can exercise the top-K
+    * cut and its tie-break on a hand-countable fixture. See the
+    * catalog entry's doc for the scale shape.
+    */
+  def vocabOov(docs: DataFrame, k: Int): DataFrame = {
+    val words = docs
+      .select(col("source"), explode(TextOps.wordsOf(col("text"))).as("word"))
+    val vocab = words.groupBy(col("word"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("word"))
+      .limit(k)
+      .select(col("word"), lit(1).as("iv"))
+    words.join(broadcast(vocab), Seq("word"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_tokens"),
+        count(when(col("iv").isNull, lit(1))).as("n_oov"))
+      .select(col("source"), col("n_tokens"), col("n_oov"),
+        expr("n_oov * 1000000 DIV n_tokens").as("oov_ppm"))
+  }
+
   /** q195 body over any (text, source) frame — per-source type-token
     * ratio, tokens-per-word fertility, average word length (see the
     * catalog entry's doc); split out so EmptyInputSpec can drive
@@ -308,6 +329,12 @@ object TextAnalytics {
   /** q198 published repetition thresholds (Gopher §A1.1, word-n-gram
     * family): a doc fails when too much of it is one repeated phrase.
     */
+  /** q204: corpus vocabulary size (top-K words by occurrence count,
+    * ties broken by word — deterministic in both engines). A constant,
+    * so the vocab broadcast in q204 is honest at any corpus scale.
+    */
+  val VocabTopK = 1000
+
   val RepTop2Max = 0.20
   val RepTop3Max = 0.18
   val RepDup5Max = 0.15
@@ -901,6 +928,22 @@ object TextAnalytics {
     // [[repetitionBattery]].
     "q198_repetition_battery" -> ((s, d) =>
       repetitionBattery(documents(s, d))),
+
+    // Vocabulary coverage / OOV rate per source — the tokenizer-design
+    // signal behind closed-vocab models and BPE sizing (a source whose
+    // token mass falls outside the corpus's top-K word vocabulary pays
+    // its fertility in <unk> or byte fallbacks): build the top-K
+    // corpus vocabulary by occurrence count (ties broken by word, so
+    // the cut is deterministic in both engines) and report each
+    // source's token total and out-of-vocabulary token share in parts
+    // per million (integer floor-division — no cross-engine float
+    // rounding in the hash). Scale shape: one word-keyed count
+    // aggregate with map-side partial combine, a top-K via
+    // TakeOrdered (per-partition heaps, exactly K rows reach the
+    // driver — K is a constant, never corpus-sized), the K-row vocab
+    // broadcast to an existence join, and a source-keyed aggregate.
+    "q204_vocab_oov" -> ((s, d) =>
+      vocabOov(documents(s, d), VocabTopK)),
 
     // Quality GATE: keep only docs at/above their language's 25th
     // percentile of avg word length — the "filter the corpus on a
@@ -1661,6 +1704,21 @@ object TextAnalytics {
          |    + r_symbol_ratio + r_stop_words = 5 AS BIGINT) AS keep
          |FROM r""".stripMargin
     },
+
+    "q204_vocab_oov" ->
+      s"""WITH w AS (
+         |  SELECT source, unnest(${TextOps.wordsSql}) AS word FROM documents),
+         |wc AS (SELECT word, count(*) AS cnt FROM w GROUP BY 1),
+         |vocab AS (
+         |  SELECT word FROM wc ORDER BY cnt DESC, word LIMIT $VocabTopK),
+         |j AS (
+         |  SELECT w.source,
+         |    CASE WHEN v.word IS NULL THEN 1 ELSE 0 END AS oov
+         |  FROM w LEFT JOIN vocab v USING (word))
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_tokens,
+         |  CAST(sum(oov) AS BIGINT) AS n_oov,
+         |  CAST((sum(oov) * 1000000) // count(*) AS BIGINT) AS oov_ppm
+         |FROM j GROUP BY source""".stripMargin,
 
     "q198_repetition_battery" ->
       s"""WITH w AS (

@@ -348,6 +348,36 @@ class DedupSpec extends AnyFunSuite with CacheCleanup {
     assert(kh == expect)
   }
 
+  test("ExactSubstr trim keeps the canonical first occurrence, cuts the rest") {
+    // the shingle "alpha beta gamma" occurs at (doc1, pos0) and
+    // (doc2, pos1): canonical is the global (doc, pos) minimum, so
+    // doc1 keeps everything and doc2 loses positions 1-3. doc3 repeats
+    // "x y z" WITHIN itself (suffix-array semantics count total
+    // occurrences, not distinct docs) — the second occurrence at pos 3
+    // is cut. doc4 is all-unique and untouched. doc5 IS exactly the
+    // duplicated shingle, so every word is cut and it hashes "".
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "zeta alpha beta gamma eta"),
+      (3L, "x y z x y z"),
+      (4L, "sable garnet tundra willow"),
+      (5L, "alpha beta gamma")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_substr").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = Dedup.queries("q203_exactsubstr_trim")(spark, dir)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_words_in"), r.getAs[Long]("n_words_kept"),
+          r.getAs[Long]("n_words_removed"), r.getAs[String]("kept_hash")))
+      .toMap
+    def h(sOpt: String): String = docs.sparkSession.range(1)
+      .select(sha2(lit(sOpt), 256)).collect()(0).getString(0)
+    assert(out(1L) == ((5L, 5L, 0L, h("alpha beta gamma delta epsilon"))))
+    assert(out(2L) == ((5L, 2L, 3L, h("zeta eta"))))
+    assert(out(3L) == ((6L, 3L, 3L, h("x y z"))))
+    assert(out(4L) == ((4L, 4L, 0L, h("sable garnet tundra willow"))))
+    assert(out(5L) == ((3L, 0L, 3L, h(""))))
+  }
+
   test("per-source boilerplate catalogs the >=half-of-docs template lines") {
     // srcA (4 docs): a template line in 2 of 4 docs is EXACTLY at the
     // half threshold (2*2 >= 4, listed); a line in 1 of 4 is below

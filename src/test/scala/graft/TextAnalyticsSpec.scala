@@ -14,6 +14,26 @@ class TextAnalyticsSpec extends AnyFunSuite with CacheCleanup {
   import TestSpark.spark
   import spark.implicits._
 
+  test("q204 vocab OOV: top-k cut, tie-break, and ppm arithmetic are exact") {
+    // global counts: aa=5, bb=4, cc=3, dd=3, ee=1. k=3 puts the cut on
+    // the cc/dd tie — broken by word ascending, so vocab = {aa, bb, cc}
+    // and dd is OUT despite equal count. srcA: 8 tokens, 0 oov; srcB:
+    // 8 tokens, oov = dd(3) + ee(1) = 4 -> 500000 ppm exactly.
+    val docs = Seq(
+      ("aa aa aa bb bb cc cc aa", "srcA"),
+      ("dd dd dd bb bb cc ee aa", "srcB")).toDF("text", "source")
+    val out = TextAnalytics.vocabOov(docs, 3).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("n_oov"),
+          r.getAs[Long]("oov_ppm"))).toMap
+    assert(out("srcA") == ((8L, 0L, 0L)))
+    assert(out("srcB") == ((8L, 4L, 500000L)))
+    // flooring ppm: 1 oov of 3 tokens -> 333333, never rounded up
+    val odd = Seq(("zz yy yy", "s")).toDF("text", "source")
+    val o = TextAnalytics.vocabOov(odd, 1).collect()(0)
+    assert(o.getAs[Long]("oov_ppm") == 333333L)
+  }
+
   test("sequence packing: greedy bin boundaries are exact") {
     // greedy packing characterization: the cumulative token count
     // through bin b must land in (b*B, (b+1)*B] — the lower bound says
