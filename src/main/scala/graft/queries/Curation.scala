@@ -73,15 +73,48 @@ object Curation {
     * not (ADVICE r9: a hard `broadcast()` here would exceed the
     * broadcast limit at the 100-TB scale the old doc claimed).
     */
-  def decontaminate(docs: DataFrame): DataFrame = {
+  /** Per-doc DISTINCT word [[DecontamN]]-grams — the shared front end
+    * of [[decontaminate]] and its Bloom-gated q205 form.
+    */
+  private def decontamGrams(docs: DataFrame): DataFrame = {
     val n = DecontamN
-    val grams = docs
+    docs
       .select(col("doc_id"), TextOps.wordsOf(col("text")).as("ws"))
       .filter(size(col("ws")) >= n)
       .select(col("doc_id"), explode(array_distinct(transform(
         sequence(lit(0), size(col("ws")) - n), i =>
           concat_ws(" ", (0 until n).map(j =>
             element_at(col("ws"), i + j + 1)): _*)))).as("g"))
+  }
+
+  /** q205 body — see the catalog entry's doc; split out so the spec
+    * can drive the planted-overlap fixture through the gated path.
+    */
+  def bloomDecontaminate(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, ScalarSubquery}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graft.ExprBridge
+    val grams = decontamGrams(docs)
+    val isEval = hashFraction(col("doc_id")) < DecontamEvalFrac
+    val evalGrams = grams.filter(isEval).select(col("g")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.pipeline.Chunker.registerForCleanup(evalGrams)
+    val nEval = math.max(evalGrams.count(), 1000L)
+    val bf = evalGrams.agg(ExprBridge.column(
+      new BloomFilterAggregate(
+        ExprBridge.expression(xxhash64(col("g"))),
+        Literal(nEval), Literal(8L * nEval)).toAggregateExpression()).as("bf"))
+    val pre = grams.filter(!isEval)
+      .filter(ExprBridge.column(new BloomFilterMightContain(
+        ScalarSubquery(bf.queryExecution.analyzed),
+        ExprBridge.expression(xxhash64(col("g"))))))
+    pre.join(evalGrams, Seq("g"), "left_semi")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared_grams"))
+  }
+
+  def decontaminate(docs: DataFrame): DataFrame = {
+    val grams = decontamGrams(docs)
     val isEval = hashFraction(col("doc_id")) < DecontamEvalFrac
     val evalGrams = grams.filter(isEval).select(col("g")).distinct()
     val hits = grams.filter(!isEval)
@@ -314,7 +347,23 @@ object Curation {
     "q193_ccnet_buckets" -> ((s, d) => ccnetBuckets(documents(s, d))),
 
     // Test-set decontamination — see [[decontaminate]].
-    "q199_decontaminate" -> ((s, d) => decontaminate(documents(s, d)))
+    "q199_decontaminate" -> ((s, d) => decontaminate(documents(s, d))),
+
+    // Bloom-GATED decontamination — [[decontaminate]]'s 100-TB serving
+    // shape. In production the eval n-gram table is benchmark-sized,
+    // but the TRAIN side is the corpus, and q199's n-gram semi-join
+    // shuffles every training gram. Here a Bloom sketch of the eval
+    // grams — sized from the eval set's measured cardinality (one
+    // cheap count at build time; 8 bits/item ≈ 2% fpp, the q126
+    // sizing rule), embedded as a scalar subquery, the same shape
+    // AQE's injected runtime filters take — kills the ~98% of clean
+    // grams MAP-SIDE at the scan, so only sketch-survivors pay the
+    // exchange, and the exact confirming semi-join removes the false
+    // positives. The answer is EXACT (the oracle is plain SQL): the
+    // sketch changes the plan, not the result. Output lists only the
+    // contaminated docs with their audit counts.
+    "q205_bloom_decontaminate" -> ((s, d) =>
+      bloomDecontaminate(documents(s, d)))
   )
 
   /** The q192 operator over any documents-shaped frame (doc_id, source,
@@ -403,6 +452,24 @@ object Curation {
          |FROM documents d
          |LEFT JOIN hits h ON h.doc_id = d.doc_id
          |WHERE ${hashFractionSql("d.doc_id")} >= $DecontamEvalFrac""".stripMargin,
+
+    // EXACT semantics — the Bloom gate is a plan optimization, not an
+    // approximation; the oracle is q199's hit table.
+    "q205_bloom_decontaminate" ->
+      s"""WITH g AS (
+         |  SELECT doc_id, unnest(list_distinct(list_transform(
+         |      range(1, len(ws) - ${DecontamN - 2}),
+         |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' '
+         |        || ws[i+3] || ' ' || ws[i+4]))) AS g
+         |  FROM (SELECT doc_id, ${TextOps.wordsSql} AS ws FROM documents)
+         |  WHERE len(ws) >= $DecontamN),
+         |ev AS (
+         |  SELECT DISTINCT g FROM g
+         |  WHERE ${hashFractionSql("doc_id")} < $DecontamEvalFrac)
+         |SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_shared_grams
+         |FROM g JOIN ev USING (g)
+         |WHERE ${hashFractionSql("g.doc_id")} >= $DecontamEvalFrac
+         |GROUP BY g.doc_id""".stripMargin,
 
     "q174_inverted_index" ->
       s"""WITH w AS (

@@ -283,4 +283,38 @@ class CurationSpec extends AnyFunSuite {
     assert(out(trainIds(0))._2 == 1L && out(trainIds(0))._1 >= 1L)
     assert(out(trainIds(1)) == (0L, 0L))
   }
+
+  test("q205 Bloom-gated decontamination equals q199's contaminated set") {
+    // the sketch gate is a plan optimization: after the exact
+    // confirming semi-join, q205's output must be exactly q199's
+    // contaminated rows — false positives die in the join, and the
+    // Bloom filter has no false NEGATIVES to lose a hit to. The
+    // sf0.001 slice has no contamination, so plant the q199 fixture
+    // (hash-aware eval/train split, one shared 5-gram) and compare
+    // both paths on it.
+    val ids = (1L to 200L)
+    def frac(id: Long): Double = Seq(id).toDF("doc_id")
+      .select(graft.queries.TextAnalytics.hashFraction(col("doc_id")).as("f"))
+      .collect().head.getDouble(0)
+    val evalId = ids.find(frac(_) < Curation.DecontamEvalFrac).get
+    val trainIds = ids.filter(frac(_) >= Curation.DecontamEvalFrac).take(3)
+    val shared = "alpha beta gamma delta epsilon"
+    val docs = Seq(
+      (evalId, s"intro words $shared closing words"),
+      (trainIds(0), s"unrelated prefix then $shared and a suffix"),
+      (trainIds(1), s"$shared repeated here too $shared again"),
+      (trainIds(2), "completely different content with no overlap here"))
+      .toDF("doc_id", "text")
+    val exact = Curation.decontaminate(docs)
+      .filter(col("contaminated") === 1L).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_shared_grams"))
+      .toMap
+    val gated = Curation.bloomDecontaminate(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_shared_grams"))
+      .toMap
+    assert(exact.keySet == Set(trainIds(0), trainIds(1)),
+      s"fixture must contaminate exactly the two planted docs: $exact")
+    assert(gated == exact)
+    graft.pipeline.Chunker.clearCaches()
+  }
 }

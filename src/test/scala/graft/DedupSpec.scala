@@ -538,6 +538,56 @@ class DedupSpec extends AnyFunSuite with CacheCleanup {
     }
   }
 
+  test("ExactSubstr trim equals a sequential recomputation on RANDOM " +
+    "tiny-vocab corpora (canonical selection fuzzed)") {
+    // tiny vocabularies saturate the 3-gram space, so most shingles
+    // duplicate and the canonical-(doc,pos)-min rule is exercised on
+    // ties, overlaps, and within-doc repeats. Seeded => reproducible.
+    // Docs shorter than 3 words carry no shingles and must survive
+    // whole; 0-word docs are absent from the output in both paths.
+    def sha(sOpt: String): String = java.security.MessageDigest
+      .getInstance("SHA-256").digest(sOpt.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    for (seed <- Seq(7, 21, 99)) {
+      val rnd = new scala.util.Random(seed)
+      val vocab = Vector("a", "b", "c", "d", "e", "f")
+      val docs = (0 until 30).map { i =>
+        val n = rnd.nextInt(13) // 0..12 words
+        (i.toLong, Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }
+      // sequential reference: same shingles, same canonical rule
+      val wordsBy = docs
+        .map { case (id, t) =>
+          id -> t.toLowerCase.split("[ \t\n\r\f]+")
+            .filter(_.nonEmpty).toVector }
+        .filter(_._2.nonEmpty)
+      val posh = wordsBy.flatMap { case (id, ws) =>
+        (0 to ws.length - 3).map(i =>
+          (id, i, ws.slice(i, i + 3).mkString(" "))) }
+      val cut = scala.collection.mutable.Set.empty[(Long, Int)]
+      for ((_, occs) <- posh.groupBy(_._3) if occs.size >= 2) {
+        val canon = occs.map(o => (o._1, o._2)).min
+        for ((id, p, _) <- occs if (id, p) != canon; o <- 0 to 2)
+          cut += ((id, p + o))
+      }
+      val expected = wordsBy.map { case (id, ws) =>
+        val kept = ws.indices.filterNot(i => cut((id, i))).map(ws)
+        id -> ((ws.length.toLong, kept.length.toLong,
+          sha(kept.mkString(" "))))
+      }.toMap
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"graft_substr_fuzz$seed").toString
+      docs.toDF("doc_id", "text").write.mode("overwrite")
+        .parquet(s"$dir/documents.parquet")
+      val got = Dedup.queries("q203_exactsubstr_trim")(spark, dir)
+        .collect().map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[Long]("n_words_in"), r.getAs[Long]("n_words_kept"),
+            r.getAs[String]("kept_hash")))).toMap
+      assert(got == expected, s"seed=$seed")
+      graft.pipeline.Chunker.clearCaches()
+    }
+  }
+
   test("q163 dup spans equal an independent sequential recomputation") {
     val d = TestSpark.sf0001
     val docs = Tables.documents(spark, d).select("doc_id", "text").collect()
