@@ -99,6 +99,7 @@ object ScaleProbe {
     "dedup/ANN" -> "q130_minhash_estimate",
     "dedup/ANN" -> "q179_containment_dedup",
     "dedup/ANN" -> "q188_dedup_recall",
+    "dedup/ANN" -> "q205_bloom_decontaminate",
     "graph" -> "q119_pagerank",
     "graph" -> "q141_connected_components",
     "graph" -> "q143_cc_pointer_doubling",
@@ -107,6 +108,8 @@ object ScaleProbe {
     "text" -> "q163_dup_spans",
     "text" -> "q167_bigram_nll",
     "text" -> "q174_inverted_index",
+    "text" -> "q201_c4_line_removal",
+    "text" -> "q203_exactsubstr_trim",
     "events/rel" -> "q80_session_concurrency",
     "events/rel" -> "q124_winsorize")
 
