@@ -1007,6 +1007,10 @@ object Dedup {
       val base = documents(s, d)
         .select(col("doc_id").as("doc"), TextOps.wordsOf(col("text")).as("ws"))
         .filter(size(col("ws")) > 0)
+        // the word explode AND the shingle explode both read base —
+        // persist the compact (doc, ws) form, not the wider explodes
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      Chunker.registerForCleanup(base)
       val words = base.select(col("doc"),
         posexplode(col("ws")).as(Seq("pos", "word")))
       val posh = base.filter(size(col("ws")) >= 3)
@@ -1074,8 +1078,13 @@ object Dedup {
             i => concat_ws(" ", slice(col("ws"), i * L + 1, lit(L)))).as("ls"))
         .select(col("doc_id"),
           concat(array(lit(C4PlantLine)), col("ls")).as("ls")) // plant
+      // pos feeds BOTH the line-frequency aggregate and the removal
+      // join — persist it (spill-to-disk, the q163 discipline) or the
+      // corpus scan + line synthesis runs twice
       val pos = lines.select(col("doc_id"),
         posexplode(col("ls")).as(Seq("pos", "line")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      Chunker.registerForCleanup(pos)
       val removed = pos.groupBy(col("line"))
         .agg(count(lit(1)).as("n_occ"))
         .filter(col("n_occ") >= C4LineMinOcc)
@@ -1124,6 +1133,10 @@ object Dedup {
         .select(col("doc_id"), col("source"),
           concat(array(concat_ws(" ", lit("header line for"), col("source"),
             lit("page top"))), col("ls")).as("ls")) // plant
+        // both the per-line and per-source aggregates read base —
+        // persist it or the scan + line synthesis runs twice
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      Chunker.registerForCleanup(base)
       val perLine = base
         .select(col("source"), col("doc_id"), explode(col("ls")).as("line"))
         .groupBy(col("source"), col("line"))
@@ -1216,6 +1229,44 @@ object Dedup {
         .select(col("doc").as("doc_id"), col("span_start"), col("span_end"),
           (col("span_end") - col("span_start") + 1).as("span_words"),
           col("n_grams"))
+    }),
+
+    // Per-doc cross-corpus DUPLICATION-MASS profile — the doc-level
+    // curation scalar behind the duplication→memorization line of work
+    // (Lee et al. 2021; Carlini et al. 2022 "Quantifying Memorization"
+    // ties memorization odds to how duplicated a sequence is): for each
+    // document, the fraction of its word-3-gram positions whose gram
+    // also occurs in ANOTHER document, in integer parts per million.
+    // q163 reports the duplicated SPANS (where); this ranks the DOCS
+    // (how much), which is what a drop/deprioritize policy consumes.
+    // Cross-doc only (within-doc repetition is q198's battery).
+    // Scale shape: the same persisted positional-shingle table feeding
+    // one gram-keyed distinct-doc aggregate and a gram-keyed
+    // semi-join, then two doc-keyed counts folded in one left join —
+    // no windows, no all-pairs.
+    "q206_dup_profile" -> ((s, d) => {
+      val posh = documents(s, d)
+        .select(col("doc_id").as("doc"), TextOps.wordsOf(col("text")).as("ws"))
+        .filter(size(col("ws")) >= 3)
+        .select(col("doc"), posexplode(transform(
+          sequence(lit(0), size(col("ws")) - 3), i =>
+            concat_ws(" ", element_at(col("ws"), i + 1),
+              element_at(col("ws"), i + 2),
+              element_at(col("ws"), i + 3)))).as(Seq("pos", "shingle")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      Chunker.registerForCleanup(posh)
+      val dup = posh.groupBy(col("shingle"))
+        .agg(countDistinct(col("doc")).as("nd"))
+        .filter(col("nd") >= 2)
+        .select(col("shingle"))
+      val tot = posh.groupBy(col("doc")).agg(count(lit(1)).as("n_grams"))
+      val dupc = posh.join(dup, Seq("shingle"), "left_semi")
+        .groupBy(col("doc")).agg(count(lit(1)).as("n_dup_grams"))
+      tot.join(dupc, Seq("doc"), "left")
+        .select(col("doc").as("doc_id"), col("n_grams"),
+          coalesce(col("n_dup_grams"), lit(0L)).as("n_dup_grams"),
+          expr("coalesce(n_dup_grams, 0L) * 1000000 DIV n_grams")
+            .as("dup_ppm"))
     }),
 
     // Incremental append NEAR-dup — q78's ingestion gate upgraded from
@@ -1878,6 +1929,29 @@ object Dedup {
          |  max(pos) + 2 - min(pos) + 1 AS span_words,
          |  count(*) AS n_grams
          |FROM isl GROUP BY doc, g""".stripMargin,
+
+    "q206_dup_profile" ->
+      s"""WITH w AS (
+         |  SELECT doc_id AS doc, ${TextOps.wordsSql} AS ws FROM documents),
+         |p AS (
+         |  SELECT doc, ws, unnest(range(1, len(ws) - 1)) AS i
+         |  FROM w WHERE len(ws) >= 3),
+         |posh AS (
+         |  SELECT doc, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+         |  FROM p),
+         |dup AS (
+         |  SELECT shingle FROM posh GROUP BY shingle
+         |  HAVING count(DISTINCT doc) >= 2),
+         |tot AS (SELECT doc, count(*) AS n_grams FROM posh GROUP BY doc),
+         |dupc AS (
+         |  SELECT doc, count(*) AS n_dup
+         |  FROM posh WHERE shingle IN (SELECT shingle FROM dup)
+         |  GROUP BY doc)
+         |SELECT t.doc AS doc_id, CAST(t.n_grams AS BIGINT) AS n_grams,
+         |  CAST(coalesce(c.n_dup, 0) AS BIGINT) AS n_dup_grams,
+         |  CAST((coalesce(c.n_dup, 0) * 1000000) // t.n_grams AS BIGINT)
+         |    AS dup_ppm
+         |FROM tot t LEFT JOIN dupc c USING (doc)""".stripMargin,
 
     "q171_append_neardup" ->
       s"""$minhashCtes

@@ -588,6 +588,27 @@ class DedupSpec extends AnyFunSuite with CacheCleanup {
     }
   }
 
+  test("q206 dup profile counts cross-doc gram mass, ignores within-doc repeats") {
+    val docs = Seq(
+      (1L, "p q r s"),             // grams: "p q r", "q r s" — 1 of 2 shared
+      (2L, "z p q r t u"),         // 4 grams, 1 shared -> 250000 ppm
+      (3L, "m n o"),               // unique -> 0 ppm
+      (4L, "p q r"),               // its only gram is shared -> 1000000 ppm
+      (5L, "w1 w2 w3 w1 w2 w3"))   // repeats ONLY within itself -> 0 ppm
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_dupprof").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = Dedup.queries("q206_dup_profile")(spark, dir)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_grams"), r.getAs[Long]("n_dup_grams"),
+          r.getAs[Long]("dup_ppm")))).toMap
+    assert(out(1L) == ((2L, 1L, 500000L)))
+    assert(out(2L) == ((4L, 1L, 250000L)))
+    assert(out(3L) == ((1L, 0L, 0L)))
+    assert(out(4L) == ((1L, 1L, 1000000L)))
+    assert(out(5L) == ((4L, 0L, 0L)), "within-doc repeats are q198's domain")
+  }
+
   test("q163 dup spans equal an independent sequential recomputation") {
     val d = TestSpark.sf0001
     val docs = Tables.documents(spark, d).select("doc_id", "text").collect()
