@@ -158,6 +158,50 @@ class EmptyInputSpec extends AnyFunSuite with CacheCleanup {
       r.getAs[Long]("n_shared_grams") == 0L))
   }
 
+  test("round-10 operators (q201-q206) on empty and degenerate corpora") {
+    // the line/substring family reads from a dir — stage empty and
+    // tiny parquet corpora
+    def stage(df: org.apache.spark.sql.DataFrame): String = {
+      val dir = java.nio.file.Files.createTempDirectory("graft_empty10")
+      df.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      dir.toString
+    }
+    val emptyDir = stage(
+      Seq.empty[(Long, String, String)].toDF("doc_id", "text", "source"))
+    for (q <- Seq("q201_c4_line_removal", "q202_source_boilerplate",
+        "q203_exactsubstr_trim", "q206_dup_profile"))
+      assert(Dedup.queries(q)(spark, emptyDir).count() == 0L, q)
+    // a single-doc corpus: its planted line occurs once (< the C4
+    // occurrence bar), so NOTHING is removed; for q202 a lone doc's
+    // every line is >= half its source by definition; a doc shorter
+    // than the shingle width has no shingles -> fully kept by the
+    // trim and absent from the gram profile
+    val soloDir = stage(Seq((1L, "ax bx cx dx ex fx", "s1"))
+      .toDF("doc_id", "text", "source"))
+    val s201 = Dedup.queries("q201_c4_line_removal")(spark, soloDir).collect()
+    assert(s201.length == 1 && s201.head.getAs[Long]("n_lines_removed") == 0L)
+    assert(Dedup.queries("q202_source_boilerplate")(spark, soloDir)
+      .count() == 2L) // plant + the doc's own line
+    val tinyDir = stage(Seq((1L, "one two", "s1")).toDF("doc_id", "text", "source"))
+    val t203 = Dedup.queries("q203_exactsubstr_trim")(spark, tinyDir).collect()
+    assert(t203.length == 1 && t203.head.getAs[Long]("n_words_kept") == 2L)
+    assert(Dedup.queries("q206_dup_profile")(spark, tinyDir).count() == 0L)
+    // function forms: vocab smaller/larger than the word set; empty
+    // eval slice feeding the Bloom build must yield "no contamination",
+    // not a null-sketch crash
+    val noSrcDocs3 = Seq.empty[(Long, String, String)]
+      .toDF("doc_id", "text", "source")
+    assert(graft.queries.TextAnalytics.vocabOov(noSrcDocs3, 5).count() == 0)
+    val oneSrc = Seq((1L, "aa bb aa", "s")).toDF("doc_id", "text", "source")
+    val ov = graft.queries.TextAnalytics.vocabOov(oneSrc, 100).collect()
+    assert(ov.length == 1 && ov.head.getAs[Long]("n_oov") == 0L)
+    val noDocs2 = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(graft.queries.Curation.bloomDecontaminate(noDocs2).count() == 0)
+    val short2 = (1L to 20L).map(i => (i, "too short")).toDF("doc_id", "text")
+    assert(graft.queries.Curation.bloomDecontaminate(short2).count() == 0)
+    graft.pipeline.Chunker.clearCaches()
+  }
+
   test("round-7 wave-3+ operators on empty inputs") {
     // containment dedup: empty corpus and single-doc corpus pair nothing
     assert(Dedup.containmentPairs(noDocs, "doc_id", "text").count() == 0)
