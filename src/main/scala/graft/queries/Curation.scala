@@ -45,6 +45,12 @@ object Curation {
   val Tertile1 = "0.3333333333333333"
   val Tertile2 = "0.6666666666666666"
 
+  /** q207 Pareto shape — the published keep-rule constant (Brown et
+    * al. 2020, GPT-3 Appendix A: "documents were kept if
+    * np.random.pareto(9) > 1 - document_score").
+    */
+  val ParetoAlpha = 9
+
   /** q199: deterministic eval-set rate and overlap n-gram width. The
     * published decontamination recipes test 8–13-gram overlap against
     * benchmark sets; the fixture's ~15–40-word docs scale that to 5
@@ -363,7 +369,35 @@ object Curation {
     // sketch changes the plan, not the result. Output lists only the
     // contaminated docs with their audit counts.
     "q205_bloom_decontaminate" -> ((s, d) =>
-      bloomDecontaminate(documents(s, d)))
+      bloomDecontaminate(documents(s, d))),
+
+    // GPT-3-style QUALITY-CLASSIFIER keep rule (Brown et al. 2020,
+    // Appendix A; also the Pile/PaLM crawl filter): train a classifier
+    // with the curated corpus as the positive class and the raw crawl
+    // as the negative, score every raw document, and keep it iff
+    // `pareto(9) > 1 - score` — the published Pareto-smoothed
+    // stochastic rule that admits a quality-biased but not
+    // quality-truncated sample. Deterministic re-expression: the
+    // classifier is add-one-smoothed multinomial log-odds over the
+    // q192 hashed word-feature space (the fastText hashing trick; the
+    // model is DsirBuckets rows regardless of corpus size), the score
+    // is the sigmoid of the doc's MEAN per-word log-odds, and the
+    // Pareto draw rides [[hashFraction]]: with u = hash(doc),
+    // pareto(a) = (1-u)^(-1/a) - 1, so keep  <=>  u > 1 - (2-p)^(-9)
+    // — closed form, so the DECISION needs only exact IEEE
+    // multiply/divide on the rounded p (no transcendental at the
+    // comparison; the spec proves the algebra equals the published
+    // rule). q192 outputs resampling WEIGHTS (DSIR); this outputs the
+    // keep/drop VERDICT of the classifier-filter recipe — the other
+    // published selection family.
+    // Scale shape: q192's exactly — one word explode feeding two
+    // combiner-friendly aggregates (persisted), a 256-row broadcast
+    // model, a doc-keyed aggregate, then pure projections. Parity:
+    // bucket log-odds in integer micro-units (q167's rule); sigmoid's
+    // argument is an exact rational of integers so exp sees the
+    // identical double in both engines, guarded by round-6.
+    "q207_quality_classifier" -> ((s, d) =>
+      qualityClassifier(documents(s, d), DsirTarget))
   )
 
   /** The q192 operator over any documents-shaped frame (doc_id, source,
@@ -397,6 +431,58 @@ object Curation {
         round(col("w_micro") / 1e6, 4).as("dsir_weight"),
         round(col("w_micro") / 1e6 / col("n_words"), 6)
           .as("dsir_weight_per_word"))
+  }
+
+  /** The q207 operator over any documents-shaped frame (doc_id, source,
+    * text) — see the catalog entry's scaladoc for design/citation.
+    * Exposed so the spec can drive a planted curated-vs-junk fixture
+    * through it and check the Pareto algebra against the published
+    * form.
+    */
+  def qualityClassifier(docs: DataFrame, curatedSource: String): DataFrame = {
+    val occ = docs
+      .select(col("doc_id"), col("source"),
+        explode(TextOps.wordsOf(col("text"))).as("w"))
+      .withColumn("b",
+        floor(hashFraction(col("w")) * DsirBuckets).cast("long"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.pipeline.Chunker.registerForCleanup(occ)
+    val isPos = col("source") === curatedSource
+    val bt = occ.groupBy(col("b"))
+      .agg(sum(when(isPos, 1L).otherwise(0L)).as("cp"),
+        sum(when(!isPos, 1L).otherwise(0L)).as("cn"))
+    val tot = bt.agg(sum(col("cp")).as("np"), sum(col("cn")).as("nn"))
+    val lr = bt.crossJoin(broadcast(tot))
+      .select(col("b"),
+        round((log((col("cp") + 1.0) / (col("np") + lit(DsirBuckets.toDouble)))
+          - log((col("cn") + 1.0) / (col("nn") + lit(DsirBuckets.toDouble))))
+          * 1e6, 0).cast("long").as("lr_micro"))
+    val scored = occ.groupBy(col("doc_id"), col("source"), col("b"))
+      .agg(count(lit(1)).as("n"))
+      .join(broadcast(lr), Seq("b"))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(sum(col("n")).as("n_words"),
+        sum(col("n") * col("lr_micro")).as("s_micro"))
+    // p = sigmoid(mean log-odds): the argument is an exact rational of
+    // integers, so exp receives the identical double in both engines.
+    // The log-odds audit column stays the exact integer micro-SUM —
+    // a rounded mean is a ratio of integers and lands exactly on
+    // half-boundaries where the engines' double rounding diverges
+    // (observed at sf0.1: 4/5000 rows).
+    val p = scored.select(col("doc_id"), col("source"), col("n_words"),
+      col("s_micro").as("logodds_micro"),
+      round(lit(1.0) / (lit(1.0)
+        + exp(-(col("s_micro") / 1e6 / col("n_words")))), 6).as("p_curated"))
+    // keep <=> u > 1 - (2-p)^(-ParetoAlpha), (2-p)^9 built by the
+    // fixed association ((d2*d2)*(d2*d2))*d — every op from the
+    // rounded p onward is exact IEEE arithmetic, mirrored in the
+    // oracle step for step
+    val d1 = lit(2.0) - col("p_curated")
+    val d2 = d1 * d1
+    val d4 = d2 * d2
+    p.withColumn("kept",
+      (hashFraction(col("doc_id")) > lit(1.0) - lit(1.0) / ((d4 * d4) * d1))
+        .cast("long"))
   }
 
   /** The q193 operator over any documents-shaped frame (doc_id, lang,
@@ -604,6 +690,46 @@ object Curation {
          |  CASE WHEN d.mean_nll <= b.b1 THEN 'head'
          |       WHEN d.mean_nll <= b.b2 THEN 'middle'
          |       ELSE 'tail' END AS ppl_bucket
-         |FROM ds d JOIN bounds b USING (lang)""".stripMargin
+         |FROM ds d JOIN bounds b USING (lang)""".stripMargin,
+
+    // The kept comparison mirrors the Spark association exactly:
+    // d2 = d*d, d4 = d2*d2, threshold = 1 - 1/((d4*d4)*d).
+    "q207_quality_classifier" ->
+      s"""WITH occ AS (
+         |  SELECT doc_id, source,
+         |    CAST(floor(${hashFractionSql("w")} * $DsirBuckets) AS BIGINT) AS b
+         |  FROM (SELECT doc_id, source, unnest(${TextOps.wordsSql}) AS w
+         |        FROM documents)),
+         |bt AS (
+         |  SELECT b,
+         |    sum(CASE WHEN source = '$DsirTarget' THEN 1 ELSE 0 END) AS cp,
+         |    sum(CASE WHEN source <> '$DsirTarget' THEN 1 ELSE 0 END) AS cn
+         |  FROM occ GROUP BY b),
+         |t AS (SELECT sum(cp) AS np, sum(cn) AS nn FROM bt),
+         |lr AS (
+         |  SELECT b, CAST(round(
+         |      (ln((cp + 1.0) / (np + $DsirBuckets.0))
+         |        - ln((cn + 1.0) / (nn + $DsirBuckets.0))) * 1e6, 0)
+         |    AS BIGINT) AS lr_micro
+         |  FROM bt CROSS JOIN t),
+         |db AS (
+         |  SELECT doc_id, source, b, count(*) AS n FROM occ GROUP BY 1, 2, 3),
+         |sc AS (
+         |  SELECT d.doc_id, d.source, CAST(sum(d.n) AS BIGINT) AS n_words,
+         |    CAST(sum(d.n * l.lr_micro) AS BIGINT) AS s_micro
+         |  FROM db d JOIN lr l USING (b)
+         |  GROUP BY 1, 2),
+         |sp AS (
+         |  SELECT doc_id, source, n_words, s_micro AS logodds_micro,
+         |    round(1.0 / (1.0 + exp(-(s_micro / 1e6 / n_words))), 6)
+         |      AS p_curated
+         |  FROM sc),
+         |k2 AS (SELECT *, (2.0 - p_curated) * (2.0 - p_curated) AS d2
+         |       FROM sp),
+         |k4 AS (SELECT *, d2 * d2 AS d4 FROM k2)
+         |SELECT doc_id, source, n_words, logodds_micro, p_curated,
+         |  CAST(${hashFractionSql("doc_id")} >
+         |    1.0 - 1.0 / ((d4 * d4) * (2.0 - p_curated)) AS BIGINT) AS kept
+         |FROM k4""".stripMargin
   )
 }

@@ -317,4 +317,66 @@ class CurationSpec extends AnyFunSuite {
     assert(gated == exact)
     graft.pipeline.Chunker.clearCaches()
   }
+
+  test("q207 keep rule equals a sequential recompute AND the published Pareto form") {
+    val docs = Tables.documents(spark, d).select("doc_id", "source", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1), words(r.getString(2))))
+    def frac(s: String): Double = expressions.HashFraction.fraction(
+      org.apache.spark.unsafe.types.UTF8String.fromString(s))
+    def bucket(w: String): Long =
+      math.floor(frac(w) * Curation.DsirBuckets).toLong
+    val occ = docs.flatMap { case (id, src, ws) =>
+      ws.map(w => (id, src, bucket(w))) }
+    val cp = occ.filter(_._2 == Curation.DsirTarget).groupBy(_._3)
+      .view.mapValues(_.length.toLong).toMap.withDefaultValue(0L)
+    val cn = occ.filter(_._2 != Curation.DsirTarget).groupBy(_._3)
+      .view.mapValues(_.length.toLong).toMap.withDefaultValue(0L)
+    val (np, nn) = (cp.values.sum, cn.values.sum)
+    val lrMicro = occ.map(_._3).distinct.map { b =>
+      b -> BigDecimal((math.log((cp(b) + 1.0) / (np + Curation.DsirBuckets))
+        - math.log((cn(b) + 1.0) / (nn + Curation.DsirBuckets))) * 1e6)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    }.toMap
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expected = docs.collect { case (id, src, ws) if ws.nonEmpty =>
+      val micro = ws.map(w => lrMicro(bucket(w))).sum
+      val p = r6(1.0 / (1.0 + math.exp(-(micro / 1e6 / ws.size))))
+      val d1 = 2.0 - p; val d2 = d1 * d1; val d4 = d2 * d2
+      val kept =
+        if (frac(id.toString) > 1.0 - 1.0 / ((d4 * d4) * d1)) 1L else 0L
+      (id, src, ws.size.toLong, micro, p, kept)
+    }.toSet
+    val got = SparkEntry.queries("q207_quality_classifier")(spark, d)
+      .as[(Long, String, Long, Long, Double, Long)].collect().toSet
+    assert(got == expected)
+    assert(got.nonEmpty)
+    // the closed-form decision IS the published rule: for every doc,
+    // kept <=> np.random.pareto(9) > 1 - score with the pareto draw
+    // inverse-CDF'd from the same uniform
+    for ((id, _, _, _, p, kept) <- got) {
+      val u = frac(id.toString)
+      val pareto = math.pow(1.0 - u, -1.0 / Curation.ParetoAlpha) - 1.0
+      assert((pareto > 1.0 - p) == (kept == 1L),
+        s"doc $id: u=$u p=$p kept=$kept pareto=$pareto")
+    }
+    // the Pareto smoothing admits SOME low-p docs and drops SOME
+    // high-p docs — a stochastic, not truncation, rule; at minimum
+    // both verdicts must occur
+    assert(got.exists(_._6 == 1L) && got.exists(_._6 == 0L))
+    // planted contrast: trained on curated-vs-junk vocabularies, a raw
+    // doc written in the curated vocabulary must outscore a junk raw
+    // doc through the same model
+    val curated = (1L to 8L).map(i =>
+      (i, "good", "signal lucid cogent precise clear"))
+    val raw = Seq(
+      (100L, "crawl", "signal lucid cogent precise clear"),
+      (101L, "crawl", "zzspam qqjunk xxnoise wwblah vvgarbage"))
+    val fx = (curated ++ raw).toDF("doc_id", "source", "text")
+    val byId = Curation.qualityClassifier(fx, "good").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("p_curated")).toMap
+    assert(byId(100L) > byId(101L),
+      s"curated-vocab raw doc must outscore junk: $byId")
+    graft.pipeline.Chunker.clearCaches()
+  }
 }
