@@ -177,6 +177,58 @@ object Dedup {
   def minhashBands(shingled: DataFrame): DataFrame =
     minhashBandsFromTable(minhashTable(shingled))
 
+  /** [[minhashBands]]'s values computed as a pure PER-ROW projection:
+    * `array_min` over the doc's shingle array replaces the groupBy
+    * `min` (same lexicographic string ordering, so the signatures are
+    * bit-identical — DedupSpec pins it). This is the form a STREAMING
+    * plan needs: a doc's bands derive with no aggregation before the
+    * stateful stage, so the only shuffle is the band-bucket keyBy.
+    */
+  def bandsPerRow(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val ws = TextOps.wordsOf(col(textCol))
+    val withSh = docs
+      .select(col(idCol).as("doc"), ws.as("ws"))
+      .filter(size(col("ws")) >= 3)
+      .select(col("doc"), array_distinct(
+        transform(sequence(lit(0), size(col("ws")) - 3), i =>
+          concat_ws(" ", element_at(col("ws"), i + 1),
+            element_at(col("ws"), i + 2),
+            element_at(col("ws"), i + 3)))).as("sh"))
+    val withMh = withSh.select(col("doc") +: (0 until MinhashFuncs).map(k =>
+      array_min(transform(col("sh"), s =>
+        sha2(concat_ws(":", lit(k.toString), s), 256))).as(s"mh$k")): _*)
+    minhashBandsFromTable(withMh)
+  }
+
+  /** Band-level (doc, partner, band_idx) collisions of the
+    * arrival-ordered ingestion gate — the shared core of [[neardupGate]]
+    * and the parity target StreamingSpec pins the streaming arm
+    * against. Arrival order is doc-id order (q78's convention); every
+    * doc PROBES the index, membership is capped at [[BandBucketCap]]
+    * per bucket in arrival order (exactly the streaming processor's
+    * list-state cap), and a collision pairs the prober with an
+    * earlier-arrived member.
+    */
+  def neardupGatePairs(bands: DataFrame): DataFrame = {
+    val members = capBuckets(bands, Seq("band_idx", "band_hash"), "doc")
+    bands.as("a").join(members.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_hash") === col("b.band_hash") &&
+          col("b.doc") < col("a.doc"))
+      .select(col("a.doc").as("doc"), col("b.doc").as("partner"),
+        col("a.band_idx").as("band_idx"))
+  }
+
+  /** q208 rollup: per arriving doc, the earlier near-dup partners an
+    * arrival-ordered ingestion run would have flagged it against.
+    */
+  def neardupGate(bands: DataFrame): DataFrame =
+    neardupGatePairs(bands)
+      .groupBy(col("doc").as("doc_id"))
+      .agg(countDistinct(col("partner")).as("n_partners"),
+        min(col("partner")).as("first_partner"),
+        count(lit(1)).as("n_shared_bands"))
+
   def minhashCandidatesFromShingles(shingled: DataFrame): DataFrame =
     minhashCandidatesFromMinhashes(minhashTable(shingled))
 
@@ -1311,7 +1363,28 @@ object Dedup {
           greatest(col("src_a"), col("src_b")).as("source_y"))
         .agg(count(lit(1)).as("n_pairs"),
           round(avg(col("n_shared_bands")), 6).as("avg_bands"))
-    })
+    }),
+
+    // STREAMING near-dup ingestion gate, batch twin — the q41 MinHash
+    // index run as a sequential arrival-ordered gate: doc N probes the
+    // band index built from docs 1..N-1 (arrival = id order, q78's
+    // convention) and is flagged with its earlier near-dup partners;
+    // membership per bucket is capped at [[BandBucketCap]] in arrival
+    // order, exactly the list-state cap the streaming arm enforces.
+    // ONE definition, two executions: this oracle-checked batch form
+    // ([[neardupGate]]) and the Structured Streaming arm
+    // (streaming/StatefulNeardupGate.scala — transformWithState with
+    // per-bucket ListState over the SAME per-row band projection
+    // [[bandsPerRow]]), which StreamingSpec proves band-level
+    // IDENTICAL across micro-batches, including cross-batch index
+    // growth and the cap. q171 probes one batch against a static
+    // corpus; this is the fully incremental form a crawl-ingestion
+    // pipeline runs forever. Scale shape: the stateful shuffle keys on
+    // (band_idx, band_hash) — collision-sized buckets, RocksDB state
+    // rows bounded by cap × distinct buckets, per-micro-batch cost
+    // batch-sized, never corpus-sized.
+    "q208_stream_neardup_gate" -> ((s, d) =>
+      neardupGate(minhashBandsFromTable(corpusMinhash(s, d))))
   )
 
   /** q128 synthesized-line width (words per line). */
@@ -1978,6 +2051,20 @@ object Dedup {
          |FROM cands c
          |JOIN documents sa ON sa.doc_id = c.doc_a
          |JOIN documents sb ON sb.doc_id = c.doc_b
-         |GROUP BY 1, 2""".stripMargin
+         |GROUP BY 1, 2""".stripMargin,
+
+    // Probes are UNCAPPED (bands_raw: every doc probes the index);
+    // members are the capped `bands` CTE (first BandBucketCap per
+    // bucket in doc order — the streaming list-state cap).
+    "q208_stream_neardup_gate" ->
+      s"""$minhashCtes
+         |SELECT a.doc AS doc_id,
+         |  CAST(count(DISTINCT b.doc) AS BIGINT) AS n_partners,
+         |  min(b.doc) AS first_partner,
+         |  CAST(count(*) AS BIGINT) AS n_shared_bands
+         |FROM bands_raw a JOIN bands b
+         |  ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+         |  AND b.doc < a.doc
+         |GROUP BY a.doc""".stripMargin
   )
 }

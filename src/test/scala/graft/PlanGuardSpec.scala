@@ -78,6 +78,7 @@ class PlanGuardSpec extends AnyFunSuite {
     "q197_ann_ndcg" -> "inherits q38's exact-baseline corpus x query-set crossJoin (truth arm)",
     "q173_proportional_sample" -> "1-row corpus total + 1-row base-seat sum, both broadcast",
     "q192_dsir_weights" -> "1-row target/raw occurrence totals into the 256-row bucket model",
+    "q207_quality_classifier" -> "1-row class-occurrence totals into the 256-row bucket model (q192's shape)",
     "q193_ccnet_buckets" -> "1-row corpus occurrence total into the unigram LM",
     "ref_token_cost" -> "1-row token total x 4-row model price table")
 

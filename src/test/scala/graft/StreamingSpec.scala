@@ -503,4 +503,50 @@ class StreamingSpec extends AnyFunSuite with CacheCleanup {
     assert(canon(got) == canon(want))
     assert(got.count() > 0)
   }
+
+  test("streaming near-dup gate == batch q208 across micro-batches, " +
+    "including the list-state bucket cap") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import graft.queries.Dedup
+    val base = "alpha beta gamma delta epsilon zeta"
+    val flood = "flood one two three four five six"
+    def docs(rows: (Long, String)*) = rows.toSeq.toDF("doc_id", "text")
+    // arrival order = doc-id order: batch i's ids all precede batch
+    // i+1's (the processor sorts within a batch; the harness stages
+    // batches in sequence), so the batch twin's global doc order IS
+    // the stream's arrival order
+    val b1 = docs(1L -> base, 2L -> "totally unrelated words here now",
+      3L -> "another different document entirely speaking", 5L -> base)
+    val b2 = docs((Seq(7L -> "alpha beta gamma delta epsilon eta",
+      12L -> base) ++ (100L to 139L).map(_ -> flood)): _*)
+    val b3 = docs(((140L to 169L).map(_ -> flood) :+ (200L -> base)): _*)
+    val all = Seq(b1, b2, b3).reduce(_ unionAll _)
+    // the per-row band projection the stream uses must be bit-identical
+    // to the batch aggregate form
+    val perRow = Dedup.bandsPerRow(all, "doc_id", "text")
+    assert(canon(perRow)
+      == canon(Dedup.minhashBands(Dedup.shingleTable(all, "doc_id", "text"))))
+    val got = StreamingJobs.runIncremental(spark, Seq(b1, b2, b3),
+      df => graft.streaming.StatefulNeardupGate.gateStream(df).toDF(),
+      "t_neardup_gate")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val want = Dedup.neardupGatePairs(perRow)
+      .collect()
+      .map(r => (r.getAs[Long]("doc"), r.getAs[Long]("partner"),
+        r.getAs[Int]("band_idx"))).toSet
+    assert(got == want, s"stream=${got.size} batch=${want.size}")
+    // gate direction: a collision always points at an EARLIER arrival
+    assert(got.forall { case (d, p, _) => p < d })
+    // cross-batch identity: doc 200 (batch 3) collides with 1, 5
+    // (batch 1) and 12 (batch 2) on all three bands
+    for (p <- Seq(1L, 5L, 12L); b <- 0 until Dedup.MinhashBands)
+      assert(got.contains((200L, p, b)), s"missing (200,$p,$b)")
+    // the cap binds: the 70-doc flood bucket stops admitting members at
+    // BandBucketCap, so the last flood doc sees exactly 64 partners
+    // (ids 100..163) on each band, never 68
+    val lastFlood = got.filter(c => c._1 == 169L && c._3 == 0).map(_._2)
+    assert(lastFlood == (100L to 163L).toSet)
+    graft.pipeline.Chunker.clearCaches()
+  }
 }
