@@ -115,8 +115,52 @@ object Multimodal {
           sum(col("n_bytes")).as("shard_bytes"),
           min(col("doc_id")).as("first_id"),
           max(col("doc_id")).as("last_id"))
-    })
+    }),
+
+    // Media NEAR-dup by perceptual hash — the multimodal member of the
+    // dedup family (the other entries near-dup text/embeddings; a
+    // media corpus dedups re-encoded copies by a perceptual signature,
+    // not the q48 exact content fingerprint). Average-hash over the
+    // stubbed decode ([[mediaPhash]]), then the standard LSH shape:
+    // OR-banding the 48-bit signature into [[PHashBands]] exact-match
+    // sub-signatures (a pair within [[PHashMaxHam]] bit flips misses
+    // all bands only if every band catches a flip — the SimHash
+    // pigeonhole), bucket-capped like every band join here, verified
+    // by exact Hamming distance as one bit_count(XOR) on the packed
+    // BIGINTs. Scale shape: phash is a pure projection (persisted —
+    // three consumers), the candidate join shuffles on
+    // (band_idx, band_sig) collision buckets, the verify runs on
+    // candidate pairs only — never N².
+    "q209_media_phash_neardup" -> ((s, d) => phashNeardup(documents(s, d)))
   )
+
+  /** q209 body over any documents-shaped frame — see the catalog
+    * entry's scaladoc; split out so the spec drives a planted
+    * re-encoded-copy fixture through the full band+verify pipeline.
+    */
+  def phashNeardup(docs: DataFrame): DataFrame = {
+    val ph = mediaPhash(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.pipeline.Chunker.registerForCleanup(ph)
+    val bands = ph.select(col("doc_id"),
+        explode(sequence(lit(0), lit(PHashBands - 1))).as("band_idx"),
+        col("phash"))
+      .withColumn("band_sig", expr(
+        s"shiftright(phash, band_idx * $PHashBandBits) & ${(1 << PHashBandBits) - 1}"))
+      .select(col("doc_id"), col("band_idx"), col("band_sig"))
+    val capped = Dedup.capBuckets(bands, Seq("band_idx", "band_sig"), "doc_id")
+    capped.as("a").join(capped.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_sig") === col("b.band_sig") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared_bands"))
+      .join(ph.select(col("doc_id").as("doc_a"), col("phash").as("pa")), Seq("doc_a"))
+      .join(ph.select(col("doc_id").as("doc_b"), col("phash").as("pb")), Seq("doc_b"))
+      .withColumn("hamming", expr("CAST(bit_count(pa ^ pb) AS LONG)"))
+      .filter(col("hamming") <= PHashMaxHam)
+      .select(col("doc_a"), col("doc_b"), col("n_shared_bands"), col("hamming"))
+  }
 
   /** q155 shard byte budget: ~32 fixture docs per shard, so every SF
     * yields a multi-shard, multi-item-per-shard layout (production
@@ -124,7 +168,119 @@ object Multimodal {
     */
   val MediaShardBytes = 10000L
 
+  /** q209 perceptual-hash grid (8x6 cells), OR-banding split, and the
+    * Hamming acceptance bar. Blobs smaller than the grid carry no
+    * stable signature and are excluded (documented contract — real
+    * media is KBs+).
+    */
+  val PHashCells = 48
+  val PHashBands = 4
+  val PHashBandBits = 12
+  val PHashMaxHam = 8
+
+  /** q209 per-blob average-hash: (doc_id, phash BIGINT). The "decode"
+    * is the deterministic stub the fixture contract allows (the blob's
+    * byte stream read as the luma signal — a real deployment swaps in
+    * an image decoder at exactly this column boundary); everything
+    * downstream of the stub is the real thing. The grid resample is
+    * [[PHashCells]] byte-sum cells at proportional offsets (the
+    * alignment-normalizing "resize"), the bit rule is cell*cells >
+    * total (exact integer compare against the mean), and the bits pack
+    * into one BIGINT so the dedup stage joins and XORs scalars, never
+    * strings. Pure per-row projection — no shuffle.
+    */
+  def mediaPhash(docs: DataFrame): DataFrame = {
+    val c = PHashCells
+    docs
+      .withColumn("media", col("text").cast("binary"))
+      .withColumn("nb", octet_length(col("media")).cast("long"))
+      .filter(col("nb") >= c)
+      .withColumn("h", hex(col("media")))
+      // cell k = sum of byte values in [floor(k*nb/c), floor((k+1)*nb/c))
+      // — 1-based hex chars 2p+1..2p+2 parse byte p; nb >= cells makes
+      // every cell non-empty, so the sequence bounds are always
+      // ascending
+      .withColumn("cells", expr(
+        s"""transform(sequence(0L, ${c - 1}L), k ->
+           |  aggregate(
+           |    sequence(CAST(floor(CAST(k * nb AS DOUBLE) / $c.0) AS LONG),
+           |      CAST(floor(CAST((k + 1) * nb AS DOUBLE) / $c.0) AS LONG) - 1),
+           |    0L,
+           |    (acc, p) -> acc
+           |      + CAST(conv(substring(h, CAST(p AS INT) * 2 + 1, 2), 16, 10)
+           |          AS LONG)))""".stripMargin))
+      .withColumn("total", expr("aggregate(cells, 0L, (a, x) -> a + x)"))
+      .withColumn("phash", expr(
+        s"""aggregate(sequence(0L, ${c - 1}L), 0L, (acc, k) ->
+           |  acc + IF(element_at(cells, CAST(k AS INT) + 1) * $c > total,
+           |    shiftleft(1L, CAST(k AS INT)), 0L))""".stripMargin))
+      .select(col("doc_id"), col("phash"))
+  }
+
+  /** DuckDB twin of one [[mediaPhash]] byte parse: two uppercase hex
+    * digits of `h` at 0-based byte offset `p` (the hashFractionSql
+    * ascii-CASE pattern — DuckDB has no conv()).
+    */
+  private def hexByteSql(p: String): String = {
+    def digit(off: Int): String = {
+      val c = s"ascii(substring(h, CAST($p AS INT) * 2 + $off, 1))"
+      s"CAST(CASE WHEN $c <= 57 THEN $c - 48 ELSE $c - 55 END AS BIGINT)"
+    }
+    s"(${digit(1)} * 16 + ${digit(2)})"
+  }
+
+  private def q209OracleSql: String = {
+    val c = PHashCells
+    s"""WITH m AS (
+       |  SELECT doc_id, hex(encode(text)) AS h,
+       |    CAST(octet_length(encode(text)) AS BIGINT) AS nb
+       |  FROM documents
+       |  WHERE octet_length(encode(text)) >= $c),
+       |pos AS (
+       |  SELECT doc_id, t.k AS k,
+       |    list_sum(list_transform(
+       |      range(CAST(floor(CAST(t.k * nb AS DOUBLE) / $c.0) AS BIGINT),
+       |        CAST(floor(CAST((t.k + 1) * nb AS DOUBLE) / $c.0) AS BIGINT)),
+       |      p -> ${hexByteSql("p")})) AS s
+       |  FROM m CROSS JOIN (SELECT unnest(range(0, $c)) AS k) t),
+       |tot AS (SELECT doc_id, sum(s) AS tot FROM pos GROUP BY doc_id),
+       |ph AS (
+       |  SELECT p.doc_id, CAST(sum(
+       |      CASE WHEN p.s * $c > t.tot
+       |           THEN (CAST(1 AS BIGINT) << CAST(p.k AS INT)) ELSE 0 END)
+       |    AS BIGINT) AS phash
+       |  FROM pos p JOIN tot t USING (doc_id)
+       |  GROUP BY p.doc_id),
+       |bands AS (
+       |  SELECT doc_id, bb.b AS band_idx,
+       |    (phash >> (bb.b * $PHashBandBits)) & ${(1 << PHashBandBits) - 1}
+       |      AS band_sig
+       |  FROM ph CROSS JOIN (SELECT unnest(range(0, $PHashBands)) AS b) bb),
+       |capped AS (
+       |  SELECT doc_id, band_idx, band_sig FROM (
+       |    SELECT doc_id, band_idx, band_sig,
+       |      row_number() OVER (PARTITION BY band_idx, band_sig
+       |        ORDER BY doc_id) AS brk
+       |    FROM bands)
+       |  WHERE brk <= ${Dedup.BandBucketCap}),
+       |pairs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    count(*) AS n_shared_bands
+       |  FROM capped a JOIN capped b
+       |    ON a.band_idx = b.band_idx AND a.band_sig = b.band_sig
+       |    AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT p.doc_a, p.doc_b, p.n_shared_bands,
+       |  CAST(bit_count(xor(pa.phash, pb.phash)) AS BIGINT) AS hamming
+       |FROM pairs p
+       |JOIN ph pa ON pa.doc_id = p.doc_a
+       |JOIN ph pb ON pb.doc_id = p.doc_b
+       |WHERE bit_count(xor(pa.phash, pb.phash)) <= $PHashMaxHam""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q209_media_phash_neardup" -> q209OracleSql,
+
     "q44_props_struct" ->
       """SELECT event_type, count(*) AS n,
         |  CAST(sum(k) AS BIGINT) AS k_sum,

@@ -201,6 +201,7 @@ class EmptyInputSpec extends AnyFunSuite with CacheCleanup {
       .count() == 0)
     assert(Dedup.neardupGate(
       Dedup.bandsPerRow(noDocs2, "doc_id", "text")).count() == 0)
+    assert(graft.queries.Multimodal.phashNeardup(noDocs2).count() == 0)
     val short2 = (1L to 20L).map(i => (i, "too short")).toDF("doc_id", "text")
     assert(graft.queries.Curation.bloomDecontaminate(short2).count() == 0)
     graft.pipeline.Chunker.clearCaches()

@@ -77,4 +77,57 @@ class MultimodalSpec extends AnyFunSuite {
     }
     assert(out.forall(_._2 > 0))
   }
+
+  test("q209 phash equals a sequential recompute; re-encoded copies pair, " +
+    "unrelated blobs don't") {
+    import graft.queries.Multimodal
+    val c = Multimodal.PHashCells
+    // sequential twin of mediaPhash on raw UTF-8 bytes
+    def phashOf(text: String): Long = {
+      val bytes = text.getBytes("UTF-8").map(b => (b & 0xff).toLong)
+      val n = bytes.length.toLong
+      require(n >= c)
+      val cells = (0 until c).map { k =>
+        val lo = math.floor(k * n / c.toDouble).toLong.toInt
+        val hi = math.floor((k + 1) * n / c.toDouble).toLong.toInt
+        bytes.slice(lo, hi).sum
+      }
+      val total = cells.sum
+      (0 until c).foldLeft(0L) { (acc, k) =>
+        if (cells(k) * c > total) acc | (1L << k) else acc
+      }
+    }
+    val base = ("the quick brown fox jumps over the lazy dog " * 4).trim
+    val corrupt = base.updated(10, 'X').updated(90, 'Y') // a "re-encode"
+    // NOT a periodic repeat: a repeating pattern's cell sums are
+    // near-uniform like the base's, and two near-uniform signatures
+    // can land within the Hamming bar by construction
+    val other = "Seventeen quiet librarians catalogued obscure " +
+      "manuscripts beneath flickering halogen lamps while rain hammered " +
+      "the museum roof and distant thunder rolled across the valley " +
+      "floor for hours on end"
+    val docs = Seq(1L -> base, 2L -> base, 3L -> corrupt, 4L -> other,
+      5L -> "short").toDF("doc_id", "text")
+    val got = Multimodal.mediaPhash(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("phash")).toMap
+    // blobs below the grid size carry no signature
+    assert(got.keySet == Set(1L, 2L, 3L, 4L))
+    for ((id, t) <- Seq(1L -> base, 2L -> base, 3L -> corrupt, 4L -> other))
+      assert(got(id) == phashOf(t), s"doc $id phash diverged")
+    // fixture pairing through the FULL band+verify pipeline: identical
+    // blobs at hamming 0, the corrupted copy within the bar, the
+    // unrelated blob absent
+    val pairs = Multimodal.phashNeardup(docs).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->
+        r.getAs[Long]("hamming")).toMap
+    assert(pairs((1L, 2L)) == 0L)
+    assert(pairs.contains((1L, 3L)) && pairs.contains((2L, 3L)),
+      s"re-encoded copy must pair with both originals: $pairs")
+    assert(pairs((1L, 3L)) <= Multimodal.PHashMaxHam)
+    assert(!pairs.keySet.exists(p => p._1 == 4L || p._2 == 4L),
+      "unrelated blob must not pair")
+    assert(java.lang.Long.bitCount(got(1L) ^ got(4L)) >
+      Multimodal.PHashMaxHam)
+    graft.pipeline.Chunker.clearCaches()
+  }
 }
