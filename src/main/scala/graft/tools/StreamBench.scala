@@ -108,6 +108,19 @@ object StreamBench {
       stageBatch(keys10Dir, evK10.filter(col("slice") === i).drop("slice"), i - 1)
       stageBatch(skewDir, evSkew.filter(col("slice") === i).drop("slice"), i - 1)
     }
+    // documents stream for the q208 near-dup ingestion gate: id-ordered
+    // slices (arrival = id order, the gate's parity contract)
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"))
+      .withColumn("slice",
+        ntile(nBatches).over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("doc_id"))))
+    val docsDir = java.nio.file.Files.createTempDirectory("graft-sbench-docs")
+    (1 to nBatches).foreach(i =>
+      stageBatch(docsDir, docs.filter(col("slice") === i).drop("slice"), i - 1))
+    val docsSchema = spark.read.parquet(s"$docsDir/batch-00000.parquet").schema
+    def docsSrc(): DataFrame = spark.readStream.schema(docsSchema)
+      .option("maxFilesPerTrigger", 1).parquet(docsDir.toString)
     val schema = spark.read.parquet(s"$srcDir/batch-00000.parquet").schema
 
     def srcFrom(dir: java.nio.file.Path): DataFrame = graft.Tables.normalizeTs(
@@ -158,6 +171,12 @@ object StreamBench {
           .as[graft.streaming.KeyedEvent]).toDF()),
       measure("interval_join_outer_q196",
         graft.streaming.StreamingJobs.attributionJoinOuter(src(), src())),
+      // q208 near-dup ingestion gate: the band index accretes across
+      // batches in ListState — state_rows tracks cap-bounded bucket
+      // membership (corpus-shaped, not row-shaped), rows_in counts the
+      // document stream.
+      measure("neardup_gate_tws",
+        graft.streaming.StatefulNeardupGate.gateStream(docsSrc()).toDF()),
       // keys-scaling arms on the transformWithState running stats (the
       // per-key-state flagship): state_rows_last must track the KEY
       // count (~10x base for keys_x10, ~collapsed for keys_skewed)
@@ -181,6 +200,7 @@ object StreamBench {
     deleteRecursively(srcDir)
     deleteRecursively(keys10Dir)
     deleteRecursively(skewDir)
+    deleteRecursively(docsDir)
     spark.stop()
 
     def jnum(v: Double): String =
