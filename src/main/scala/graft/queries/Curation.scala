@@ -136,7 +136,63 @@ object Curation {
           .cast("long").as("contaminated"))
   }
 
+  /** q211 budget denominator: select the best prefix that fits
+    * total_tokens / BudgetDenom tokens (25% — the "train on the best
+    * quarter of the crawl" shape).
+    */
+  val BudgetDenom = 4
+
+  /** Token-budget-constrained greedy selection (q211): the compute-
+    * budgeting step every curated pretraining run ends with — given a
+    * token budget (a fixed fraction of the corpus here; the published
+    * recipes fix it in absolute tokens), keep the documents with the
+    * best quality-per-token until the budget is spent (greedy by value
+    * density — the classic knapsack relaxation, and exactly how
+    * classifier-scored corpora like GPT-3's curated CommonCrawl or
+    * FineWeb-Edu are cut to size). Quality here is the stopword rate
+    * per token (the q45 naturalness signal; the SCORE is the
+    * operator's parameter — any per-doc double plugs in). Determinism
+    * & parity: density is one IEEE division of two integer counts
+    * (bit-identical across engines), ties break on doc_id, and the
+    * cumulative token sum is [[Chunker.runningSum]]'s two-phase
+    * prefix sum over a range partition — the scalable global-order
+    * discipline (no single-partition window), with the budget
+    * comparison in exact integers. Scale shape: one corpus scan
+    * (persisted by runningSum), one range shuffle, a 1-row broadcast
+    * budget; at 100 TB the range sort on (density, id) is the same
+    * shape as any global top-k export.
+    */
+  def budgetSelect(docs: DataFrame): DataFrame = {
+    val stops = array(TextAnalytics.Stopwords.map(lit): _*)
+    val base = docs
+      .withColumn("ws", TextOps.wordsOf(col("text")))
+      .withColumn("n_tok",
+        graft.functions.token_count(col("text")).cast("long"))
+      .withColumn("stop_n",
+        size(filter(col("ws"), w => array_contains(stops, w))).cast("long"))
+      .filter(col("n_tok") > 0L)
+      .withColumn("density", col("stop_n").cast("double") / col("n_tok"))
+      .select(col("doc_id"), col("source"), col("n_tok"), col("density"))
+    // ascending struct sort == (density DESC, doc_id ASC): 0 − x is the
+    // exact IEEE sign flip, so the order is the oracle's order
+    val keyed = base.withColumn("_sel_key",
+      struct((lit(0.0) - col("density")).as("nd"), col("doc_id").as("id")))
+    val cum = graft.pipeline.Chunker
+      .runningSum(keyed, "_sel_key", "n_tok", "cum_tok")
+    // the final cumulative value IS the corpus total — read it off the
+    // persisted prefix-sum table instead of re-scanning the corpus
+    val budget = cum.agg(max(col("cum_tok")).as("w_tot"))
+      .select(expr(s"w_tot div $BudgetDenom").as("budget"))
+    cum.crossJoin(broadcast(budget))
+      .filter(col("cum_tok") <= col("budget"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_sel"), sum(col("n_tok")).as("tok_sel"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Token-budget corpus cut — see [[budgetSelect]].
+    "q211_budget_select" -> ((s, d) => budgetSelect(documents(s, d))),
 
     // Inverted-index build — the retrieval side of a curation stack
     // (BM25/q114 scores ad hoc; this MATERIALIZES the postings): one
@@ -515,6 +571,27 @@ object Curation {
   }
 
   def oracles: Map[String, String] = Map(
+
+    "q211_budget_select" -> {
+      val stops = TextAnalytics.Stopwords.map(s => s"'$s'").mkString(", ")
+      s"""WITH t AS (
+         |  SELECT doc_id, source,
+         |    CAST(${RefPipeline.tokenCountSql("text")} AS BIGINT) AS n_tok,
+         |    CAST(len(list_filter(${TextOps.wordsSql}, w ->
+         |      list_contains([$stops], w))) AS BIGINT) AS stop_n
+         |  FROM documents),
+         |f AS (SELECT * FROM t WHERE n_tok > 0),
+         |b AS (SELECT CAST(sum(n_tok) AS BIGINT) // $BudgetDenom AS budget
+         |      FROM f),
+         |c AS (SELECT source, n_tok,
+         |    sum(n_tok) OVER (
+         |      ORDER BY CAST(stop_n AS DOUBLE) / n_tok DESC, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM f)
+         |SELECT source, count(*) AS n_sel, CAST(sum(n_tok) AS BIGINT) AS tok_sel
+         |FROM c WHERE cum <= (SELECT budget FROM b)
+         |GROUP BY source""".stripMargin
+    },
 
     "q199_decontaminate" ->
       s"""WITH g AS (

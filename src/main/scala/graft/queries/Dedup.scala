@@ -872,8 +872,69 @@ object Dedup {
         (jac >= lit(t)).cast("long").as("passes"))
   }
 
+  /** q210 theoretical S-curve points: detection probability
+    * 1 − (1 − s^r)^b of an (r rows × b bands) MinHash index at the
+    * midpoint similarity of each jaccard-decile stratum (the standard
+    * banding analysis — Leskovec/Rajaraman/Ullman, MMDS ch. 3;
+    * r = [[MinhashFuncs]]/[[MinhashBands]], b = [[MinhashBands]]).
+    * Computed ONCE here in driver-side Scala and embedded as the SAME
+    * integer-ppm literal in both the Spark plan and the DuckDB oracle,
+    * so the cross-engine hash never touches a pow() library call.
+    * Strata cover the certified range [PrefixJoinT, 1]: buckets 6–9
+    * are deciles (midpoints 0.65…0.95), bucket 10 is exact duplicates
+    * (s = 1, detection 1).
+    */
+  val ScurveTheoPpm: Seq[(Long, Long)] = {
+    val r = MinhashFuncs / MinhashBands
+    (6L to 10L).map { b =>
+      val sMid = if (b == 10L) 1.0 else (b + 0.5) / 10.0
+      val p = 1.0 -
+        math.pow(1.0 - math.pow(sMid, r.toDouble), MinhashBands.toDouble)
+      b -> math.floor(p * 1e6).toLong
+    }
+  }
+
+  /** S-curve calibration of the MinHash band index (q210): per
+    * similarity stratum, how many certified J ≥ t pairs (the q151
+    * AllPairs truth) the banded index actually detects, next to the
+    * closed-form [[ScurveTheoPpm]] reference at the stratum midpoint.
+    * q188 reports ONE aggregate recall; this shows WHERE the misses
+    * live — the bottom stratum, at the knee of the S-curve — so the
+    * re-banding decision ("more bands? lower threshold? both?") reads
+    * off a table instead of folklore. All-integer output (pair counts
+    * + literal ppm), so the oracle hash is exact; the decile bucket is
+    * floor(jaccard × 10) on the SAME rounded double both engines
+    * already hash-match in q151, clamped to [6, 10] so a boundary
+    * value landing on either side of a decile edge lands there in
+    * BOTH engines. Fixture-testable core: `truth` = certified pairs
+    * with a rounded `jaccard` column, `cands` = banded candidates.
+    */
+  def lshScurve(truth: DataFrame, cands: DataFrame): DataFrame = {
+    val det = cands.select(col("doc_a"), col("doc_b"), lit(1L).as("det"))
+    val theoCol = ScurveTheoPpm.tail.foldLeft(
+      when(col("bucket") === lit(ScurveTheoPpm.head._1),
+        lit(ScurveTheoPpm.head._2))) { case (acc, (b, ppm)) =>
+      acc.when(col("bucket") === lit(b), lit(ppm))
+    }
+    truth.join(det, Seq("doc_a", "doc_b"), "left")
+      .withColumn("bucket",
+        greatest(lit(6L), least(lit(10L), floor(col("jaccard") * lit(10)))))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(coalesce(col("det"), lit(0L))).as("n_detected"))
+      .withColumn("theo_detect_ppm", theoCol)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q151_prefix_join" -> ((s, d) => corpusPrefixJoin(s, d)),
+
+    // S-curve calibration — see [[lshScurve]]. Truth from the shared
+    // certified pair table, candidates from the shared banded index:
+    // ZERO new corpus scans (both arms are memoized corpus builds).
+    "q210_lsh_scurve" -> ((s, d) => lshScurve(
+      corpusPrefixJoin(s, d).filter(col("passes") === 1L)
+        .select(col("doc_a"), col("doc_b"), col("jaccard")),
+      corpusCandidates(s, d))),
 
     // Dedup-index EVALUATION — recall/precision of the MinHash-LSH
     // candidate set against the EXACT J >= t ground truth the q151
@@ -1558,6 +1619,64 @@ object Dedup {
          |  round(CAST(n_tp AS DOUBLE) / n_truth, 6) AS recall,
          |  round(CAST(n_tp AS DOUBLE) / n_cands, 6) AS cand_precision
          |FROM t1 CROSS JOIN t2 CROSS JOIN t3""".stripMargin
+    },
+
+    "q210_lsh_scurve" -> {
+      val t = PrefixJoinT
+      val posC = t / (1 + t)
+      val theoCase = ScurveTheoPpm.map { case (b, p) =>
+        s"WHEN $b THEN CAST($p AS BIGINT)" }.mkString(" ")
+      s"""$minhashCtes,
+         |counts AS (SELECT doc, count(*) AS n_sh FROM shingles GROUP BY 1),
+         |dfreq AS (SELECT shingle, count(*) AS df FROM shingles GROUP BY 1),
+         |pre AS (
+         |  SELECT doc, shingle, r, n_sh FROM (
+         |    SELECT s.doc, s.shingle, c.n_sh,
+         |      row_number() OVER (PARTITION BY s.doc
+         |        ORDER BY f.df, s.shingle) AS r
+         |    FROM shingles s
+         |    JOIN dfreq f ON f.shingle = s.shingle
+         |    JOIN counts c ON c.doc = s.doc)
+         |  WHERE r <= n_sh - CAST(ceil($t * n_sh) AS BIGINT) + 1),
+         |pcands AS (
+         |  SELECT a.doc AS doc_a, b.doc AS doc_b,
+         |    min(a.r) AS ra, min(b.r) AS rb,
+         |    max(a.n_sh) AS na, max(b.n_sh) AS nb
+         |  FROM pre a JOIN pre b
+         |    ON a.shingle = b.shingle AND a.doc < b.doc
+         |  GROUP BY 1, 2),
+         |filt AS (
+         |  SELECT doc_a, doc_b, na, nb FROM pcands
+         |  WHERE least(na, nb) >= $t * greatest(na, nb)
+         |    AND 1 + least(na - ra, nb - rb) >= ceil($posC * (na + nb))),
+         |inter AS (
+         |  SELECT f.doc_a, f.doc_b, count(*) AS n_inter
+         |  FROM filt f
+         |  JOIN shingles sa ON sa.doc = f.doc_a
+         |  JOIN shingles sb ON sb.doc = f.doc_b AND sb.shingle = sa.shingle
+         |  GROUP BY 1, 2),
+         |tru AS (
+         |  SELECT f.doc_a, f.doc_b,
+         |    round(CAST(i.n_inter AS DOUBLE) / (f.na + f.nb - i.n_inter), 6)
+         |      AS jaccard
+         |  FROM filt f
+         |  JOIN inter i ON i.doc_a = f.doc_a AND i.doc_b = f.doc_b
+         |  WHERE CAST(i.n_inter AS DOUBLE) / (f.na + f.nb - i.n_inter) >= $t),
+         |mcands AS (
+         |  SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+         |    AND a.doc < b.doc),
+         |bkt AS (
+         |  SELECT greatest(6, least(10,
+         |      CAST(floor(tr.jaccard * 10) AS BIGINT))) AS bucket,
+         |    CASE WHEN m.doc_a IS NULL THEN 0 ELSE 1 END AS det
+         |  FROM tru tr
+         |  LEFT JOIN mcands m ON m.doc_a = tr.doc_a AND m.doc_b = tr.doc_b)
+         |SELECT bucket, count(*) AS n_pairs,
+         |  CAST(sum(det) AS BIGINT) AS n_detected,
+         |  CASE bucket $theoCase END AS theo_detect_ppm
+         |FROM bkt GROUP BY bucket""".stripMargin
     },
 
     "q130_minhash_estimate" -> {

@@ -379,4 +379,36 @@ class CurationSpec extends AnyFunSuite {
       s"curated-vocab raw doc must outscore junk: $byId")
     graft.pipeline.Chunker.clearCaches()
   }
+
+  test("q211 budget cut equals the sequential greedy-by-density " +
+    "knapsack on the fixture corpus") {
+    val docs = Tables.documents(spark, d)
+    // per-doc (source, n_tok, stop_n) under the ENGINE's own counter
+    // (the token estimator is the operator's parameter, not under
+    // test); the greedy cut is recomputed sequentially from there
+    val stops = graft.queries.TextAnalytics.Stopwords.toSet
+    val rows = docs.select(col("doc_id"), col("source"),
+        graft.functions.token_count(col("text")).cast("long").as("n_tok"),
+        col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        words(r.getString(3)).count(stops).toLong))
+      .filter(_._3 > 0L)
+    val ordered = rows.sortBy { case (id, _, tok, stop) =>
+      (-(stop.toDouble / tok), id) }
+    val budget = rows.map(_._3).sum / Curation.BudgetDenom
+    var acc = 0L
+    val selected = ordered.takeWhile { case (_, _, tok, _) =>
+      acc += tok; acc <= budget }
+    val expected = selected.groupBy(_._2).view.mapValues(g =>
+      (g.length.toLong, g.map(_._3).sum)).toMap
+    assert(selected.nonEmpty && selected.length < rows.length,
+      "fixture budget must bind strictly inside the corpus")
+    val got = Curation.budgetSelect(docs).collect()
+      .map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("n_sel"), r.getAs[Long]("tok_sel")))).toMap
+    assert(got == expected,
+      s"diverges: missing=${(expected.toSet -- got.toSet).take(3)} " +
+        s"extra=${(got.toSet -- expected.toSet).take(3)}")
+    graft.pipeline.Chunker.clearCaches()
+  }
 }

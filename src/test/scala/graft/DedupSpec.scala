@@ -644,4 +644,48 @@ class DedupSpec extends AnyFunSuite with CacheCleanup {
       s"spans diverge: missing=${(expected -- got).take(3)} " +
         s"extra=${(got -- expected).take(3)}")
   }
+
+  test("q210 S-curve buckets, clamps, detection flags, and theo ppm " +
+    "match a sequential recompute on a planted pair table") {
+    // truth pairs spanning every stratum, incl. both boundary artifacts:
+    // a 0.6 jaccard (could floor to bucket 5 — must clamp up to 6) and
+    // an exact duplicate at 1.0 (bucket 10, not 9)
+    val truth = Seq(
+      (1L, 2L, 0.6), (1L, 3L, 0.65), // bucket 6
+      (2L, 3L, 0.75), // bucket 7
+      (4L, 5L, 0.85), (4L, 6L, 0.89), // bucket 8
+      (5L, 6L, 0.95), // bucket 9
+      (7L, 8L, 1.0) // bucket 10
+    ).toDF("doc_a", "doc_b", "jaccard")
+    // the band index "detects" a subset: one per bucket except 8
+    val cands = Seq((1L, 2L), (2L, 3L), (5L, 6L), (7L, 8L))
+      .toDF("doc_a", "doc_b")
+    val got = Dedup.lshScurve(truth, cands).collect()
+      .map(r => r.getAs[Long]("bucket") ->
+        ((r.getAs[Long]("n_pairs"), r.getAs[Long]("n_detected"),
+          r.getAs[Long]("theo_detect_ppm")))).toMap
+    def theo(s: Double): Long =
+      math.floor((1.0 - math.pow(1.0 - math.pow(s, 3), 3)) * 1e6).toLong
+    assert(got == Map(
+      6L -> ((2L, 1L, theo(0.65))), 7L -> ((1L, 1L, theo(0.75))),
+      8L -> ((2L, 0L, theo(0.85))), 9L -> ((1L, 1L, theo(0.95))),
+      10L -> ((1L, 1L, theo(1.0)))))
+    // the embedded constants ARE the closed form
+    assert(Dedup.ScurveTheoPpm.toMap ==
+      Map(6L -> theo(0.65), 7L -> theo(0.75), 8L -> theo(0.85),
+        9L -> theo(0.95), 10L -> theo(1.0)))
+  }
+
+  test("q210 stratum marginals reproduce q188's aggregate recall " +
+    "on the fixture corpus") {
+    val d = TestSpark.sf0001
+    val scurve = SparkEntry.queries("q210_lsh_scurve")(spark, d).collect()
+    val nPairs = scurve.map(_.getAs[Long]("n_pairs")).sum
+    val nDet = scurve.map(_.getAs[Long]("n_detected")).sum
+    val r188 = SparkEntry.queries("q188_dedup_recall")(spark, d).collect().head
+    assert(nPairs == r188.getAs[Long]("n_truth"),
+      "q210 buckets must partition exactly the q188 truth set")
+    assert(nDet == r188.getAs[Long]("n_tp"),
+      "q210 detected mass must equal q188's true positives")
+  }
 }

@@ -60,6 +60,8 @@ class PlanGuardSpec extends AnyFunSuite {
     "q98_surprisal" -> "1-row corpus token total",
     "q99_mixture_rebalance" -> "per-source target rates: bounded by source cardinality",
     "q175_temperature_mixture" -> "1-row weight/count totals x per-source counts (q99 pattern)",
+    "q211_budget_select" ->
+      "1-row token-budget scalar (max over the persisted prefix sum) crossed over the cumsum table",
     "q191_epoch_planner" -> "1-row weight/token totals x per-source aggregates (q175 pattern)",
     "q105_weighted_sample" -> "1-row max weight scalar",
     "q114_bm25" -> "1-row corpus stats (N, avgdl)",
