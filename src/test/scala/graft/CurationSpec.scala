@@ -411,4 +411,43 @@ class CurationSpec extends AnyFunSuite {
         s"extra=${(got.toSet -- expected.toSet).take(3)}")
     graft.pipeline.Chunker.clearCaches()
   }
+
+  test("q211 budget cut equals the sequential greedy on RANDOM corpora " +
+    "(density ties, zero-token docs, stopword-free docs fuzzed)") {
+    // stresses exactly what the range-partitioned prefix sum must get
+    // right: duplicated densities (tie-break on doc_id), docs with no
+    // stopwords (density 0 — the -0.0/+0.0 edge), and empty texts
+    // (zero tokens — excluded from both budget and selection).
+    // Seeded => reproducible.
+    val stopSeq = graft.queries.TextAnalytics.Stopwords
+    for (seed <- Seq(13, 77, 501)) {
+      val rnd = new scala.util.Random(seed)
+      val vocab = Vector("alpha", "beta", "gamma", "delta") ++ stopSeq
+      val docs = (0 until 50).map { i =>
+        val n = rnd.nextInt(12) // 0..11 words; 0 => zero tokens
+        (i.toLong, s"src${rnd.nextInt(3)}",
+          Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }.toDF("doc_id", "source", "text")
+      val stops = stopSeq.toSet
+      val rows = docs.select(col("doc_id"), col("source"),
+          graft.functions.token_count(col("text")).cast("long").as("n_tok"),
+          col("text")).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          words(r.getString(3)).count(stops).toLong))
+        .filter(_._3 > 0L)
+      val ordered = rows.sortBy { case (id, _, tok, stop) =>
+        (-(stop.toDouble / tok), id) }
+      val budget = rows.map(_._3).sum / Curation.BudgetDenom
+      var acc = 0L
+      val selected = ordered.takeWhile { case (_, _, tok, _) =>
+        acc += tok; acc <= budget }
+      val expected = selected.groupBy(_._2).view.mapValues(g =>
+        (g.length.toLong, g.map(_._3).sum)).toMap
+      val got = Curation.budgetSelect(docs).collect()
+        .map(r => r.getAs[String]("source") ->
+          ((r.getAs[Long]("n_sel"), r.getAs[Long]("tok_sel")))).toMap
+      assert(got == expected, s"seed $seed diverges: got=$got want=$expected")
+      graft.pipeline.Chunker.clearCaches()
+    }
+  }
 }

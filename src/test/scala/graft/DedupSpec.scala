@@ -676,6 +676,42 @@ class DedupSpec extends AnyFunSuite with CacheCleanup {
         9L -> theo(0.95), 10L -> theo(1.0)))
   }
 
+  test("q210 S-curve equals a sequential recompute on RANDOM pair " +
+    "tables (bucketing + detection fuzzed, incl. non-truth candidates)") {
+    // candidates NOT in the truth set must never create rows (the
+    // left join keeps the truth side), and every bucket/count must
+    // match a sequential fold. Seeded => reproducible.
+    for (seed <- Seq(5, 42, 271)) {
+      val rnd = new scala.util.Random(seed)
+      val truth = (0 until 120).map { i =>
+        val a = rnd.nextInt(40).toLong
+        val b = a + 1 + rnd.nextInt(40)
+        // rounded like the q151 output; range crosses every stratum
+        // and both clamp edges
+        val j = math.rint((0.58 + rnd.nextDouble() * 0.42) * 1e6) / 1e6
+        (a, b, math.min(j, 1.0))
+      }.distinct
+      val detected = truth.filter(_ => rnd.nextBoolean())
+        .map { case (a, b, _) => (a, b) }
+      val noise = (0 until 30).map { _ =>
+        (100L + rnd.nextInt(20), 200L + rnd.nextInt(20)) }
+      val got = Dedup.lshScurve(
+        truth.toDF("doc_a", "doc_b", "jaccard"),
+        (detected ++ noise).distinct.toDF("doc_a", "doc_b")).collect()
+        .map(r => r.getAs[Long]("bucket") ->
+          ((r.getAs[Long]("n_pairs"), r.getAs[Long]("n_detected"),
+            r.getAs[Long]("theo_detect_ppm")))).toMap
+      val det = detected.toSet
+      val expected = truth.groupBy { case (_, _, j) =>
+        math.max(6L, math.min(10L, math.floor(j * 10).toLong)) }
+        .map { case (bk, ps) =>
+          bk -> ((ps.size.toLong,
+            ps.count(p => det((p._1, p._2))).toLong,
+            Dedup.ScurveTheoPpm.toMap.apply(bk))) }
+      assert(got == expected, s"seed $seed diverges")
+    }
+  }
+
   test("q210 stratum marginals reproduce q188's aggregate recall " +
     "on the fixture corpus") {
     val d = TestSpark.sf0001
