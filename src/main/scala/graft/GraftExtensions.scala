@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.expressions.{HashFraction, NfcNormalize, TokenCount, TokenCountCl100k, VecDot, WinnowFps}
+import graft.expressions.{HashFraction, MediaPhash, NfcNormalize, TokenCount, TokenCountCl100k, VecDot, WinnowFps}
 
 /** Session extensions: registers graft's native expressions as SQL
   * functions, so `spark.sql("SELECT token_count(text) ...")` works for
@@ -67,6 +67,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             s"winnow_fps: $arg must be an integer literal, got $other")
         }
         WinnowFps(children.head, intLit(children(1), "k"), intLit(children(2), "w"))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("media_phash"),
+      info("media_phash", "media_phash(bin, cells) - perceptual average-hash packed into one BIGINT (see graft.expressions.MediaPhash)"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "media_phash takes exactly 2 arguments")
+        val cells = children(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"media_phash: cells must be an integer literal, got $other")
+        }
+        MediaPhash(children.head, cells)
       }))
     ext.injectFunction((
       FunctionIdentifier("hash_fraction"),

@@ -44,4 +44,12 @@ object functions {
     */
   def hash_fraction(c: Column): Column =
     ExprBridge.column(expressions.HashFraction(ExprBridge.expression(c)))
+
+  /** Perceptual average-hash of a binary blob packed into one BIGINT
+    * (see [[expressions.MediaPhash]]); value-equal to the hex-parse HOF
+    * it replaces and to the DuckDB oracle mirror. Input must be at
+    * least `cells` bytes (filter upstream — q209's shape).
+    */
+  def media_phash(c: Column, cells: Int): Column =
+    ExprBridge.column(expressions.MediaPhash(ExprBridge.expression(c), cells))
 }

@@ -138,8 +138,26 @@ object Multimodal {
     * entry's scaladoc; split out so the spec drives a planted
     * re-encoded-copy fixture through the full band+verify pipeline.
     */
-  def phashNeardup(docs: DataFrame): DataFrame = {
-    val ph = mediaPhash(docs)
+  def phashNeardup(docs: DataFrame): DataFrame =
+    phashNeardupBlobs(
+      docs.select(col("doc_id"), col("text").cast("binary").as("media")))
+
+  /** Documents-shaped convenience over [[blobPhash]] (specs + q209). */
+  def mediaPhash(docs: DataFrame): DataFrame =
+    blobPhash(docs.select(col("doc_id"), col("text").cast("binary").as("media")))
+
+  /** q209 body over an already-binary media table `(doc_id, media)` with
+    * a pluggable decode seam ([[graft.multimodal.LumaDecoder]]) — the
+    * shape a real media corpus enters through (parquet blob column or
+    * `binaryFile` scan). The catalog entry rides the identity decoder;
+    * MultimodalSpec drives real uncompressed-BMP blobs through the SAME
+    * band+verify pipeline via [[graft.multimodal.BmpLuma]].
+    */
+  def phashNeardupBlobs(
+      blobs: DataFrame,
+      decoder: graft.multimodal.LumaDecoder = graft.multimodal.IdentityLuma)
+      : DataFrame = {
+    val ph = blobPhash(blobs, decoder)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     graft.pipeline.Chunker.registerForCleanup(ph)
     val bands = ph.select(col("doc_id"),
@@ -178,43 +196,34 @@ object Multimodal {
   val PHashBandBits = 12
   val PHashMaxHam = 8
 
-  /** q209 per-blob average-hash: (doc_id, phash BIGINT). The "decode"
-    * is the deterministic stub the fixture contract allows (the blob's
-    * byte stream read as the luma signal — a real deployment swaps in
-    * an image decoder at exactly this column boundary); everything
-    * downstream of the stub is the real thing. The grid resample is
-    * [[PHashCells]] byte-sum cells at proportional offsets (the
-    * alignment-normalizing "resize"), the bit rule is cell*cells >
-    * total (exact integer compare against the mean), and the bits pack
-    * into one BIGINT so the dedup stage joins and XORs scalars, never
-    * strings. Pure per-row projection — no shuffle.
+  /** q209 per-blob average-hash: (doc_id, phash BIGINT). The decode
+    * seam is [[graft.multimodal.LumaDecoder]] (identity stub for the
+    * fixture — see its scaladoc); everything downstream of it is the
+    * real thing. The grid resample is [[PHashCells]] byte-sum cells at
+    * proportional offsets (the alignment-normalizing "resize"), the bit
+    * rule is cell*cells > total (exact integer compare against the
+    * mean), and the bits pack into one BIGINT so the dedup stage joins
+    * and XORs scalars, never strings. Pure per-row projection, no
+    * shuffle — and on the identity path a single codegen'd native
+    * expression ([[graft.expressions.MediaPhash]]; the r10 hex()+
+    * substring HOF did ~2 string ops per input byte and was the
+    * catalog's biggest line item). Non-identity decoders interpose one
+    * binary->binary UDF for the codec only; the grid stays native.
     */
-  def mediaPhash(docs: DataFrame): DataFrame = {
-    val c = PHashCells
-    docs
-      .withColumn("media", col("text").cast("binary"))
-      .withColumn("nb", octet_length(col("media")).cast("long"))
-      .filter(col("nb") >= c)
-      .withColumn("h", hex(col("media")))
-      // cell k = sum of byte values in [floor(k*nb/c), floor((k+1)*nb/c))
-      // — 1-based hex chars 2p+1..2p+2 parse byte p; nb >= cells makes
-      // every cell non-empty, so the sequence bounds are always
-      // ascending
-      .withColumn("cells", expr(
-        s"""transform(sequence(0L, ${c - 1}L), k ->
-           |  aggregate(
-           |    sequence(CAST(floor(CAST(k * nb AS DOUBLE) / $c.0) AS LONG),
-           |      CAST(floor(CAST((k + 1) * nb AS DOUBLE) / $c.0) AS LONG) - 1),
-           |    0L,
-           |    (acc, p) -> acc
-           |      + CAST(conv(substring(h, CAST(p AS INT) * 2 + 1, 2), 16, 10)
-           |          AS LONG)))""".stripMargin))
-      .withColumn("total", expr("aggregate(cells, 0L, (a, x) -> a + x)"))
-      .withColumn("phash", expr(
-        s"""aggregate(sequence(0L, ${c - 1}L), 0L, (acc, k) ->
-           |  acc + IF(element_at(cells, CAST(k AS INT) + 1) * $c > total,
-           |    shiftleft(1L, CAST(k AS INT)), 0L))""".stripMargin))
-      .select(col("doc_id"), col("phash"))
+  def blobPhash(
+      blobs: DataFrame,
+      decoder: graft.multimodal.LumaDecoder = graft.multimodal.IdentityLuma)
+      : DataFrame = {
+    val signal = decoder match {
+      case graft.multimodal.IdentityLuma => blobs.withColumn("signal", col("media"))
+      case d =>
+        val decodeUdf = udf((b: Array[Byte]) => d.decode(b))
+        blobs.withColumn("signal", decodeUdf(col("media")))
+    }
+    signal
+      .filter(octet_length(col("signal")).cast("long") >= PHashCells)
+      .select(col("doc_id"),
+        graft.functions.media_phash(col("signal"), PHashCells).as("phash"))
   }
 
   /** DuckDB twin of one [[mediaPhash]] byte parse: two uppercase hex

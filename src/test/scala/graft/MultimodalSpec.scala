@@ -130,4 +130,84 @@ class MultimodalSpec extends AnyFunSuite {
       Multimodal.PHashMaxHam)
     graft.pipeline.Chunker.clearCaches()
   }
+
+  /** Synthesize an uncompressed 24-bit bottom-up BMP; px(x, y) gives the
+    * (r, g, b) of the TOP-DOWN pixel at (x, y).
+    */
+  private def bmp24(w: Int, h: Int,
+                    px: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
+    val rowBytes = (w * 3 + 3) / 4 * 4
+    val off = 54
+    val buf = java.nio.ByteBuffer.allocate(off + rowBytes * h)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put('B'.toByte).put('M'.toByte).putInt(off + rowBytes * h)
+      .putShort(0).putShort(0).putInt(off)
+    buf.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+      .putInt(0).putInt(rowBytes * h).putInt(2835).putInt(2835)
+      .putInt(0).putInt(0)
+    for (y <- h - 1 to 0 by -1) { // bottom-up row order
+      for (x <- 0 until w) {
+        val (r, g, b) = px(x, y)
+        buf.put(b.toByte).put(g.toByte).put(r.toByte)
+      }
+      var pad = w * 3
+      while (pad < rowBytes) { buf.put(0.toByte); pad += 1 }
+    }
+    buf.array()
+  }
+
+  test("BmpLuma decodes header/padding/bottom-up order to exact integer luma") {
+    import graft.multimodal.BmpLuma
+    // 2x2, distinct corner colors; 2*3=6 pixel bytes pad to 8 per row
+    val colors = Map((0, 0) -> (255, 0, 0), (1, 0) -> (0, 255, 0),
+      (0, 1) -> (0, 0, 255), (1, 1) -> (200, 100, 50))
+    val img = bmp24(2, 2, (x, y) => colors((x, y)))
+    val luma = BmpLuma.decode(img)
+    def y(c: (Int, Int, Int)): Byte =
+      ((77 * c._1 + 150 * c._2 + 29 * c._3) >> 8).toByte
+    assert(luma.toSeq == Seq(y(colors((0, 0))), y(colors((1, 0))),
+      y(colors((0, 1))), y(colors((1, 1)))))
+    // malformed inputs throw, they don't corrupt
+    intercept[IllegalArgumentException](BmpLuma.decode("not a bmp".getBytes))
+  }
+
+  test("q209 pipeline with a REAL format decoder: BMP re-encodes pair, " +
+    "unrelated images don't (the decode seam is code, not comment)") {
+    import graft.queries.Multimodal
+    import graft.multimodal.BmpLuma
+    val w = 16; val h = 8 // 128 luma bytes >= the 48-cell grid
+    def grad(x: Int, y: Int) = (x * 16 + y * 24) % 256
+    val original = bmp24(w, h, (x, y) => { val v = grad(x, y); (v, v, v) })
+    // "re-encode": same image with slight level shifts at two pixels
+    val reencoded = bmp24(w, h, (x, y) => {
+      val v = grad(x, y)
+      val v2 = if ((x, y) == (3, 2) || (x, y) == (12, 5)) math.min(255, v + 6) else v
+      (v2, v2, v2)
+    })
+    val unrelated = bmp24(w, h, (x, y) => {
+      val v = 255 - grad(x, y); (v, v, v) // inverted gradient
+    })
+    val blobs = Seq(1L -> original, 2L -> reencoded, 3L -> unrelated)
+      .toDF("doc_id", "media")
+    val pairs = Multimodal.phashNeardupBlobs(blobs, BmpLuma).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->
+        r.getAs[Long]("hamming")).toMap
+    assert(pairs.contains((1L, 2L)),
+      s"re-encoded BMP must pair with its original: $pairs")
+    assert(pairs((1L, 2L)) <= Multimodal.PHashMaxHam)
+    assert(!pairs.keySet.exists(p => p._1 == 3L || p._2 == 3L),
+      s"inverted image must not pair: $pairs")
+    // the decoder actually ran: phash over DECODED luma differs from
+    // phash over the raw container bytes (header + padding included)
+    val viaBmp = Multimodal.blobPhash(blobs, BmpLuma).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("phash")).toMap
+    val viaRaw = Multimodal.blobPhash(blobs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("phash")).toMap
+    assert(viaBmp(1L) != viaRaw(1L))
+    // and it decoded to exactly the luma signal: phash(decode(blob))
+    assert(viaBmp(1L) ==
+      graft.expressions.MediaPhash.phash(BmpLuma.decode(original),
+        Multimodal.PHashCells))
+    graft.pipeline.Chunker.clearCaches()
+  }
 }
