@@ -34,6 +34,33 @@ object Bench {
       "q91_clustered_write", "q96_compacted_rewrite", "q125_orc_roundtrip",
       "q137_merge_schema", "q140_ivf_cells_layout")
 
+  /** Drift-normalizing calibration canaries (VERDICT r10 #1: the
+    * driver's 171 s vs a same-day local 125 s on identical plans —
+    * box weather, not code — was eating the 2x bench gate's headroom).
+    * Three fixed, plan-trivial, SF-INDEPENDENT workloads (pure codegen
+    * CPU / one shuffle exchange / a global sort-limit over synthetic
+    * ranges — no file IO, no catalog data) timed under their own line
+    * items every pass. Box drift scales these and the catalog alike,
+    * so `value_normalized` = value * canaryRefSum / canarySum reads
+    * round-over-round as code, with the weather divided out.
+    */
+  val Canaries: Seq[(String, SparkSession => org.apache.spark.sql.DataFrame)] = Seq(
+    ("canary:cpu", (s: SparkSession) => s.range(0L, 32000000L, 1L, 32)
+      .selectExpr("sum(xxhash64(cast(id as string)) & 1048575) as h")),
+    ("canary:shuffle", (s: SparkSession) => s.range(0L, 8000000L, 1L, 32)
+      .selectExpr("id % 200000 as k").groupBy("k").count()
+      .selectExpr("cast(sum(count) as long) as n", "count(*) as g")),
+    ("canary:sort", (s: SparkSession) => s.range(0L, 16000000L, 1L, 32)
+      .selectExpr("xxhash64(id) as k").orderBy("k").limit(1000)))
+
+  /** Per-canary reference medians (seconds), pinned from an idle
+    * 3-pass local[32] run on the round-11 box. The ABSOLUTE values
+    * only anchor the normalization scale; comparisons should always
+    * quote the ratio (canary_scale), which is box-relative.
+    */
+  val CanaryRef: Map[String, Double] = Map(
+    "canary:cpu" -> 0.210, "canary:shuffle" -> 0.955, "canary:sort" -> 0.138)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARMUP_DIR", "/root/testdata/sf0.001")
@@ -63,6 +90,8 @@ object Bench {
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.exists(n.startsWith)))
     if (warmDir.nonEmpty) {
+      Canaries.foreach { case (_, fn) =>
+        try materialize(fn(spark)) catch { case NonFatal(_) => () } }
       SparkEntry.sharedBuilds.foreach { case (_, fn) =>
         try materialize(fn(spark, warmDir)) catch { case NonFatal(_) => () } }
       names.foreach { n =>
@@ -84,7 +113,18 @@ object Bench {
     val runShared = only.isEmpty // a filtered dev run times queries standalone
     val timings = (1 to passes).map { _ =>
       clearAll()
-      val shared = if (!runShared) Map.empty[String, Double] else
+      // Canaries run FIRST each pass (even in filtered dev runs —
+      // they're sub-second and make any run self-calibrating).
+      val canary = Canaries.map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try materialize(fn(spark))
+        catch { case e: Throwable =>
+          if (!errors.contains(name))
+            errors += name -> Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+        }
+        name -> (System.nanoTime() - t0) / 1e9
+      }.toMap
+      val shared = canary ++ (if (!runShared) Map.empty[String, Double] else
         SparkEntry.sharedBuilds.map { case (name, fn) =>
           val t0 = System.nanoTime()
           try materialize(fn(spark, sfDir))
@@ -93,7 +133,7 @@ object Bench {
               errors += name -> Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
           }
           name -> (System.nanoTime() - t0) / 1e9
-        }.toMap
+        }.toMap)
       shared ++ names.map { name =>
         val t0 = System.nanoTime()
         try materialize(SparkEntry.queries(name)(spark, sfDir))
@@ -114,7 +154,7 @@ object Bench {
     // An errored query's wall time is a fast-fail, not a measurement —
     // reporting it as a timing made error-vs-fast indistinguishable in
     // the r6 artifact (ADVICE r6). Errored names live ONLY in `errors`.
-    val timed = ((if (runShared) sharedNames else Nil) ++ names)
+    val timed = (Canaries.map(_._1) ++ (if (runShared) sharedNames else Nil) ++ names)
       .filterNot(errors.contains)
     val med = timed.map(n => n -> median(timings.map(_(n))))
     val mins = timed.map(n => n -> timings.map(_(n)).min)
@@ -142,15 +182,26 @@ object Bench {
     // evaluation — that's the in-plan resume PROOF, not a plan, and its
     // timing measures tmpfs writes. Report it separately so "value" and
     // "queries" measure plans only.
-    val (sharedMed, med2) = med.partition(kv => kv._1.startsWith("shared:"))
+    val (canaryMed, med1) = med.partition(kv => kv._1.startsWith("canary:"))
+    val (sharedMed, med2) = med1.partition(kv => kv._1.startsWith("shared:"))
     val (sideEff, plans) = med2.partition(kv => SideEffectQueries(kv._1))
     // shared-build medians stay inside the headline total: the work was
     // always part of "value" (it used to hide inside the first consumer
-    // query); only the attribution moved.
+    // query); only the attribution moved. Canaries stay OUTSIDE it —
+    // they're the measuring stick, not the workload.
     val total = plans.map(_._2).sum + sharedMed.map(_._2).sum
+    // canary_scale > 1 = this box/run is SLOWER than the pinned
+    // reference; value_normalized divides that weather out of "value".
+    val canarySum = canaryMed.map(_._2).sum
+    val canaryScale =
+      if (canarySum > 0 && canaryMed.size == CanaryRef.size)
+        canarySum / CanaryRef.values.sum
+      else 1.0
+    val normalized = total / canaryScale
     val nonPlan = (kv: (String, Double)) =>
-      SideEffectQueries(kv._1) || kv._1.startsWith("shared:")
-    val line = s"""{"metric":"total","value":${jnum(total)},"unit":"sec","passes":$passes,"queries":${jmap(plans)},"queries_min":${jmap(mins.filterNot(nonPlan))},"queries_spread":${jmap(spread.filterNot(nonPlan))},"shared_builds":${jmap(sharedMed)},"side_effect_queries":${jmap(sideEff)},"errors":$es,"sf":"$sfDir"}"""
+      SideEffectQueries(kv._1) || kv._1.startsWith("shared:") ||
+        kv._1.startsWith("canary:")
+    val line = s"""{"metric":"total","value":${jnum(total)},"unit":"sec","passes":$passes,"canary":${jmap(canaryMed)},"canary_ref":${jmap(CanaryRef.toSeq.sorted)},"canary_scale":${jnum(canaryScale)},"value_normalized":${jnum(normalized)},"queries":${jmap(plans)},"queries_min":${jmap(mins.filterNot(nonPlan))},"queries_spread":${jmap(spread.filterNot(nonPlan))},"shared_builds":${jmap(sharedMed)},"side_effect_queries":${jmap(sideEff)},"errors":$es,"sf":"$sfDir"}"""
     // The full per-query line outgrew the driver's 2000-char stdout tail
     // window at ~136 queries (r3/r4/r5 all recorded parsed:null because
     // the line's HEAD — "{"metric":... — fell outside the window). So:
@@ -169,7 +220,7 @@ object Bench {
       catch { case NonFatal(e) => System.err.println(s"bench detail write failed ($p): $e") }
     println(line)
     spark.stop()
-    val compact = s"""{"metric":"total","value":${jnum(total)},"unit":"sec","passes":$passes,"n_queries":${plans.size},"n_errors":${errors.size},"sf":"$sfDir","detail":"$detailPath"}"""
+    val compact = s"""{"metric":"total","value":${jnum(total)},"unit":"sec","passes":$passes,"canary_scale":${jnum(canaryScale)},"value_normalized":${jnum(normalized)},"n_queries":${plans.size},"n_errors":${errors.size},"sf":"$sfDir","detail":"$detailPath"}"""
     println(compact)
     if (errors.nonEmpty) sys.exit(1)
   }
