@@ -32,7 +32,7 @@ object Bench {
   val SideEffectQueries: Set[String] =
     Set("ref_memo_resume", "q89_jsonl_roundtrip", "q90_csv_roundtrip",
       "q91_clustered_write", "q96_compacted_rewrite", "q125_orc_roundtrip",
-      "q137_merge_schema", "q140_ivf_cells_layout")
+      "q137_merge_schema", "q140_ivf_cells_layout", "q212_avro_roundtrip")
 
   /** Drift-normalizing calibration canaries (VERDICT r10 #1: the
     * driver's 171 s vs a same-day local 125 s on identical plans —

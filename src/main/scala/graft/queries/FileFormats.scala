@@ -117,12 +117,11 @@ object FileFormats {
       textDigest(s.read.parquet(comp), withCorrupt = false)
     }),
 
-    // ORC interchange round trip — the remaining columnar format a
-    // data-engineering user hands off to Hive/Trino estates (the Avro
-    // datasource module is not on this classpath; ORC is Spark-native).
-    // Full rows including raw text; same digest-vs-untouched-parquet
-    // pattern as q89: the oracle never sees the ORC files, so write- or
-    // read-side corruption breaks the hash.
+    // ORC interchange round trip — the columnar format a data-
+    // engineering user hands off to Hive/Trino estates (ORC is
+    // Spark-native). Full rows including raw text; same
+    // digest-vs-untouched-parquet pattern as q89: the oracle never sees
+    // the ORC files, so write- or read-side corruption breaks the hash.
     "q125_orc_roundtrip" -> ((s, d) => {
       val docs = Tables.documents(s, d)
         .select(col("doc_id"), col("source"), col("lang"),
@@ -153,6 +152,23 @@ object FileFormats {
           count(col("lang")).as("n_with_lang"),
           sum(col("n_chars")).as("sum_chars"),
           sum(col("doc_id")).as("sum_ids"))
+    }),
+
+    // Avro interchange round trip — the row-oriented handoff format
+    // (Kafka archives, Hive row tables). The spark-avro datasource
+    // module is not resolvable in this zero-egress build, so the
+    // engine carries its own container-file writer/splittable reader
+    // over the public Avro generic API (sources/AvroIO). Full rows
+    // including raw text; same digest-vs-untouched-parquet pattern as
+    // q89/q125.
+    "q212_avro_roundtrip" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), col("lang"),
+          col("n_chars"), col("text"))
+      val out = scratch(d, "docs_avro")
+      graft.sources.AvroIO.writeAvro(docs, out)
+      textDigest(graft.sources.AvroIO.readAvro(s, out, docs.schema),
+        withCorrupt = false)
     }),
 
     // CSV carries no text column, so its digest buckets on the hash of
@@ -190,6 +206,8 @@ object FileFormats {
     "q96_compacted_rewrite" -> textDigestSql(withCorrupt = false),
 
     "q125_orc_roundtrip" -> textDigestSql(withCorrupt = false),
+
+    "q212_avro_roundtrip" -> textDigestSql(withCorrupt = false),
 
     "q137_merge_schema" ->
       """SELECT CAST(2 * count(*) AS BIGINT) AS n_rows,
