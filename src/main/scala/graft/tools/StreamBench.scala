@@ -61,7 +61,9 @@ object StreamBench {
   }
 
   final case class BatchPoint(batch: Long, rows: Long, ms: Long,
-                              stateRows: Long, stateBytes: Long)
+                              stateRows: Long, stateBytes: Long,
+                              planMs: Long, addBatchMs: Long, commitMs: Long,
+                              stateCommitMs: Long)
   final case class Run(name: String, rowsIn: Long, rowsOut: Long,
                        wallSec: Double, points: Seq[BatchPoint])
 
@@ -76,6 +78,15 @@ object StreamBench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      // Changelog checkpointing: commit uploads a per-batch changelog
+      // instead of a full RocksDB snapshot (snapshots move to background
+      // maintenance). Diagnosed in r11 via the per-batch state_commit_ms
+      // column: the q196 stream-stream join commits 4 stores x 32
+      // partitions each batch, and full-snapshot commits burned ~100 s
+      // cumulative per batch on ~5k flat state rows — changelog mode
+      // cut wall 41.2 s -> 29.2 s (+41% rows/s) on the same arm. This
+      // is the production setting for every stateful job here.
+      .config("spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -109,9 +120,31 @@ object StreamBench {
       stageBatch(skewDir, evSkew.filter(col("slice") === i).drop("slice"), i - 1)
     }
     // documents stream for the q208 near-dup ingestion gate: id-ordered
-    // slices (arrival = id order, the gate's parity contract)
-    val docs = graft.Tables.documents(spark, sfDir)
+    // slices (arrival = id order, the gate's parity contract). The raw
+    // sf0.1 corpus is 5k docs = 625/batch — fixture-sized batches whose
+    // per-trigger overhead read as a 30x throughput cliff in the r10
+    // artifact (VERDICT r10 #6). The pinned arm fans the corpus out
+    // SPARK_GRAFT_STREAM_DOCS_X-fold (default 20 -> 12,500 rows/batch,
+    // the same batch size as the sibling event arms): variant r of a
+    // doc gets a fresh id (order-preserving: doc_id*X + r) and every
+    // WORD suffixed with the variant tag, so a shingle is shared
+    // between two fanned docs iff the ORIGINAL shingle was shared and
+    // the variant matches — similarity structure (and so collision
+    // rate per doc) is preserved exactly per variant, with zero
+    // cross-variant shingles. (A salt word INSERTED between words
+    // would itself appear in every shingle and, over the fixture's
+    // closed vocabulary, make all same-variant docs collide — 14.6
+    // emitted collisions per doc when tried.)
+    val docsX = sys.env.getOrElse("SPARK_GRAFT_STREAM_DOCS_X", "20").toInt
+    val docs0 = graft.Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("text"))
+    val docsFan = if (docsX <= 1) docs0 else docs0
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(0), lit(docsX - 1))).as("r"))
+      .select((col("doc_id") * docsX + col("r")).as("doc_id"),
+        array_join(transform(split(col("text"), "\\s+"),
+          w => concat(w, lit("x"), col("r"))), " ").as("text"))
+    val docs = docsFan
       .withColumn("slice",
         ntile(nBatches).over(org.apache.spark.sql.expressions.Window
           .orderBy(col("doc_id"))))
@@ -141,10 +174,17 @@ object StreamBench {
       val wall = (System.nanoTime() - t0) / 1e9
       val pts = q.recentProgress.toSeq.filter(_.numInputRows > 0).map { p =>
         val st = p.stateOperators
-        BatchPoint(p.batchId, p.numInputRows,
-          Option(p.durationMs.get("triggerExecution")).map(_.longValue()).getOrElse(0L),
+        def dur(k: String) =
+          Option(p.durationMs.get(k)).map(_.longValue()).getOrElse(0L)
+        BatchPoint(p.batchId, p.numInputRows, dur("triggerExecution"),
           if (st == null) 0L else st.map(_.numRowsTotal).sum,
-          if (st == null) 0L else st.map(_.memoryUsedBytes).sum)
+          if (st == null) 0L else st.map(_.memoryUsedBytes).sum,
+          dur("queryPlanning"), dur("addBatch"),
+          dur("walCommit") + dur("commitOffsets"),
+          // state-store commit wall inside the batch (sum over operators
+          // and partitions): the RocksDB snapshot/changelog upload cost
+          // that diagnoses per-batch growth with flat state rows
+          if (st == null) 0L else st.map(_.commitTimeMs).sum)
       }
       val out = spark.table(qn).count()
       val rowsIn = pts.map(_.rows).sum
@@ -154,29 +194,30 @@ object StreamBench {
       Run(name, rowsIn, out, wall, pts)
     }
 
-    // warmup: run the cheapest workload once so JVM/codegen/RocksDB
-    // startup cost lands outside the recorded numbers
-    measure("warmup_tumbling", graft.streaming.StreamingJobs.tumblingCounts(src()))
-
-    val runs = Seq(
-      measure("tumbling_agg",
-        graft.streaming.StreamingJobs.tumblingCounts(src())),
-      measure("dedup_within_watermark",
-        graft.streaming.StreamingJobs.dedupStream(src(), "event_id")),
-      measure("transform_with_state_running",
-        graft.streaming.StatefulRunning.runningStats(src()).toDF()),
-      measure("debounce_fmgws", graft.streaming.StatefulDebounce.debounce(
+    // Dev aid (mirrors Bench's SPARK_GRAFT_ONLY): restrict the suite to
+    // arms whose name starts with a listed prefix. Never set by the
+    // pinned-run recipe.
+    val only = sys.env.get("SPARK_GRAFT_STREAM_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    val arms: Seq[(String, () => DataFrame)] = Seq(
+      ("tumbling_agg",
+        () => graft.streaming.StreamingJobs.tumblingCounts(src())),
+      ("dedup_within_watermark",
+        () => graft.streaming.StreamingJobs.dedupStream(src(), "event_id")),
+      ("transform_with_state_running",
+        () => graft.streaming.StatefulRunning.runningStats(src()).toDF()),
+      ("debounce_fmgws", () => graft.streaming.StatefulDebounce.debounce(
         src().select(col("user_id"), col("event_type"), col("event_id"),
           unix_micros(col("ts")).as("ts_us"))
           .as[graft.streaming.KeyedEvent]).toDF()),
-      measure("interval_join_outer_q196",
-        graft.streaming.StreamingJobs.attributionJoinOuter(src(), src())),
+      ("interval_join_outer_q196",
+        () => graft.streaming.StreamingJobs.attributionJoinOuter(src(), src())),
       // q208 near-dup ingestion gate: the band index accretes across
       // batches in ListState — state_rows tracks cap-bounded bucket
       // membership (corpus-shaped, not row-shaped), rows_in counts the
       // document stream.
-      measure("neardup_gate_tws",
-        graft.streaming.StatefulNeardupGate.gateStream(docsSrc()).toDF()),
+      ("neardup_gate_tws",
+        () => graft.streaming.StatefulNeardupGate.gateStream(docsSrc()).toDF()),
       // keys-scaling arms on the transformWithState running stats (the
       // per-key-state flagship): state_rows_last must track the KEY
       // count (~10x base for keys_x10, ~collapsed for keys_skewed)
@@ -184,18 +225,25 @@ object StreamBench {
       // completion at full input proves a hot key cannot stall a
       // micro-batch (per-key state work is O(batch rows of that key),
       // not O(accumulated state)).
-      measure("running_keys_x10",
-        graft.streaming.StatefulRunning.runningStats(srcFrom(keys10Dir)).toDF()),
-      measure("running_keys_skewed",
-        graft.streaming.StatefulRunning.runningStats(srcFrom(skewDir)).toDF()),
-      measure("debounce_keys_x10", graft.streaming.StatefulDebounce.debounce(
+      ("running_keys_x10",
+        () => graft.streaming.StatefulRunning.runningStats(srcFrom(keys10Dir)).toDF()),
+      ("running_keys_skewed",
+        () => graft.streaming.StatefulRunning.runningStats(srcFrom(skewDir)).toDF()),
+      ("debounce_keys_x10", () => graft.streaming.StatefulDebounce.debounce(
         srcFrom(keys10Dir).select(col("user_id"), col("event_type"),
           col("event_id"), unix_micros(col("ts")).as("ts_us"))
           .as[graft.streaming.KeyedEvent]).toDF()),
-      measure("debounce_keys_skewed", graft.streaming.StatefulDebounce.debounce(
+      ("debounce_keys_skewed", () => graft.streaming.StatefulDebounce.debounce(
         srcFrom(skewDir).select(col("user_id"), col("event_type"),
           col("event_id"), unix_micros(col("ts")).as("ts_us"))
           .as[graft.streaming.KeyedEvent]).toDF()))
+      .filter { case (n, _) => only.forall(_.exists(n.startsWith)) }
+
+    // warmup: run the cheapest workload once so JVM/codegen/RocksDB
+    // startup cost lands outside the recorded numbers
+    measure("warmup_tumbling", graft.streaming.StreamingJobs.tumblingCounts(src()))
+
+    val runs = arms.map { case (name, plan) => measure(name, plan()) }
 
     deleteRecursively(srcDir)
     deleteRecursively(keys10Dir)
@@ -208,7 +256,9 @@ object StreamBench {
     val js = runs.map { r =>
       val pts = r.points.map(p =>
         s"""{"batch":${p.batch},"rows":${p.rows},"ms":${p.ms},""" +
-          s""""state_rows":${p.stateRows},"state_bytes":${p.stateBytes}}""")
+          s""""state_rows":${p.stateRows},"state_bytes":${p.stateBytes},""" +
+          s""""plan_ms":${p.planMs},"add_batch_ms":${p.addBatchMs},""" +
+          s""""commit_ms":${p.commitMs},"state_commit_ms":${p.stateCommitMs}}""")
         .mkString("[", ",", "]")
       s""""${r.name}":{"rows_in":${r.rowsIn},"rows_out":${r.rowsOut},""" +
         s""""wall_s":${jnum(r.wallSec)},""" +
