@@ -110,6 +110,10 @@ object ScaleProbe {
     "text" -> "q174_inverted_index",
     "text" -> "q201_c4_line_removal",
     "text" -> "q203_exactsubstr_trim",
+    // the multimodal dedup member rides the docs corpus like the text
+    // family; added r11 with the native-expression phash (VERDICT r10
+    // #7 asked for its 100x point)
+    "text" -> "q209_media_phash_neardup",
     "events/rel" -> "q80_session_concurrency",
     "events/rel" -> "q124_winsorize")
 
