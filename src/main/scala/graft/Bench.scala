@@ -43,26 +43,46 @@ object Bench {
     * items every pass. Box drift scales these and the catalog alike,
     * so `value_normalized` = value * canaryRefSum / canarySum reads
     * round-over-round as code, with the weather divided out.
+    *
+    * Round-12 stabilization (VERDICT r11 #1: two same-hour runs with
+    * ~1% raw delta produced canary_scale 0.959 vs 0.866 — sub-second
+    * single-shot canary medians injected a phantom ±12% into the
+    * normalized total): each canary is sized to ~1-2 s and timed
+    * [[CanaryReps]] times per pass, reporting the TRIMMED MEAN (drop
+    * min and max, average the middle) so one GC pause or JIT blip
+    * cannot move a pass's sample; the across-pass spread is pinned in
+    * the artifact's "canary_spread" section as the stability evidence.
+    *
+    * Gate discipline (ADVICE r11): the canaries are deliberately
+    * IO-free, so canary_scale captures CPU/shuffle weather only — IO
+    * drift (page cache, disk contention) is NOT divided out. The raw
+    * "value" stays the gate metric; "value_normalized" is a DIAGNOSTIC
+    * for reading round-over-round deltas, never a pass/fail input.
     */
   val Canaries: Seq[(String, SparkSession => org.apache.spark.sql.DataFrame)] = Seq(
-    ("canary:cpu", (s: SparkSession) => s.range(0L, 32000000L, 1L, 32)
+    ("canary:cpu", (s: SparkSession) => s.range(0L, 96000000L, 1L, 32)
       .selectExpr("sum(xxhash64(cast(id as string)) & 1048575) as h")),
     ("canary:shuffle", (s: SparkSession) => s.range(0L, 8000000L, 1L, 32)
       .selectExpr("id % 200000 as k").groupBy("k").count()
       .selectExpr("cast(sum(count) as long) as n", "count(*) as g")),
-    ("canary:sort", (s: SparkSession) => s.range(0L, 16000000L, 1L, 32)
+    ("canary:sort", (s: SparkSession) => s.range(0L, 32000000L, 1L, 32)
       .selectExpr("xxhash64(id) as k").orderBy("k").limit(1000)))
 
-  /** Per-canary reference medians (seconds), pinned from the round-11
-    * canonical FULL-SUITE 3-pass local[32] run (the canaries run
-    * measurably slower inside a 218-query pass than in a one-query dev
-    * run — JIT/cache context — so the anchor must come from the same
-    * context the driver measures in). The ABSOLUTE values only anchor
-    * the normalization scale; comparisons should always quote the
-    * ratio (canary_scale), which is box-relative.
+  /** In-pass repetitions per canary; the pass's sample is the trimmed
+    * mean of these (drop fastest + slowest, mean the rest).
+    */
+  val CanaryReps = 5
+
+  /** Per-canary reference trimmed-means (seconds), pinned from the
+    * round-12 canonical FULL-SUITE 3-pass local[32] run (the canaries
+    * run measurably slower inside a 218-query pass than in a one-query
+    * dev run — JIT/cache context — so the anchor must come from the
+    * same context the driver measures in). The ABSOLUTE values only
+    * anchor the normalization scale; comparisons should always quote
+    * the ratio (canary_scale), which is box-relative.
     */
   val CanaryRef: Map[String, Double] = Map(
-    "canary:cpu" -> 0.405, "canary:shuffle" -> 1.137, "canary:sort" -> 0.226)
+    "canary:cpu" -> 1.133, "canary:shuffle" -> 0.641, "canary:sort" -> 0.464)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -119,13 +139,18 @@ object Bench {
       // Canaries run FIRST each pass (even in filtered dev runs —
       // they're sub-second and make any run self-calibrating).
       val canary = Canaries.map { case (name, fn) =>
-        val t0 = System.nanoTime()
-        try materialize(fn(spark))
-        catch { case e: Throwable =>
-          if (!errors.contains(name))
-            errors += name -> Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
-        }
-        name -> (System.nanoTime() - t0) / 1e9
+        // trimmed mean of CanaryReps in-pass repetitions (drop min and
+        // max): a single GC pause or JIT deopt cannot move the sample
+        val samples = (1 to CanaryReps).map { _ =>
+          val t0 = System.nanoTime()
+          try materialize(fn(spark))
+          catch { case e: Throwable =>
+            if (!errors.contains(name))
+              errors += name -> Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+          }
+          (System.nanoTime() - t0) / 1e9
+        }.sorted
+        name -> samples.slice(1, samples.size - 1).sum / (samples.size - 2)
       }.toMap
       val shared = canary ++ (if (!runShared) Map.empty[String, Double] else
         SparkEntry.sharedBuilds.map { case (name, fn) =>
@@ -204,7 +229,11 @@ object Bench {
     val nonPlan = (kv: (String, Double)) =>
       SideEffectQueries(kv._1) || kv._1.startsWith("shared:") ||
         kv._1.startsWith("canary:")
-    val line = s"""{"metric":"total","value":${jnum(total)},"unit":"sec","passes":$passes,"canary":${jmap(canaryMed)},"canary_ref":${jmap(CanaryRef.toSeq.sorted)},"canary_scale":${jnum(canaryScale)},"value_normalized":${jnum(normalized)},"queries":${jmap(plans)},"queries_min":${jmap(mins.filterNot(nonPlan))},"queries_spread":${jmap(spread.filterNot(nonPlan))},"shared_builds":${jmap(sharedMed)},"side_effect_queries":${jmap(sideEff)},"errors":$es,"sf":"$sfDir"}"""
+    // across-pass spread of the per-pass trimmed means — the canary's
+    // own stability evidence (VERDICT r11 #1); canary_scale is only
+    // trustworthy when these are small relative to the medians
+    val canarySpread = spread.filter(_._1.startsWith("canary:"))
+    val line = s"""{"metric":"total","value":${jnum(total)},"unit":"sec","passes":$passes,"canary":${jmap(canaryMed)},"canary_ref":${jmap(CanaryRef.toSeq.sorted)},"canary_scale":${jnum(canaryScale)},"canary_spread":${jmap(canarySpread)},"value_normalized":${jnum(normalized)},"queries":${jmap(plans)},"queries_min":${jmap(mins.filterNot(nonPlan))},"queries_spread":${jmap(spread.filterNot(nonPlan))},"shared_builds":${jmap(sharedMed)},"side_effect_queries":${jmap(sideEff)},"errors":$es,"sf":"$sfDir"}"""
     // The full per-query line outgrew the driver's 2000-char stdout tail
     // window at ~136 queries (r3/r4/r5 all recorded parsed:null because
     // the line's HEAD — "{"metric":... — fell outside the window). So:

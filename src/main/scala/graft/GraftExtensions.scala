@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.expressions.{HashFraction, MediaPhash, NfcNormalize, TokenCount, TokenCountCl100k, VecDot, WinnowFps}
+import graft.expressions.{HashFraction, MediaPhash, MinhashSigs, NfcNormalize, TokenCount, TokenCountCl100k, VecDot, WinnowFps}
 
 /** Session extensions: registers graft's native expressions as SQL
   * functions, so `spark.sql("SELECT token_count(text) ...")` works for
@@ -79,6 +79,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             s"media_phash: cells must be an integer literal, got $other")
         }
         MediaPhash(children.head, cells)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("minhash_sigs"),
+      info("minhash_sigs", "minhash_sigs(arr, funcs) - per-function MinHash minima of sha256_hex(k || ':' || shingle) over a shingle array (see graft.expressions.MinhashSigs)"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "minhash_sigs takes exactly 2 arguments")
+        val funcs = children(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"minhash_sigs: funcs must be an integer literal, got $other")
+        }
+        MinhashSigs(children.head, funcs)
       }))
     ext.injectFunction((
       FunctionIdentifier("hash_fraction"),

@@ -77,6 +77,8 @@ object SparkEntry {
         Dedup.corpusCandidates(s, d)),
       "shared:dedup_prefixjoin" -> ((s: SparkSession, d: String) =>
         Dedup.corpusPrefixJoin(s, d)),
+      "shared:ivf_serving" -> ((s: SparkSession, d: String) =>
+        graft.queries.Similarity.sharedIvfServing(s, d)),
       "shared:cluster_centroids" -> ((s: SparkSession, d: String) =>
         Clustering.sharedCentroids(s, d, Clustering.K, Clustering.Iters)),
       "shared:cluster_pq_codebooks" -> ((s: SparkSession, d: String) =>

@@ -45,6 +45,15 @@ object functions {
   def hash_fraction(c: Column): Column =
     ExprBridge.column(expressions.HashFraction(ExprBridge.expression(c)))
 
+  /** MinHash signature array of a shingle array: element k is the
+    * minimum of sha256_hex("k:" || shingle) over the array (see
+    * [[expressions.MinhashSigs]]); bit-equal to the per-k
+    * min(sha2(concat_ws...)) formulation it replaces and to the DuckDB
+    * oracle CTE. Input must be non-empty (filter upstream).
+    */
+  def minhash_sigs(c: Column, funcs: Int): Column =
+    ExprBridge.column(expressions.MinhashSigs(ExprBridge.expression(c), funcs))
+
   /** Perceptual average-hash of a binary blob packed into one BIGINT
     * (see [[expressions.MediaPhash]]); value-equal to the hex-parse HOF
     * it replaces and to the DuckDB oracle mirror. Input must be at

@@ -153,10 +153,16 @@ object Dedup {
     * the exploded shingle table.
     */
   def minhashTable(shingled: DataFrame): DataFrame = {
+    // One native pass computes all 9 digests per shingle
+    // (expressions.MinhashSigs — bit-equal to the per-k
+    // min(sha2(concat_ws...)) form and the DuckDB CTE); the cheap
+    // element_at projections keep min's map-side partial aggregation.
+    val withH = shingled.select(col("doc"),
+      graft.functions.minhash_sigs(array(col("shingle")), MinhashFuncs).as("h"))
     val mhExprs = (0 until MinhashFuncs).map(k =>
-      min(sha2(concat_ws(":", lit(k.toString), col("shingle")), 256)).as(s"mh$k")) :+
+      min(element_at(col("h"), k + 1)).as(s"mh$k")) :+
       count(lit(1)).as("n_sh")
-    shingled.groupBy(col("doc")).agg(mhExprs.head, mhExprs.tail: _*)
+    withH.groupBy(col("doc")).agg(mhExprs.head, mhExprs.tail: _*)
   }
 
   /** Band table from a prepared minhash signature table. */
@@ -194,9 +200,16 @@ object Dedup {
           concat_ws(" ", element_at(col("ws"), i + 1),
             element_at(col("ws"), i + 2),
             element_at(col("ws"), i + 3)))).as("sh"))
-    val withMh = withSh.select(col("doc") +: (0 until MinhashFuncs).map(k =>
-      array_min(transform(col("sh"), s =>
-        sha2(concat_ws(":", lit(k.toString), s), 256))).as(s"mh$k")): _*)
+    // One native pass over the doc's shingle array yields all 9 minima
+    // (expressions.MinhashSigs) — replaces 9 materialized transform
+    // arrays + 9 array_min scans; bit-equal, so the DedupSpec parity
+    // pin vs minhashTable and the oracle CTE both hold unchanged. The
+    // two-select stack keeps minhash_sigs evaluated once: CollapseProject
+    // refuses to inline a non-cheap producer referenced 9 times.
+    val withMhs = withSh.select(col("doc"),
+      graft.functions.minhash_sigs(col("sh"), MinhashFuncs).as("mhs"))
+    val withMh = withMhs.select(col("doc") +: (0 until MinhashFuncs).map(k =>
+      element_at(col("mhs"), k + 1).as(s"mh$k")): _*)
     minhashBandsFromTable(withMh)
   }
 

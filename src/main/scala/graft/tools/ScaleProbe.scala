@@ -88,23 +88,15 @@ object ScaleProbe {
 
   /** Documented super-linear rows that are NOT exact baselines: the
     * growth decomposes into known, contracted components with a
-    * measured sub-linear production twin. Investigated r11 when q62
-    * first crossed the gate at 100× (per-unit 1.30 in the r10 run,
-    * 1.54 in r11 — the gate sits between two drift-band measurements
-    * of the same plan).
+    * measured sub-linear production twin. EMPTY since r12: the sole
+    * r11 entry (q62's inline N·√N IVF build + corpus-fraction query
+    * fixture) was retired STRUCTURALLY — the catalog row now serves
+    * the q200-pattern fixed request from the persisted cell layout
+    * (Similarity.sharedIvfServing), so the row measures the
+    * production serving shape and the build is itemized under
+    * `shared:ivf_serving` like every other train-once intermediate.
     */
-  val DocumentedSuperlinear: Map[String, String] = Map(
-    "q62_ann_ivf" -> ("IVF BUILD + corpus-fraction queries: centroid " +
-      "assignment scores N vectors against ceil(sqrt(N)) sampled " +
-      "centroids — the textbook N·√N IVF train cost, paid once per " +
-      "index build and amortized train-once-serve-many (q140 persists " +
-      "exactly this assignment as the serving layout) — and the " +
-      "fixture's query set is the label-0 corpus fraction, so the " +
-      "probe stage grows ~N·√N too (the q38 artifact). The SERVING " +
-      "path at scale is measured sub-linear: q190 IVF-PQ ADC per-unit " +
-      "0.08@100×, q200 pinned-query brute 0.44@100×, and " +
-      "serveIvfTopK reads only nprobe cell directories of the q140 " +
-      "layout (SimilaritySpec proves row equality with annIvf)"))
+  val DocumentedSuperlinear: Map[String, String] = Map.empty
 
   /** (probe family, query) — the scale-critical headliners probed at
     * every factor, families keep the tables readable.

@@ -712,6 +712,36 @@ class DedupSpec extends AnyFunSuite with CacheCleanup {
     }
   }
 
+  test("minhash_sigs is bit-equal to the legacy per-k sha2 column " +
+    "formulation (the DuckDB oracle CTE shape)") {
+    // The native expression must reproduce, byte for byte, the exact
+    // formulation every dedup oracle mirrors in SQL:
+    //   mh_k = min(sha256_hex(k || ':' || shingle)).
+    // Tricky inputs on purpose: multi-byte UTF-8, a ':' inside the
+    // shingle (the salt separator), the empty string, a 200-char
+    // shingle spanning multiple SHA-256 blocks, and a 1-element array.
+    val shingleSets = Seq(
+      Seq("the quick brown", "quick brown fox", "brown fox jumps"),
+      Seq("naïve café δοκιμή", "日本語 テスト 漢字", "a:b:c with colons"),
+      Seq(""),
+      Seq("x" * 200, "y" * 63, "z" * 64, "w" * 65),
+      Seq("solo"))
+    val df = shingleSets.zipWithIndex.map { case (sh, i) => (i.toLong, sh) }
+      .toDF("doc", "sh")
+    val native = df.select(col("doc"),
+        graft.functions.minhash_sigs(col("sh"), Dedup.MinhashFuncs).as("mhs"))
+      .collect().map(r => r.getAs[Long]("doc") ->
+        r.getSeq[String](1)).toMap
+    val legacy = df.select(col("doc") +: (0 until Dedup.MinhashFuncs).map(k =>
+        array_min(transform(col("sh"), s =>
+          sha2(concat_ws(":", lit(k.toString), s), 256))).as(s"mh$k")): _*)
+      .collect().map(r => r.getAs[Long]("doc") ->
+        (0 until Dedup.MinhashFuncs).map(k => r.getAs[String](s"mh$k"))).toMap
+    assert(native.keySet == legacy.keySet)
+    for (d <- native.keySet)
+      assert(native(d) == legacy(d), s"doc $d: ${native(d)} vs ${legacy(d)}")
+  }
+
   test("q210 stratum marginals reproduce q188's aggregate recall " +
     "on the fixture corpus") {
     val d = TestSpark.sf0001

@@ -37,6 +37,9 @@ class GraftExtensionsSpec extends AnyFunSuite {
       assert(r4 == graft.expressions.HashFraction.fraction(
         org.apache.spark.unsafe.types.UTF8String.fromString("42")))
       assert(r4 >= 0.0 && r4 < 1.0)
+      val r5 = ext.sql("SELECT minhash_sigs(array('a b c', 'b c d'), 9) AS mhs")
+        .collect()(0).getSeq[String](0)
+      assert(r5.length == 9 && r5.forall(_.matches("[0-9a-f]{64}")))
       // bad arity is a clean analysis error, not a crash
       intercept[Exception](ext.sql("SELECT token_count('a', 'b')").collect())
       // non-literal k/w is rejected loudly, not silently defaulted
