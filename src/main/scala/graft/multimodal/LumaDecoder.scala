@@ -36,6 +36,49 @@ case object IdentityLuma extends LumaDecoder {
   def decode(blob: Array[Byte]): Array[Byte] = blob
 }
 
+/** Shared implementation for the JDK-codec image decoders
+  * ([[JpegLuma]], [[PngLuma]]): javax.imageio decodes the container
+  * (the JDK ships JPEG and PNG codecs — zero external dependencies),
+  * then the SAME exact integer Rec.601 luma map as [[BmpLuma]]
+  * ((77R + 150G + 29B) >> 8) over the ARGB raster, emitted row-major
+  * top-down. The magic-byte check keeps each decoder honest about its
+  * format (a JpegLuma that silently decodes PNG would hide
+  * misrouted-content bugs at the seam).
+  *
+  * Determinism: the decode is pure JDK code — stable for a pinned JVM,
+  * which is the same determinism class as every engine decision path
+  * (the perceptual hash downstream is integer-exact regardless).
+  */
+sealed abstract class ImageIoLuma(val name: String,
+                                  magic: Array[Int]) extends LumaDecoder {
+  def decode(blob: Array[Byte]): Array[Byte] = {
+    require(blob.length > magic.length &&
+        magic.indices.forall(i => (blob(i) & 0xff) == magic(i)),
+      s"$name: magic bytes do not match")
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(blob))
+    require(img != null, s"$name: not a decodable image")
+    val w = img.getWidth
+    val h = img.getHeight
+    val px = img.getRGB(0, 0, w, h, null, 0, w)
+    val out = new Array[Byte](w * h)
+    var i = 0
+    while (i < px.length) {
+      val p = px(i)
+      out(i) = ((77 * ((p >>> 16) & 0xff) + 150 * ((p >>> 8) & 0xff)
+        + 29 * (p & 0xff)) >> 8).toByte
+      i += 1
+    }
+    out
+  }
+}
+
+/** JFIF/JPEG decoder via the JDK's built-in codec (SOI marker FFD8). */
+case object JpegLuma extends ImageIoLuma("jpeg", Array(0xff, 0xd8))
+
+/** PNG decoder via the JDK's built-in codec (8-byte PNG signature). */
+case object PngLuma extends ImageIoLuma("png",
+  Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a))
+
 /** Real-format decoder for uncompressed 24-bit BMP (BITMAPINFOHEADER,
   * BI_RGB): parses the pixel-array offset, dimensions, and row padding
   * from the header, converts BGR triples to integer Rec.601 luma

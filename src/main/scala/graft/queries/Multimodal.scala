@@ -217,7 +217,12 @@ object Multimodal {
     val signal = decoder match {
       case graft.multimodal.IdentityLuma => blobs.withColumn("signal", col("media"))
       case d =>
-        val decodeUdf = udf((b: Array[Byte]) => d.decode(b))
+        // asNondeterministic: both the length filter and the phash
+        // projection reference `signal`; a deterministic UDF gets
+        // substituted into BOTH by project-collapse/pushdown, decoding
+        // every blob twice (ADVICE r11). Nondeterminism pins the decode
+        // to this one projection — each blob decodes exactly once.
+        val decodeUdf = udf((b: Array[Byte]) => d.decode(b)).asNondeterministic()
         blobs.withColumn("signal", decodeUdf(col("media")))
     }
     signal

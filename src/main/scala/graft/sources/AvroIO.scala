@@ -23,11 +23,14 @@ import org.apache.spark.sql.types._
   * 100 TB:
   *
   *  - WRITE: one container file per task, streamed through the Hadoop
-  *    FileSystem API (works on HDFS/object stores, not just local),
-  *    records appended through `DataFileWriter` with the schema mapped
-  *    once from the DataFrame's StructType. No driver involvement, no
-  *    collect. Task retries overwrite their own part file (same
-  *    partition id -> same name), so replays are idempotent.
+  *    FileSystem API with the DRIVER'S configuration serialized to
+  *    tasks (works on HDFS/object stores, not just local), records
+  *    appended through `DataFileWriter` with the schema mapped once
+  *    from the DataFrame's StructType. No driver involvement, no
+  *    collect. Tasks write attempt-unique hidden temp files and
+  *    rename-commit on success, so retries, speculative twins, and
+  *    zombie attempts can never interleave one stream, and failed
+  *    jobs leave nothing a reader can see.
   *  - READ: `AvroKeyInputFormat` (avro-mapred) via
   *    `newAPIHadoopFile` — container files are BLOCK-SPLITTABLE at
   *    their sync markers, so read parallelism follows bytes, not file
@@ -41,6 +44,28 @@ import org.apache.spark.sql.types._
   * is the row-interchange path, not the lake format.
   */
 object AvroIO {
+
+  /** Java-serializable carrier for the session Hadoop configuration
+    * (the standard writeObject/readFields pattern): tasks must resolve
+    * the output FileSystem with the SAME conf the driver used —
+    * a fresh `new Configuration()` on executors drops programmatic
+    * settings (fs.defaultFS, object-store credentials), so on
+    * HDFS/object-store deployments tasks could write to a different or
+    * unauthenticated filesystem than the driver prepared (ADVICE r11).
+    */
+  private class SerializableHadoopConf(
+      @transient var value: org.apache.hadoop.conf.Configuration)
+      extends Serializable {
+    private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+      out.defaultWriteObject()
+      value.write(out)
+    }
+    private def readObject(in: java.io.ObjectInputStream): Unit = {
+      in.defaultReadObject()
+      value = new org.apache.hadoop.conf.Configuration(false)
+      value.readFields(in)
+    }
+  }
 
   /** Map a flat StructType to the Avro record schema JSON. */
   def avroSchemaJson(schema: StructType, recordName: String = "graft_record"): String = {
@@ -77,15 +102,31 @@ object AvroIO {
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(root, true)
     fs.mkdirs(root)
+    // the driver's conf rides to tasks — executors must hit the SAME
+    // filesystem/credentials the delete/mkdirs above ran against
+    val serConf = new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration)
     df.rdd.foreachPartition { it =>
       if (it.hasNext) {
         val schema = new Schema.Parser().parse(schemaJson)
+        val tc = TaskContext.get()
         val part = TaskContext.getPartitionId()
-        val file = new Path(s"$path/part-${"%05d".format(part)}.avro")
-        val conf = new org.apache.hadoop.conf.Configuration()
-        val out = file.getFileSystem(conf).create(file, true)
+        val finalFile = new Path(s"$path/part-${"%05d".format(part)}.avro")
+        // Commit protocol (ADVICE r11): stream into an ATTEMPT-UNIQUE
+        // dot-file, rename into place only on success. Two live
+        // attempts of one partition (speculation, zombies) then never
+        // interleave bytes in one stream; rename is first-wins (both
+        // attempts carry the same records — only the random Avro sync
+        // marker differs — so either winner is a complete, correct
+        // part file and the loser deletes its temp). Failed jobs leave
+        // only dot-prefixed temps, which FileInputFormat's hidden-file
+        // filter already excludes from every read path.
+        val tmpFile = new Path(
+          s"$path/.part-${"%05d".format(part)}.avro.attempt-${tc.taskAttemptId()}.tmp")
+        val tfs = finalFile.getFileSystem(serConf.value)
+        val out = tfs.create(tmpFile, true)
         val w = new DataFileWriter(new GenericDatumWriter[GenericRecord](schema))
         w.create(schema, out) // w.close() closes the stream too
+        var committed = false
         try {
           it.foreach { row =>
             val rec = new GenericData.Record(schema)
@@ -100,7 +141,19 @@ object AvroIO {
             }
             w.append(rec)
           }
-        } finally w.close()
+          w.close()
+          committed = tfs.rename(tmpFile, finalFile)
+          if (!committed) {
+            if (tfs.exists(finalFile)) tfs.delete(tmpFile, false) // sibling attempt won
+            else throw new java.io.IOException(
+              s"avro commit failed: cannot rename $tmpFile to $finalFile")
+          }
+        } finally {
+          if (!committed) {
+            try w.close() catch { case _: Throwable => () }
+            try { tfs.delete(tmpFile, false); () } catch { case _: Throwable => () }
+          }
+        }
       }
     }
   }
