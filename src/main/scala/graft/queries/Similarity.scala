@@ -351,20 +351,53 @@ object Similarity {
   def sharedIvfServing(s: SparkSession, d: String): DataFrame =
     graft.pipeline.Chunker.sharedTable(s, s"similarity:ivf_serving:$d") {
       val e = ivfBase(embeddings(s, d))
-      val scored = ivfScored(e)
-      val cells = scored.filter(col("crn") === 1)
-        .select(col("vec_id"), col("cent_id"))
+      val cents = ivfCentroids(e)
+      // Cell assignment as ONE partially-aggregating argmax, not a
+      // row_number window: the scored relation is N·√N rows, and the
+      // window must SORT all of it (measured at the 100× probe:
+      // 3.2/1.2 GB spill, 98 s). A max_by/struct-key argmax is no
+      // better — its non-primitive buffer falls back to SortAggregate
+      // (measured: 4.0/1.3 GB spill, 87 s). So the ordering packs into
+      // ONE long (the repo's integer micro-units move): cosinePre is
+      // EXACT 6-decimal units, so
+      //   key = (cos_micro + 1e6) * 2^41 + (2^40 - cent_id)
+      // is max'd by a genuine primitive-buffer HashAggregate with
+      // map-side combine — zero sort anywhere. key strictly orders by
+      // (c_cos DESC, cent_id ASC) — cos_micro ↦ k is a bijection on
+      // 6dp values and cent_ids are vec_ids in [0, 2^40) in every
+      // fixture and generator — so the decoded winner is exactly the
+      // window's crn=1 row the q62/q140 oracles rank in SQL.
+      val packK = 1L << 41
+      val packC = 1L << 40
+      val key = (round(cosinePre(col("embedding"), col("c_emb"),
+          col("nrm"), col("c_nrm")) * lit(1000000d), 0).cast("long")
+        + lit(1000000L)) * lit(packK) + (lit(packC) - col("cent_id"))
+      val assign = e.crossJoin(broadcast(cents))
+        .select(col("vec_id"), key.as("k"))
+        .groupBy(col("vec_id"))
+        .agg(max(col("k")).as("k"))
+        .select(col("vec_id"),
+          (lit(packC) - pmod(col("k"), lit(packK))).as("cent_id"))
+      val cells = assign
         .join(e.select(col("vec_id"), col("embedding"), col("nrm")), Seq("vec_id"))
       graft.sinks.LayoutWriter.writeHivePartitioned(
         cells, ivfServingPath(d), "cent_id")
+      // probe ranking only for the FIXED request: FixedQCount queries
+      // × √N centroids — window-sized by the request, not the corpus
       val qids = e.filter(col("label") === 0)
         .select(col("vec_id").as("q_id"))
         .orderBy(col("q_id")).limit(FixedQCount)
-      scored.filter(col("label") === 0 && col("crn") <= 2)
-        .select(col("vec_id").as("q_id"), col("cent_id"))
+      e.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+          col("nrm").as("q_nrm"))
         .join(broadcast(qids), Seq("q_id"))
-        .join(e.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-          col("nrm").as("q_nrm")), Seq("q_id"))
+        .crossJoin(broadcast(cents))
+        .withColumn("c_cos", cosinePre(col("q_emb"), col("c_emb"),
+          col("q_nrm"), col("c_nrm")))
+        .withColumn("crn", row_number().over(
+          Window.partitionBy(col("q_id"))
+            .orderBy(col("c_cos").desc, col("cent_id"))))
+        .filter(col("crn") <= 2)
+        .select(col("q_id"), col("cent_id"), col("q_emb"), col("q_nrm"))
     }
 
   /** A query's probe set against the same centroid sample:

@@ -234,9 +234,12 @@ object ScaleProbe {
     def keep(n: String) = only.forall(_.exists(n.startsWith))
     val headNames = Headliners.map(_._2).filter(keep)
     val allNames = graft.SparkEntry.queries.keys.toSeq.sorted.filter(keep)
+    // filtered dev runs time queries standalone, but a shared row can
+    // opt IN by prefix (e.g. ONLY=shared:ivf_serving,q62 measures the
+    // build and the serving row under their own timers, Bench-style)
     val shared: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)] =
-      if (only.nonEmpty) Seq.empty // filtered dev runs time queries standalone
-      else graft.SparkEntry.sharedBuilds
+      if (only.isEmpty) graft.SparkEntry.sharedBuilds
+      else graft.SparkEntry.sharedBuilds.filter(kv => keep(kv._1))
     val needFull = fullSweep && bigs.exists(_._2 <= FullSweepMaxFactor)
     val warmNames = if (needFull) allNames else headNames
 
