@@ -82,7 +82,7 @@ object Bench {
     * the ratio (canary_scale), which is box-relative.
     */
   val CanaryRef: Map[String, Double] = Map(
-    "canary:cpu" -> 1.133, "canary:shuffle" -> 0.641, "canary:sort" -> 0.464)
+    "canary:cpu" -> 0.256, "canary:shuffle" -> 0.502, "canary:sort" -> 0.164)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
