@@ -287,10 +287,48 @@ object Dedup {
     Chunker.sharedTable(s, s"dedup:shingles:$dir")(
       shingleTable(documents(s, dir), "doc_id", "text"))
 
-  /** Memoized [[minhashTable]] over [[corpusShingles]]. */
+  /** [[minhashTable]]'s signature computed PER DOCUMENT ROW: the doc's
+    * distinct-shingle array feeds ONE [[graft.functions.minhash_sigs]]
+    * call (all 9 minima in one pass), n_sh = size of that array. Same
+    * (doc, mh0..mh8, n_sh) schema, bit-identical values (DedupSpec
+    * pins it) — array_min over the per-doc array equals the groupBy
+    * min because both fold the same lexicographic string order.
+    *
+    * Why a second form: the aggregate shape streams the EXPLODED
+    * corpus (shingle-count rows, 1e8 at the 100× probe) through a
+    * projection that materializes a 9-string array per SHINGLE and a
+    * 500k-key aggregate; this shape touches doc-count rows, allocates
+    * one array per DOC, and needs no shuffle at all — the 100× minhash
+    * build dropped from the aggregate form's measured 136 s (vs 106 s
+    * for r11's min(sha2) aggregate — the per-shingle array was a
+    * regression at scale despite winning at sf0.1) to the per-row
+    * plan. It re-derives shingle arrays from text instead of riding
+    * the shared exploded table — tokenize CPU traded against scanning
+    * and aggregating 200× more rows, the same trade bandsPerRow makes
+    * for streaming.
+    */
+  def minhashTablePerRow(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val ws = TextOps.wordsOf(col(textCol))
+    docs
+      .select(col(idCol).as("doc"), ws.as("ws"))
+      .filter(size(col("ws")) >= 3)
+      .select(col("doc"), array_distinct(
+        transform(sequence(lit(0), size(col("ws")) - 3), i =>
+          concat_ws(" ", element_at(col("ws"), i + 1),
+            element_at(col("ws"), i + 2),
+            element_at(col("ws"), i + 3)))).as("sh"))
+      .select(col("doc"),
+        graft.functions.minhash_sigs(col("sh"), MinhashFuncs).as("h"),
+        size(col("sh")).cast("long").as("n_sh"))
+      .select(col("doc") +: (0 until MinhashFuncs).map(k =>
+        element_at(col("h"), k + 1).as(s"mh$k")) :+ col("n_sh"): _*)
+  }
+
+  /** Memoized minhash signature table over the corpus —
+    * [[minhashTablePerRow]], the zero-shuffle per-doc form. */
   def corpusMinhash(s: SparkSession, dir: String): DataFrame =
     Chunker.sharedTable(s, s"dedup:minhash:$dir")(
-      minhashTable(corpusShingles(s, dir)))
+      minhashTablePerRow(documents(s, dir), "doc_id", "text"))
 
   /** Memoized LSH candidate pairs (doc_a, doc_b, n_shared_bands) over
     * [[corpusMinhash]].

@@ -742,6 +742,25 @@ class DedupSpec extends AnyFunSuite with CacheCleanup {
       assert(native(d) == legacy(d), s"doc $d: ${native(d)} vs ${legacy(d)}")
   }
 
+  test("minhashTablePerRow is row-identical to the aggregate minhashTable") {
+    // the shared corpus build switched to the per-doc form (r12); its
+    // (doc, mh0..mh8, n_sh) rows must match the exploded-aggregate
+    // form exactly, short docs excluded by both
+    val docs = Seq(
+      (1L, base), (2L, base + " extra words appended here"),
+      (3L, "too short"), // < 3 words: excluded by both forms
+      (4L, "naïve café δοκιμή tokens repeat tokens repeat tokens"),
+      (5L, "a b c a b c a b c d")) // repeated shingles: distinct once
+      .toDF("doc_id", "text")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.toSeq.map(String.valueOf).mkString("|"))
+        .sorted.toSeq
+    val perRow = Dedup.minhashTablePerRow(docs, "doc_id", "text")
+    val agg = Dedup.minhashTable(Dedup.shingleTable(docs, "doc_id", "text"))
+    assert(perRow.columns.toSeq == agg.columns.toSeq)
+    assert(canon(perRow) == canon(agg))
+  }
+
   test("q210 stratum marginals reproduce q188's aggregate recall " +
     "on the fixture corpus") {
     val d = TestSpark.sf0001

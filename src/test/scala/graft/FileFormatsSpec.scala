@@ -110,6 +110,20 @@ class FileFormatsSpec extends AnyFunSuite {
       AvroIO.avroSchemaJson(StructType(Seq(
         StructField("ts", TimestampType, nullable = true))))
     }
+    // commit protocol: every task renamed its attempt temp into place —
+    // nothing hidden survives a successful job
+    val leftovers = new java.io.File(out).listFiles()
+      .filter(f => f.getName.startsWith(".") || f.getName.endsWith(".tmp"))
+      .filterNot(_.getName.endsWith(".crc")) // hadoop local-fs checksums
+    assert(leftovers.isEmpty, leftovers.map(_.getName).mkString(", "))
+    // and a crashed attempt's leftover temp is INVISIBLE to readers
+    // (dot-prefix → FileInputFormat's hidden-file filter): plant one
+    // and re-read — same rows
+    val junk = new java.io.File(out, ".part-99999.avro.attempt-7.tmp")
+    java.nio.file.Files.write(junk.toPath, Array[Byte](1, 2, 3))
+    val got2 = AvroIO.readAvro(spark, out, schema).count()
+    assert(got2 == rows.length)
+    junk.delete()
   }
 
   test("csv multiLine=true round-trips embedded newlines (non-splittable path)") {
