@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.expressions.{HashFraction, MediaPhash, MinhashSigs, NfcNormalize, TokenCount, TokenCountCl100k, VecDot, WinnowFps}
+import graft.expressions.{AudioStats, HashFraction, LumaResize, MediaPhash, MinhashSigs, NfcNormalize, TokenCount, TokenCountCl100k, VecDot, WinnowFps}
 
 /** Session extensions: registers graft's native expressions as SQL
   * functions, so `spark.sql("SELECT token_count(text) ...")` works for
@@ -91,6 +91,25 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             s"minhash_sigs: funcs must be an integer literal, got $other")
         }
         MinhashSigs(children.head, funcs)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("audio_stats"),
+      info("audio_stats", "audio_stats(bin) - one-pass s16le waveform stats [n_samples, peak, sum_sq, n_clipped, zero_cross] (see graft.expressions.AudioStats)"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1, "audio_stats takes exactly 1 argument")
+        AudioStats(children.head)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("luma_resize"),
+      info("luma_resize", "luma_resize(bin, cells) - box-filter resample to `cells` integer means (see graft.expressions.LumaResize)"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "luma_resize takes exactly 2 arguments")
+        val cells = children(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"luma_resize: cells must be an integer literal, got $other")
+        }
+        LumaResize(children.head, cells)
       }))
     ext.injectFunction((
       FunctionIdentifier("hash_fraction"),

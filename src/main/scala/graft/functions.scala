@@ -61,4 +61,21 @@ object functions {
     */
   def media_phash(c: Column, cells: Int): Column =
     ExprBridge.column(expressions.MediaPhash(ExprBridge.expression(c), cells))
+
+  /** One-pass waveform statistics over s16le PCM bytes as array<bigint>
+    * [n_samples, peak, sum_sq, n_clipped, zero_cross] (see
+    * [[expressions.AudioStats]]); integer-exact, value-equal to the
+    * DuckDB oracle mirror. Input must be at least 2 bytes (filter
+    * upstream — q213's shape).
+    */
+  def audio_stats(c: Column): Column =
+    ExprBridge.column(expressions.AudioStats(ExprBridge.expression(c)))
+
+  /** Box-filter resample of a luma byte signal to `cells` integer
+    * means (see [[expressions.LumaResize]]); value-equal to the DuckDB
+    * oracle mirror. Input must be at least `cells` bytes (filter
+    * upstream — q214's shape).
+    */
+  def luma_resize(c: Column, cells: Int): Column =
+    ExprBridge.column(expressions.LumaResize(ExprBridge.expression(c), cells))
 }

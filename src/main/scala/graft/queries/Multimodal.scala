@@ -131,7 +131,35 @@ object Multimodal {
     // three consumers), the candidate join shuffles on
     // (band_idx, band_sig) collision buckets, the verify runs on
     // candidate pairs only — never N².
-    "q209_media_phash_neardup" -> ((s, d) => phashNeardup(documents(s, d)))
+    "q209_media_phash_neardup" -> ((s, d) => phashNeardup(documents(s, d))),
+
+    // Audio feature extraction — the waveform member of the multimodal
+    // family (images grid through q209's phash; audio folds through
+    // the native AudioStats expression: one pass over s16le samples ->
+    // n_samples, peak, sum_sq, clipping count, zero crossings — the
+    // stats an audio curation pipeline gates on: silence = low
+    // peak/sum_sq, hard-clipped = n_clipped/n_samples high, tonal vs
+    // noisy = zero_cross rate). The decode seam is
+    // [[graft.multimodal.PcmDecoder]] (identity stub over the fixture's
+    // text bytes — the corpus ships no real audio; MultimodalSpec
+    // drives a REAL RIFF/WAVE container through the same pipeline via
+    // WavPcm). Pure per-row projection, no shuffle; everything
+    // integer-exact so the DuckDB oracle mirrors it bit for bit.
+    "q213_audio_stats" -> ((s, d) => audioStats(
+      documents(s, d)
+        .select(col("doc_id"), col("text").cast("binary").as("media")))),
+
+    // Standalone resize — the remaining named stage of the multimodal
+    // north star (decode / feature-extract / resize / frame-sample).
+    // q209 embeds this grid and immediately thresholds it to sign
+    // bits; here the box-filter resample IS the output: 16 integer
+    // cell means per blob at proportional offsets, the
+    // alignment-normalizing fixed-size vector a training loader packs
+    // or a similarity stage consumes. Native LumaResize expression +
+    // posexplode — a generator projection, no shuffle.
+    "q214_luma_resize" -> ((s, d) => lumaResize(
+      documents(s, d)
+        .select(col("doc_id"), col("text").cast("binary").as("media"))))
   )
 
   /** q209 body over any documents-shaped frame — see the catalog
@@ -178,6 +206,72 @@ object Multimodal {
       .withColumn("hamming", expr("CAST(bit_count(pa ^ pb) AS LONG)"))
       .filter(col("hamming") <= PHashMaxHam)
       .select(col("doc_a"), col("doc_b"), col("n_shared_bands"), col("hamming"))
+  }
+
+  /** q213 body over an already-binary media table `(doc_id, media)`
+    * with a pluggable decode seam ([[graft.multimodal.PcmDecoder]]) —
+    * the shape a real audio corpus enters through. The catalog entry
+    * rides the identity decoder (blob bytes AS s16le PCM — fully
+    * native, no UDF anywhere); MultimodalSpec drives real RIFF/WAVE
+    * containers through the SAME stats pipeline via
+    * [[graft.multimodal.WavPcm]]. Blobs below one complete sample are
+    * excluded (documented contract — real audio is KBs+).
+    */
+  def audioStats(
+      blobs: DataFrame,
+      decoder: graft.multimodal.PcmDecoder = graft.multimodal.IdentityPcm)
+      : DataFrame = {
+    val pcm = decoder match {
+      case graft.multimodal.IdentityPcm => blobs.withColumn("pcm", col("media"))
+      case d =>
+        // asNondeterministic: same ADVICE-r11 rationale as blobPhash —
+        // pin the container parse to one projection so each blob
+        // decodes exactly once under project-collapse/pushdown.
+        val decodeUdf = udf((b: Array[Byte]) => d.decode(b)).asNondeterministic()
+        blobs.withColumn("pcm", decodeUdf(col("media")))
+    }
+    pcm
+      .filter(octet_length(col("pcm")).cast("long") >= 2)
+      .select(col("doc_id"), graft.functions.audio_stats(col("pcm")).as("st"))
+      .select(col("doc_id"),
+        element_at(col("st"), 1).as("n_samples"),
+        element_at(col("st"), 2).as("peak"),
+        element_at(col("st"), 3).as("sum_sq"),
+        element_at(col("st"), 4).as("n_clipped"),
+        element_at(col("st"), 5).as("zero_cross"))
+  }
+
+  /** q214 resize target: 16 cells — small enough that every fixture
+    * blob (>= 16 bytes) resamples, wide enough to be a real thumbnail
+    * vector (production tunes this per modality; the kernel is
+    * cell-count-free).
+    */
+  val ResizeCells = 16
+
+  /** q214 body over an already-binary media table `(doc_id, media)`
+    * with the [[graft.multimodal.LumaDecoder]] seam (identity for the
+    * catalog fixture; MultimodalSpec resizes real decoded BMP/PNG
+    * pixels through the same kernel). One native LumaResize projection
+    * + posexplode — no shuffle.
+    */
+  def lumaResize(
+      blobs: DataFrame,
+      decoder: graft.multimodal.LumaDecoder = graft.multimodal.IdentityLuma)
+      : DataFrame = {
+    val signal = decoder match {
+      case graft.multimodal.IdentityLuma =>
+        blobs.withColumn("signal", col("media"))
+      case d =>
+        val decodeUdf = udf((b: Array[Byte]) => d.decode(b)).asNondeterministic()
+        blobs.withColumn("signal", decodeUdf(col("media")))
+    }
+    signal
+      .filter(octet_length(col("signal")).cast("long") >= ResizeCells)
+      .select(col("doc_id"),
+        posexplode(graft.functions.luma_resize(col("signal"), ResizeCells)))
+      .select(col("doc_id"),
+        col("pos").cast("long").as("cell"),
+        col("col").as("luma"))
   }
 
   /** q155 shard byte budget: ~32 fixture docs per shard, so every SF
@@ -292,8 +386,67 @@ object Multimodal {
        |WHERE bit_count(xor(pa.phash, pb.phash)) <= $PHashMaxHam""".stripMargin
   }
 
+  /** DuckDB twin of q213: the same s16le parse (low byte + signed high
+    * byte), one row per sample via per-doc unnest, zero crossings via
+    * a lag window — all integer arithmetic, mirroring
+    * [[graft.expressions.AudioStats]] bit for bit.
+    */
+  private def q213OracleSql: String =
+    s"""WITH m AS (
+       |  SELECT doc_id, hex(encode(text)) AS h,
+       |    CAST(octet_length(encode(text)) // 2 AS BIGINT) AS ns
+       |  FROM documents
+       |  WHERE octet_length(encode(text)) >= 2),
+       |pos AS (
+       |  SELECT doc_id, h, ns, unnest(range(0, ns)) AS i FROM m),
+       |sm AS (
+       |  SELECT doc_id, ns, i,
+       |    CASE WHEN raw >= 32768 THEN raw - 65536 ELSE raw END AS v
+       |  FROM (
+       |    SELECT doc_id, ns, i,
+       |      (${hexByteSql("(i * 2)")} + 256 * ${hexByteSql("(i * 2 + 1)")})
+       |        AS raw
+       |    FROM pos)),
+       |w AS (
+       |  SELECT doc_id, ns, v,
+       |    lag(v) OVER (PARTITION BY doc_id ORDER BY i) AS pv
+       |  FROM sm)
+       |SELECT doc_id,
+       |  max(ns) AS n_samples,
+       |  CAST(max(abs(v)) AS BIGINT) AS peak,
+       |  CAST(sum(v * v) AS BIGINT) AS sum_sq,
+       |  CAST(sum(CASE WHEN abs(v) >= 32767 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_clipped,
+       |  CAST(sum(CASE WHEN pv IS NOT NULL AND ((pv < 0) <> (v < 0))
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS zero_cross
+       |FROM w GROUP BY doc_id""".stripMargin
+
+  /** DuckDB twin of q214: the same proportional windows (float-floor
+    * boundaries — identical to integer division for any k*nb < 2^53,
+    * the q209 argument) and floor-division cell means.
+    */
+  private def q214OracleSql: String = {
+    val c = ResizeCells
+    s"""WITH m AS (
+       |  SELECT doc_id, hex(encode(text)) AS h,
+       |    CAST(octet_length(encode(text)) AS BIGINT) AS nb
+       |  FROM documents
+       |  WHERE octet_length(encode(text)) >= $c),
+       |b AS (
+       |  SELECT doc_id, h, t.k AS k,
+       |    CAST(floor(CAST(t.k * nb AS DOUBLE) / $c.0) AS BIGINT) AS st,
+       |    CAST(floor(CAST((t.k + 1) * nb AS DOUBLE) / $c.0) AS BIGINT) AS en
+       |  FROM m CROSS JOIN (SELECT unnest(range(0, $c)) AS k) t)
+       |SELECT doc_id, CAST(k AS BIGINT) AS cell,
+       |  CAST(list_sum(list_transform(range(st, en),
+       |      p -> ${hexByteSql("p")})) // (en - st) AS BIGINT) AS luma
+       |FROM b""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "q209_media_phash_neardup" -> q209OracleSql,
+    "q213_audio_stats" -> q213OracleSql,
+    "q214_luma_resize" -> q214OracleSql,
 
     "q44_props_struct" ->
       """SELECT event_type, count(*) AS n,

@@ -40,6 +40,14 @@ class GraftExtensionsSpec extends AnyFunSuite {
       val r5 = ext.sql("SELECT minhash_sigs(array('a b c', 'b c d'), 9) AS mhs")
         .collect()(0).getSeq[String](0)
       assert(r5.length == 9 && r5.forall(_.matches("[0-9a-f]{64}")))
+      val r6 = ext.sql(
+        "SELECT audio_stats(CAST(x'e8030000' AS BINARY)) AS st") // s16le [1000, 0]
+        .collect()(0).getSeq[Long](0)
+      assert(r6 == Seq(2L, 1000L, 1000000L, 0L, 0L))
+      val r7 = ext.sql(
+        "SELECT luma_resize(CAST(x'0a0a1414' AS BINARY), 2) AS cells")
+        .collect()(0).getSeq[Long](0)
+      assert(r7 == Seq(10L, 20L))
       // bad arity is a clean analysis error, not a crash
       intercept[Exception](ext.sql("SELECT token_count('a', 'b')").collect())
       // non-literal k/w is rejected loudly, not silently defaulted

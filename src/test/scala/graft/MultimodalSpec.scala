@@ -302,4 +302,142 @@ class MultimodalSpec extends AnyFunSuite {
       == graft.expressions.MediaPhash.phash(viaBmp, Multimodal.PHashCells))
     intercept[IllegalArgumentException](PngLuma.decode("not a png".getBytes))
   }
+
+  /** s16le byte encoding of the given sample values. */
+  private def s16le(samples: Seq[Int]): Array[Byte] = {
+    val buf = java.nio.ByteBuffer.allocate(samples.length * 2)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    samples.foreach(s => buf.putShort(s.toShort))
+    buf.array()
+  }
+
+  /** Synthesize a real RIFF/WAVE container around raw s16le PCM, with
+    * an odd-sized LIST chunk before fmt (exercising chunk-walk skip +
+    * word-align padding) and optionally the 0xFFFE extensible fmt
+    * wrapper instead of plain PCM.
+    */
+  private def wav16(pcm: Array[Byte], extensible: Boolean = false): Array[Byte] = {
+    val fmtSize = if (extensible) 40 else 16
+    val listPayload = "abc".getBytes("US-ASCII") // odd size -> pad byte
+    val size = 4 + (8 + listPayload.length + 1) + (8 + fmtSize) + (8 + pcm.length)
+    val buf = java.nio.ByteBuffer.allocate(8 + size)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes).putInt(size).put("WAVE".getBytes)
+    buf.put("LIST".getBytes).putInt(listPayload.length)
+      .put(listPayload).put(0.toByte)
+    buf.put("fmt ".getBytes).putInt(fmtSize)
+      .putShort(if (extensible) 0xfffe.toShort else 1)
+      .putShort(1).putInt(8000).putInt(16000).putShort(2).putShort(16)
+    if (extensible) {
+      buf.putShort(22).putShort(16).putInt(0)
+      buf.putShort(1) // sub-format GUID leads with the real tag (PCM)
+      buf.put(Array.fill[Byte](14)(0))
+    }
+    buf.put("data".getBytes).putInt(pcm.length).put(pcm)
+    buf.array()
+  }
+
+  /** Independent sequential fold mirroring the AudioStats contract. */
+  private def audioFold(samples: Seq[Int]): Seq[Long] = {
+    val peak = samples.map(v => math.abs(v.toLong)).max
+    val sumSq = samples.map(v => v.toLong * v).sum
+    val clipped = samples.count(v => math.abs(v.toLong) >= 32767).toLong
+    val crossings = samples.sliding(2).count {
+      case Seq(a, b) => (a < 0) != (b < 0)
+      case _ => false
+    }.toLong
+    Seq(samples.length.toLong, peak, sumSq, clipped, crossings)
+  }
+
+  test("audio_stats: native expression equals an independent fold; " +
+    "trailing odd byte ignored; full-scale rails count as clipped") {
+    import graft.expressions.AudioStats
+    val samples = Seq(0, 1000, -1000, 32767, -32768, 5, -5)
+    val expected = audioFold(samples)
+    def arr(b: Array[Byte]): Seq[Long] =
+      AudioStats.stats(b).toLongArray().toSeq
+    assert(arr(s16le(samples)) == expected)
+    assert(expected(1) == 32768L, "|-32768| must be exact, not overflowed")
+    assert(expected(3) == 2L, "32767 and -32768 both hit the rails")
+    assert(expected(4) == 5L)
+    // a trailing odd byte carries no complete sample
+    assert(arr(s16le(samples) :+ 0x7f.toByte) == expected)
+    // column API over a DataFrame matches the direct eval
+    val df = Seq((1L, s16le(samples))).toDF("doc_id", "media")
+    val viaCol = df.select(graft.functions.audio_stats($"media"))
+      .collect()(0).getSeq[Long](0)
+    assert(viaCol == expected)
+  }
+
+  test("WavPcm walks a real RIFF/WAVE container; malformed containers throw") {
+    import graft.multimodal.WavPcm
+    val pcm = s16le(Seq(3, -7, 32767, -32768, 0, 12000))
+    assert(WavPcm.decode(wav16(pcm)).toSeq == pcm.toSeq)
+    assert(WavPcm.decode(wav16(pcm, extensible = true)).toSeq == pcm.toSeq)
+    // float PCM (format tag 3) is rejected, not misread
+    val floatWav = wav16(pcm)
+    floatWav(20 + 3 + 1 + 8) = 3 // fmt payload byte 0 (after LIST chunk)
+    intercept[IllegalArgumentException](WavPcm.decode(floatWav))
+    intercept[IllegalArgumentException](WavPcm.decode("RIFFxxxxJUNK".getBytes))
+    // a chunk size overrunning the container is caught, not read past
+    val truncated = wav16(pcm).dropRight(4)
+    intercept[IllegalArgumentException](WavPcm.decode(truncated))
+  }
+
+  test("q213 pipeline with a REAL container decoder: WAV stats equal " +
+    "identity stats over the raw PCM (the decode seam is code)") {
+    import graft.queries.Multimodal
+    import graft.multimodal.WavPcm
+    val a = Seq(0, 1000, -1000, 32767, -32768, 5, -5, 250, -250)
+    val b = Seq.tabulate(300)(i => ((i * 2311 + 17) % 65536) - 32768)
+    val wavs = Seq(1L -> wav16(s16le(a)), 2L -> wav16(s16le(b), extensible = true))
+      .toDF("doc_id", "media")
+    val raws = Seq(1L -> s16le(a), 2L -> s16le(b)).toDF("doc_id", "media")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).sortBy(_._1).toSeq
+    val viaWav = rows(Multimodal.audioStats(wavs, WavPcm))
+    assert(viaWav == rows(Multimodal.audioStats(raws)))
+    // and both match the independent fold
+    assert(viaWav.map(t => Seq(t._2, t._3, t._4, t._5, t._6))
+      == Seq(audioFold(a), audioFold(b)))
+  }
+
+  test("luma_resize: box means are exact, constant under constant " +
+    "signal, invariant under exact 2x duplication") {
+    import graft.expressions.LumaResize
+    val c = graft.queries.Multimodal.ResizeCells
+    def resize(b: Array[Byte], cells: Int): Seq[Long] =
+      LumaResize.resize(b, cells).toLongArray().toSeq
+    assert(resize(Array.fill(64)(200.toByte), c) == Seq.fill(c)(200L))
+    // independent fold on a deterministic pseudo-random signal
+    val sig = Array.tabulate(100)(i => ((i * 131 + 7) % 256).toByte)
+    val got = resize(sig, c)
+    val want = (0 until c).map { k =>
+      val st = k.toLong * sig.length / c
+      val en = (k + 1).toLong * sig.length / c
+      (st until en).map(p => (sig(p.toInt) & 0xff).toLong).sum / (en - st)
+    }
+    assert(got == want)
+    // nb divisible by cells: duplicating every byte scales each window
+    // exactly, so the box means are identical (alignment normalization)
+    val exact = Array.tabulate(64)(i => ((i * 37 + 11) % 256).toByte)
+    val doubled = exact.flatMap(b => Array(b, b))
+    assert(resize(exact, c) == resize(doubled, c))
+  }
+
+  test("q214 through BmpLuma: a constant-color image resizes to " +
+    "constant luma cells through the real decoder") {
+    import graft.queries.Multimodal
+    import graft.multimodal.BmpLuma
+    val (r, g, b) = (200, 100, 50)
+    val lumaVal = ((77 * r + 150 * g + 29 * b) >> 8).toLong
+    val img = bmp24(16, 8, (_, _) => (r, g, b))
+    val blobs = Seq(1L -> img).toDF("doc_id", "media")
+    val out = Multimodal.lumaResize(blobs, BmpLuma).collect()
+      .map(row => (row.getAs[Long]("cell"), row.getAs[Long]("luma")))
+      .sortBy(_._1)
+    assert(out.map(_._1).toSeq == (0L until Multimodal.ResizeCells))
+    assert(out.forall(_._2 == lumaVal), s"got ${out.toSeq}")
+  }
 }
