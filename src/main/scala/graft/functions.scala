@@ -71,6 +71,14 @@ object functions {
   def audio_stats(c: Column): Column =
     ExprBridge.column(expressions.AudioStats(ExprBridge.expression(c)))
 
+  /** Perceptual energy-envelope hash of s16le PCM packed into one
+    * BIGINT (see [[expressions.AudioPhash]]); gain-invariant, integer-
+    * exact, value-equal to the DuckDB oracle mirror. Input must be at
+    * least `2 * cells` bytes (filter upstream — q215's shape).
+    */
+  def audio_phash(c: Column, cells: Int): Column =
+    ExprBridge.column(expressions.AudioPhash(ExprBridge.expression(c), cells))
+
   /** Box-filter resample of a luma byte signal to `cells` integer
     * means (see [[expressions.LumaResize]]); value-equal to the DuckDB
     * oracle mirror. Input must be at least `cells` bytes (filter

@@ -149,6 +149,20 @@ object Multimodal {
       documents(s, d)
         .select(col("doc_id"), col("text").cast("binary").as("media")))),
 
+    // Audio perceptual near-dup — the dedup family's third modality
+    // (text near-dups through MinHash bands, images through q209's
+    // luma phash; audio through this energy-envelope phash). The
+    // native AudioPhash expression sketches |sample| energy over 48
+    // proportional windows and mean-thresholds them into one BIGINT —
+    // EXACTLY invariant under uniform gain (a louder re-encode of the
+    // same recording pairs with its original), then the standard q209
+    // LSH tail: OR-banding, bucket caps, exact Hamming verify. Same
+    // 100-TB shape: phash is a pure projection, candidates shuffle on
+    // band-collision buckets, verify touches candidate pairs only.
+    "q215_audio_phash_neardup" -> ((s, d) => audioPhashNeardup(
+      documents(s, d)
+        .select(col("doc_id"), col("text").cast("binary").as("media")))),
+
     // Standalone resize — the remaining named stage of the multimodal
     // north star (decode / feature-extract / resize / frame-sample).
     // q209 embeds this grid and immediately thresholds it to sign
@@ -184,8 +198,19 @@ object Multimodal {
   def phashNeardupBlobs(
       blobs: DataFrame,
       decoder: graft.multimodal.LumaDecoder = graft.multimodal.IdentityLuma)
-      : DataFrame = {
-    val ph = blobPhash(blobs, decoder)
+      : DataFrame =
+    bandVerify(blobPhash(blobs, decoder))
+
+  /** The shared LSH tail of perceptual near-dup, image (q209) and
+    * audio (q215) alike: OR-band a 48-bit `(doc_id, phash)` signature
+    * table into [[PHashBands]] exact-match sub-signatures, cap
+    * degenerate buckets, self-join on collisions, verify candidate
+    * pairs by exact Hamming distance as one bit_count(XOR) on the
+    * packed BIGINTs. The signature table persists — banding and both
+    * verify joins consume it.
+    */
+  def bandVerify(phashes: DataFrame): DataFrame = {
+    val ph = phashes
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     graft.pipeline.Chunker.registerForCleanup(ph)
     val bands = ph.select(col("doc_id"),
@@ -239,6 +264,30 @@ object Multimodal {
         element_at(col("st"), 3).as("sum_sq"),
         element_at(col("st"), 4).as("n_clipped"),
         element_at(col("st"), 5).as("zero_cross"))
+  }
+
+  /** q215 body over an already-binary media table `(doc_id, media)`
+    * with the [[graft.multimodal.PcmDecoder]] seam (identity for the
+    * catalog fixture; MultimodalSpec drives real WAV containers and a
+    * gain-doubled re-encode through the same pipeline via
+    * [[graft.multimodal.WavPcm]]). Streams below one complete sample
+    * per hash window carry no stable envelope and are excluded
+    * (documented contract, mirroring q209's grid rule).
+    */
+  def audioPhashNeardup(
+      blobs: DataFrame,
+      decoder: graft.multimodal.PcmDecoder = graft.multimodal.IdentityPcm)
+      : DataFrame = {
+    val pcm = decoder match {
+      case graft.multimodal.IdentityPcm => blobs.withColumn("pcm", col("media"))
+      case d =>
+        val decodeUdf = udf((b: Array[Byte]) => d.decode(b)).asNondeterministic()
+        blobs.withColumn("pcm", decodeUdf(col("media")))
+    }
+    bandVerify(pcm
+      .filter(octet_length(col("pcm")).cast("long") >= 2L * PHashCells)
+      .select(col("doc_id"),
+        graft.functions.audio_phash(col("pcm"), PHashCells).as("phash")))
   }
 
   /** q214 resize target: 16 cells — small enough that every fixture
@@ -337,28 +386,13 @@ object Multimodal {
     s"(${digit(1)} * 16 + ${digit(2)})"
   }
 
-  private def q209OracleSql: String = {
-    val c = PHashCells
-    s"""WITH m AS (
-       |  SELECT doc_id, hex(encode(text)) AS h,
-       |    CAST(octet_length(encode(text)) AS BIGINT) AS nb
-       |  FROM documents
-       |  WHERE octet_length(encode(text)) >= $c),
-       |pos AS (
-       |  SELECT doc_id, t.k AS k,
-       |    list_sum(list_transform(
-       |      range(CAST(floor(CAST(t.k * nb AS DOUBLE) / $c.0) AS BIGINT),
-       |        CAST(floor(CAST((t.k + 1) * nb AS DOUBLE) / $c.0) AS BIGINT)),
-       |      p -> ${hexByteSql("p")})) AS s
-       |  FROM m CROSS JOIN (SELECT unnest(range(0, $c)) AS k) t),
-       |tot AS (SELECT doc_id, sum(s) AS tot FROM pos GROUP BY doc_id),
-       |ph AS (
-       |  SELECT p.doc_id, CAST(sum(
-       |      CASE WHEN p.s * $c > t.tot
-       |           THEN (CAST(1 AS BIGINT) << CAST(p.k AS INT)) ELSE 0 END)
-       |    AS BIGINT) AS phash
-       |  FROM pos p JOIN tot t USING (doc_id)
-       |  GROUP BY p.doc_id),
+  /** The DuckDB mirror of [[bandVerify]]: given CTEs ending in
+    * `ph(doc_id, phash)`, the shared OR-band + bucket-cap + Hamming
+    * tail — one SQL body for both perceptual modalities, exactly as
+    * one Spark body serves both catalog entries.
+    */
+  private def phashBandTailSql(phCtes: String): String =
+    s"""WITH $phCtes,
        |bands AS (
        |  SELECT doc_id, bb.b AS band_idx,
        |    (phash >> (bb.b * $PHashBandBits)) & ${(1 << PHashBandBits) - 1}
@@ -384,6 +418,67 @@ object Multimodal {
        |JOIN ph pa ON pa.doc_id = p.doc_a
        |JOIN ph pb ON pb.doc_id = p.doc_b
        |WHERE bit_count(xor(pa.phash, pb.phash)) <= $PHashMaxHam""".stripMargin
+
+  /** DuckDB twin of q209's signature stage (byte-sum grid cells +
+    * mean-threshold pack), feeding [[phashBandTailSql]].
+    */
+  private def q209OracleSql: String = {
+    val c = PHashCells
+    phashBandTailSql(
+      s"""m AS (
+         |  SELECT doc_id, hex(encode(text)) AS h,
+         |    CAST(octet_length(encode(text)) AS BIGINT) AS nb
+         |  FROM documents
+         |  WHERE octet_length(encode(text)) >= $c),
+         |pos AS (
+         |  SELECT doc_id, t.k AS k,
+         |    list_sum(list_transform(
+         |      range(CAST(floor(CAST(t.k * nb AS DOUBLE) / $c.0) AS BIGINT),
+         |        CAST(floor(CAST((t.k + 1) * nb AS DOUBLE) / $c.0) AS BIGINT)),
+         |      p -> ${hexByteSql("p")})) AS s
+         |  FROM m CROSS JOIN (SELECT unnest(range(0, $c)) AS k) t),
+         |tot AS (SELECT doc_id, sum(s) AS tot FROM pos GROUP BY doc_id),
+         |ph AS (
+         |  SELECT p.doc_id, CAST(sum(
+         |      CASE WHEN p.s * $c > t.tot
+         |           THEN (CAST(1 AS BIGINT) << CAST(p.k AS INT)) ELSE 0 END)
+         |    AS BIGINT) AS phash
+         |  FROM pos p JOIN tot t USING (doc_id)
+         |  GROUP BY p.doc_id)""".stripMargin)
+  }
+
+  /** DuckDB twin of q215's signature stage: the q213 s16le sample
+    * parse inside q209's proportional-window fold — |sample| energy
+    * per window, mean-threshold pack — feeding the same
+    * [[phashBandTailSql]].
+    */
+  private def q215OracleSql: String = {
+    val c = PHashCells
+    val sampleAbs =
+      s"""abs(CASE WHEN (${hexByteSql("(i * 2)")} + 256 * ${hexByteSql("(i * 2 + 1)")}) >= 32768
+         |      THEN (${hexByteSql("(i * 2)")} + 256 * ${hexByteSql("(i * 2 + 1)")}) - 65536
+         |      ELSE (${hexByteSql("(i * 2)")} + 256 * ${hexByteSql("(i * 2 + 1)")}) END)""".stripMargin
+    phashBandTailSql(
+      s"""m AS (
+         |  SELECT doc_id, hex(encode(text)) AS h,
+         |    CAST(octet_length(encode(text)) // 2 AS BIGINT) AS ns
+         |  FROM documents
+         |  WHERE octet_length(encode(text)) >= 2 * $c),
+         |pos AS (
+         |  SELECT doc_id, t.k AS k,
+         |    list_sum(list_transform(
+         |      range(CAST(floor(CAST(t.k * ns AS DOUBLE) / $c.0) AS BIGINT),
+         |        CAST(floor(CAST((t.k + 1) * ns AS DOUBLE) / $c.0) AS BIGINT)),
+         |      i -> $sampleAbs)) AS s
+         |  FROM m CROSS JOIN (SELECT unnest(range(0, $c)) AS k) t),
+         |tot AS (SELECT doc_id, sum(s) AS tot FROM pos GROUP BY doc_id),
+         |ph AS (
+         |  SELECT p.doc_id, CAST(sum(
+         |      CASE WHEN p.s * $c > t.tot
+         |           THEN (CAST(1 AS BIGINT) << CAST(p.k AS INT)) ELSE 0 END)
+         |    AS BIGINT) AS phash
+         |  FROM pos p JOIN tot t USING (doc_id)
+         |  GROUP BY p.doc_id)""".stripMargin)
   }
 
   /** DuckDB twin of q213: the same s16le parse (low byte + signed high
@@ -447,6 +542,7 @@ object Multimodal {
     "q209_media_phash_neardup" -> q209OracleSql,
     "q213_audio_stats" -> q213OracleSql,
     "q214_luma_resize" -> q214OracleSql,
+    "q215_audio_phash_neardup" -> q215OracleSql,
 
     "q44_props_struct" ->
       """SELECT event_type, count(*) AS n,

@@ -48,6 +48,11 @@ class GraftExtensionsSpec extends AnyFunSuite {
         "SELECT luma_resize(CAST(x'0a0a1414' AS BINARY), 2) AS cells")
         .collect()(0).getSeq[Long](0)
       assert(r7 == Seq(10L, 20L))
+      // s16le [1000, 0]: window energies [1000, 0], only bit 0 above mean
+      val r8 = ext.sql(
+        "SELECT audio_phash(CAST(x'e803000000' AS BINARY), 2) AS ph")
+        .collect()(0).getLong(0)
+      assert(r8 == 1L)
       // bad arity is a clean analysis error, not a crash
       intercept[Exception](ext.sql("SELECT token_count('a', 'b')").collect())
       // non-literal k/w is rejected loudly, not silently defaulted

@@ -426,6 +426,58 @@ class MultimodalSpec extends AnyFunSuite {
     assert(resize(exact, c) == resize(doubled, c))
   }
 
+  test("audio_phash: equals an independent fold and is EXACTLY " +
+    "invariant under uniform gain") {
+    import graft.expressions.AudioPhash
+    val c = graft.queries.Multimodal.PHashCells
+    // a deterministic pseudo-waveform, |v| <= 12000 so 2x gain is exact
+    val samples = Seq.tabulate(300)(i =>
+      (math.sin(i / 7.0) * 9000).toInt + ((i * 97) % 331) - 165)
+    val fold = {
+      val n = samples.length
+      val energies = (0 until c).map { k =>
+        val st = k.toLong * n / c
+        val en = (k + 1).toLong * n / c
+        (st until en).map(p => math.abs(samples(p.toInt).toLong)).sum
+      }
+      val total = energies.sum
+      energies.zipWithIndex.foldLeft(0L) { case (acc, (e, k)) =>
+        if (e * c > total) acc | (1L << k) else acc
+      }
+    }
+    assert(AudioPhash.phash(s16le(samples), c) == fold)
+    assert(AudioPhash.phash(s16le(samples.map(_ * 2)), c) == fold,
+      "doubling every sample (uniform gain) must not move a single bit")
+    assert(AudioPhash.phash(s16le(samples.map(v => -v)), c) == fold,
+      "polarity inversion preserves the energy envelope")
+  }
+
+  test("q215 pipeline with a REAL container decoder: a gain-doubled WAV " +
+    "re-encode pairs with its original, an unrelated waveform doesn't") {
+    import graft.queries.Multimodal
+    import graft.multimodal.WavPcm
+    // 600 samples >= the 48-window grid; bounded so 2x gain stays exact
+    def tone(i: Int): Int =
+      (math.sin(i / 11.0) * 8000).toInt * (if ((i / 100) % 2 == 0) 1 else 0)
+    val original = Seq.tabulate(600)(tone)
+    val louder = original.map(_ * 2) // same recording, +6 dB re-encode
+    val unrelated = Seq.tabulate(600)(i =>
+      (math.sin(i / 11.0) * 8000).toInt * (if ((i / 100) % 2 == 0) 0 else 1))
+    val blobs = Seq(
+      1L -> wav16(s16le(original)),
+      2L -> wav16(s16le(louder), extensible = true),
+      3L -> wav16(s16le(unrelated)))
+      .toDF("doc_id", "media")
+    val pairs = Multimodal.audioPhashNeardup(blobs, WavPcm).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->
+        r.getAs[Long]("hamming")).toMap
+    assert(pairs.get((1L, 2L)).contains(0L),
+      s"gain-doubled WAV must pair at hamming 0: $pairs")
+    assert(!pairs.keySet.exists(p => p._1 == 3L || p._2 == 3L),
+      s"the phase-inverted envelope must not pair: $pairs")
+    graft.pipeline.Chunker.clearCaches()
+  }
+
   test("q214 through BmpLuma: a constant-color image resizes to " +
     "constant luma cells through the real decoder") {
     import graft.queries.Multimodal
