@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.expressions.{AudioPhash, AudioStats, HashFraction, LumaResize, MediaPhash, MinhashSigs, NfcNormalize, TokenCount, TokenCountCl100k, VecDot, WinnowFps}
+import graft.expressions.{AudioPhash, AudioResample, AudioStats, HashFraction, LumaResize, MediaPhash, MinhashSigs, NfcNormalize, TokenCount, TokenCountCl100k, VecDot, WinnowFps}
 
 /** Session extensions: registers graft's native expressions as SQL
   * functions, so `spark.sql("SELECT token_count(text) ...")` works for
@@ -98,6 +98,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.size == 1, "audio_stats takes exactly 1 argument")
         AudioStats(children.head)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("audio_resample"),
+      info("audio_resample", "audio_resample(bin, frames) - box-filter downsample of s16le PCM to `frames` signed window means (see graft.expressions.AudioResample)"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "audio_resample takes exactly 2 arguments")
+        val frames = children(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"audio_resample: frames must be an integer literal, got $other")
+        }
+        AudioResample(children.head, frames)
       }))
     ext.injectFunction((
       FunctionIdentifier("audio_phash"),

@@ -79,6 +79,15 @@ object functions {
   def audio_phash(c: Column, cells: Int): Column =
     ExprBridge.column(expressions.AudioPhash(ExprBridge.expression(c), cells))
 
+  /** Box-filter downsample of s16le PCM to `frames` signed integer
+    * window means (see [[expressions.AudioResample]]); truncating
+    * division on both sides, value-equal to the DuckDB oracle mirror.
+    * Input must be at least `2 * frames` bytes (filter upstream —
+    * q216's shape).
+    */
+  def audio_resample(c: Column, frames: Int): Column =
+    ExprBridge.column(expressions.AudioResample(ExprBridge.expression(c), frames))
+
   /** Box-filter resample of a luma byte signal to `cells` integer
     * means (see [[expressions.LumaResize]]); value-equal to the DuckDB
     * oracle mirror. Input must be at least `cells` bytes (filter

@@ -173,6 +173,16 @@ object Multimodal {
     // posexplode — a generator projection, no shuffle.
     "q214_luma_resize" -> ((s, d) => lumaResize(
       documents(s, d)
+        .select(col("doc_id"), col("text").cast("binary").as("media")))),
+
+    // Audio resample — the rate-normalizing twin of q214's image
+    // resize (every audio loader downsamples variable-duration clips
+    // to a fixed frame count before batching). Native AudioResample
+    // expression: 16 SIGNED window means over proportional sample
+    // windows — keeps waveform shape where q215's hash keeps only the
+    // envelope — then posexplode. Generator projection, no shuffle.
+    "q216_audio_resample" -> ((s, d) => audioResample(
+      documents(s, d)
         .select(col("doc_id"), col("text").cast("binary").as("media"))))
   )
 
@@ -264,6 +274,31 @@ object Multimodal {
         element_at(col("st"), 3).as("sum_sq"),
         element_at(col("st"), 4).as("n_clipped"),
         element_at(col("st"), 5).as("zero_cross"))
+  }
+
+  /** q216 body over an already-binary media table `(doc_id, media)`
+    * with the [[graft.multimodal.PcmDecoder]] seam (identity for the
+    * catalog fixture; the spec drives real WAV containers through the
+    * same kernel via [[graft.multimodal.WavPcm]]). One native
+    * AudioResample projection + posexplode — no shuffle.
+    */
+  def audioResample(
+      blobs: DataFrame,
+      decoder: graft.multimodal.PcmDecoder = graft.multimodal.IdentityPcm)
+      : DataFrame = {
+    val pcm = decoder match {
+      case graft.multimodal.IdentityPcm => blobs.withColumn("pcm", col("media"))
+      case d =>
+        val decodeUdf = udf((b: Array[Byte]) => d.decode(b)).asNondeterministic()
+        blobs.withColumn("pcm", decodeUdf(col("media")))
+    }
+    pcm
+      .filter(octet_length(col("pcm")).cast("long") >= 2L * ResizeCells)
+      .select(col("doc_id"),
+        posexplode(graft.functions.audio_resample(col("pcm"), ResizeCells)))
+      .select(col("doc_id"),
+        col("pos").cast("long").as("frame"),
+        col("col").as("amp"))
   }
 
   /** q215 body over an already-binary media table `(doc_id, media)`
@@ -481,6 +516,33 @@ object Multimodal {
          |  GROUP BY p.doc_id)""".stripMargin)
   }
 
+  /** DuckDB twin of q216: q214's proportional windows over the q213
+    * s16le sample parse, SIGNED means under truncating division
+    * (DuckDB's integer `//` truncates toward zero exactly like
+    * Scala's `/`).
+    */
+  private def q216OracleSql: String = {
+    val c = ResizeCells
+    val sample =
+      s"""(CASE WHEN (${hexByteSql("(i * 2)")} + 256 * ${hexByteSql("(i * 2 + 1)")}) >= 32768
+         |      THEN (${hexByteSql("(i * 2)")} + 256 * ${hexByteSql("(i * 2 + 1)")}) - 65536
+         |      ELSE (${hexByteSql("(i * 2)")} + 256 * ${hexByteSql("(i * 2 + 1)")}) END)""".stripMargin
+    s"""WITH m AS (
+       |  SELECT doc_id, hex(encode(text)) AS h,
+       |    CAST(octet_length(encode(text)) // 2 AS BIGINT) AS ns
+       |  FROM documents
+       |  WHERE octet_length(encode(text)) >= 2 * $c),
+       |b AS (
+       |  SELECT doc_id, h, t.k AS k,
+       |    CAST(floor(CAST(t.k * ns AS DOUBLE) / $c.0) AS BIGINT) AS st,
+       |    CAST(floor(CAST((t.k + 1) * ns AS DOUBLE) / $c.0) AS BIGINT) AS en
+       |  FROM m CROSS JOIN (SELECT unnest(range(0, $c)) AS k) t)
+       |SELECT doc_id, CAST(k AS BIGINT) AS frame,
+       |  CAST(list_sum(list_transform(range(st, en),
+       |      i -> $sample)) // (en - st) AS BIGINT) AS amp
+       |FROM b""".stripMargin
+  }
+
   /** DuckDB twin of q213: the same s16le parse (low byte + signed high
     * byte), one row per sample via per-doc unnest, zero crossings via
     * a lag window — all integer arithmetic, mirroring
@@ -543,6 +605,7 @@ object Multimodal {
     "q213_audio_stats" -> q213OracleSql,
     "q214_luma_resize" -> q214OracleSql,
     "q215_audio_phash_neardup" -> q215OracleSql,
+    "q216_audio_resample" -> q216OracleSql,
 
     "q44_props_struct" ->
       """SELECT event_type, count(*) AS n,

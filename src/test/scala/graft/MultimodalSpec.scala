@@ -478,6 +478,32 @@ class MultimodalSpec extends AnyFunSuite {
     graft.pipeline.Chunker.clearCaches()
   }
 
+  test("audio_resample: signed window means equal an independent fold " +
+    "(truncating division on negatives), WAV and raw PCM agree") {
+    import graft.expressions.AudioResample
+    import graft.queries.Multimodal
+    import graft.multimodal.WavPcm
+    val c = Multimodal.ResizeCells
+    // negatives dominate some windows -> exercises sum/len below zero
+    val samples = Seq.tabulate(100)(i => ((i * 1723 + 5) % 20001) - 10000)
+    val got = AudioResample.resample(s16le(samples), c).toLongArray().toSeq
+    val want = (0 until c).map { k =>
+      val st = k.toLong * samples.length / c
+      val en = (k + 1).toLong * samples.length / c
+      (st until en).map(p => samples(p.toInt).toLong).sum / (en - st)
+    }
+    assert(got == want)
+    assert(want.exists(_ < 0), "fixture must exercise negative means")
+    // constant tone -> constant frames
+    assert(AudioResample.resample(s16le(Seq.fill(64)(-123)), c)
+      .toLongArray().toSeq == Seq.fill(c)(-123L))
+    // the container decoder changes nothing about the kernel
+    val viaWav = Multimodal.audioResample(
+      Seq(1L -> wav16(s16le(samples))).toDF("doc_id", "media"), WavPcm)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+    assert(viaWav == want.indices.map(k => (k.toLong, want(k))))
+  }
+
   test("q214 through BmpLuma: a constant-color image resizes to " +
     "constant luma cells through the real decoder") {
     import graft.queries.Multimodal
