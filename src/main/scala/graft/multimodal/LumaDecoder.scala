@@ -14,16 +14,14 @@ package graft.multimodal
   * plumbing (grid, banding, bucket caps, Hamming verify — all real and
   * measured), the deployment owns the codec.
   */
-trait LumaDecoder extends Serializable {
-  def name: String
-
+trait LumaDecoder extends BlobDecoder {
   /** Decode an opaque blob into the luma byte signal the perceptual
     * hash grids over. Must be deterministic; returns row-major
     * top-down luma for images, or any stable 1-D projection for other
     * media. Throws on malformed input (the caller decides whether to
     * quarantine — q209's catalog shape filters on signal length only).
     */
-  def decode(blob: Array[Byte]): Array[Byte]
+  override def decode(blob: Array[Byte]): Array[Byte]
 }
 
 /** Stub decoder: the blob's byte stream read as the luma signal. Keeps

@@ -12,16 +12,14 @@ package graft.multimodal
   * JVM needs no codec for, spec-driven end-to-end through the same
   * stats pipeline in MultimodalSpec.
   */
-trait PcmDecoder extends Serializable {
-  def name: String
-
+trait PcmDecoder extends BlobDecoder {
   /** Decode an opaque blob into raw s16le PCM bytes (interleaved if
     * multi-channel — stats fold over all channels). Must be
     * deterministic; throws on malformed input (the caller decides
     * whether to quarantine — q213's catalog shape filters on PCM
     * length only).
     */
-  def decode(blob: Array[Byte]): Array[Byte]
+  override def decode(blob: Array[Byte]): Array[Byte]
 }
 
 /** Stub decoder: the blob's byte stream read as s16le PCM. Keeps the

@@ -138,7 +138,14 @@ object Dedup {
     * collision counts, so the join output is candidates only, never N².
     */
   def minhashCandidates(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    minhashCandidatesFromShingles(shingleTable(docs, idCol, textCol))
+    // the per-row signature form: callers of THIS entry point need only
+    // candidates, not the exploded shingle table, so there is nothing
+    // to amortize the explode+aggregate against (the 100× probe
+    // measured that shape 28% slower — see minhashTablePerRow's
+    // scaladoc; signatures are bit-identical, DedupSpec pins it).
+    // Callers that DO hold a shingle table for a verify stage
+    // (ngramJaccard) keep the aggregate form over their persisted copy.
+    minhashCandidatesFromMinhashes(minhashTablePerRow(docs, idCol, textCol))
 
   /** As [[minhashCandidates]], over a prepared (doc, shingle) table —
     * callers that also consume the shingles (the Jaccard verify stage)

@@ -252,20 +252,32 @@ object Multimodal {
     * [[graft.multimodal.WavPcm]]. Blobs below one complete sample are
     * excluded (documented contract — real audio is KBs+).
     */
+  /** The seam-to-column step shared by every multimodal operator: the
+    * per-modality identity stub keeps the plan fully native (the
+    * expression runs straight over the blob column — no UDF anywhere,
+    * which is what makes the catalog entries DuckDB-mirrorable); any
+    * real decoder interposes ONE binary→binary UDF for the codec,
+    * marked nondeterministic so project-collapse/predicate-pushdown
+    * cannot substitute it into both a downstream filter AND a
+    * projection and decode each blob twice (ADVICE r11).
+    */
+  private def decodedSignal(
+      blobs: DataFrame,
+      decoder: graft.multimodal.BlobDecoder,
+      identityStub: graft.multimodal.BlobDecoder,
+      out: String): DataFrame =
+    if (decoder == identityStub) blobs.withColumn(out, col("media"))
+    else {
+      val decodeUdf =
+        udf((b: Array[Byte]) => decoder.decode(b)).asNondeterministic()
+      blobs.withColumn(out, decodeUdf(col("media")))
+    }
+
   def audioStats(
       blobs: DataFrame,
       decoder: graft.multimodal.PcmDecoder = graft.multimodal.IdentityPcm)
-      : DataFrame = {
-    val pcm = decoder match {
-      case graft.multimodal.IdentityPcm => blobs.withColumn("pcm", col("media"))
-      case d =>
-        // asNondeterministic: same ADVICE-r11 rationale as blobPhash —
-        // pin the container parse to one projection so each blob
-        // decodes exactly once under project-collapse/pushdown.
-        val decodeUdf = udf((b: Array[Byte]) => d.decode(b)).asNondeterministic()
-        blobs.withColumn("pcm", decodeUdf(col("media")))
-    }
-    pcm
+      : DataFrame =
+    decodedSignal(blobs, decoder, graft.multimodal.IdentityPcm, "pcm")
       .filter(octet_length(col("pcm")).cast("long") >= 2)
       .select(col("doc_id"), graft.functions.audio_stats(col("pcm")).as("st"))
       .select(col("doc_id"),
@@ -274,7 +286,6 @@ object Multimodal {
         element_at(col("st"), 3).as("sum_sq"),
         element_at(col("st"), 4).as("n_clipped"),
         element_at(col("st"), 5).as("zero_cross"))
-  }
 
   /** q216 body over an already-binary media table `(doc_id, media)`
     * with the [[graft.multimodal.PcmDecoder]] seam (identity for the
@@ -285,21 +296,14 @@ object Multimodal {
   def audioResample(
       blobs: DataFrame,
       decoder: graft.multimodal.PcmDecoder = graft.multimodal.IdentityPcm)
-      : DataFrame = {
-    val pcm = decoder match {
-      case graft.multimodal.IdentityPcm => blobs.withColumn("pcm", col("media"))
-      case d =>
-        val decodeUdf = udf((b: Array[Byte]) => d.decode(b)).asNondeterministic()
-        blobs.withColumn("pcm", decodeUdf(col("media")))
-    }
-    pcm
+      : DataFrame =
+    decodedSignal(blobs, decoder, graft.multimodal.IdentityPcm, "pcm")
       .filter(octet_length(col("pcm")).cast("long") >= 2L * ResizeCells)
       .select(col("doc_id"),
         posexplode(graft.functions.audio_resample(col("pcm"), ResizeCells)))
       .select(col("doc_id"),
         col("pos").cast("long").as("frame"),
         col("col").as("amp"))
-  }
 
   /** q215 body over an already-binary media table `(doc_id, media)`
     * with the [[graft.multimodal.PcmDecoder]] seam (identity for the
@@ -312,18 +316,11 @@ object Multimodal {
   def audioPhashNeardup(
       blobs: DataFrame,
       decoder: graft.multimodal.PcmDecoder = graft.multimodal.IdentityPcm)
-      : DataFrame = {
-    val pcm = decoder match {
-      case graft.multimodal.IdentityPcm => blobs.withColumn("pcm", col("media"))
-      case d =>
-        val decodeUdf = udf((b: Array[Byte]) => d.decode(b)).asNondeterministic()
-        blobs.withColumn("pcm", decodeUdf(col("media")))
-    }
-    bandVerify(pcm
+      : DataFrame =
+    bandVerify(decodedSignal(blobs, decoder, graft.multimodal.IdentityPcm, "pcm")
       .filter(octet_length(col("pcm")).cast("long") >= 2L * PHashCells)
       .select(col("doc_id"),
         graft.functions.audio_phash(col("pcm"), PHashCells).as("phash")))
-  }
 
   /** q214 resize target: 16 cells — small enough that every fixture
     * blob (>= 16 bytes) resamples, wide enough to be a real thumbnail
@@ -341,22 +338,14 @@ object Multimodal {
   def lumaResize(
       blobs: DataFrame,
       decoder: graft.multimodal.LumaDecoder = graft.multimodal.IdentityLuma)
-      : DataFrame = {
-    val signal = decoder match {
-      case graft.multimodal.IdentityLuma =>
-        blobs.withColumn("signal", col("media"))
-      case d =>
-        val decodeUdf = udf((b: Array[Byte]) => d.decode(b)).asNondeterministic()
-        blobs.withColumn("signal", decodeUdf(col("media")))
-    }
-    signal
+      : DataFrame =
+    decodedSignal(blobs, decoder, graft.multimodal.IdentityLuma, "signal")
       .filter(octet_length(col("signal")).cast("long") >= ResizeCells)
       .select(col("doc_id"),
         posexplode(graft.functions.luma_resize(col("signal"), ResizeCells)))
       .select(col("doc_id"),
         col("pos").cast("long").as("cell"),
         col("col").as("luma"))
-  }
 
   /** q155 shard byte budget: ~32 fixture docs per shard, so every SF
     * yields a multi-shard, multi-item-per-shard layout (production
@@ -391,23 +380,11 @@ object Multimodal {
   def blobPhash(
       blobs: DataFrame,
       decoder: graft.multimodal.LumaDecoder = graft.multimodal.IdentityLuma)
-      : DataFrame = {
-    val signal = decoder match {
-      case graft.multimodal.IdentityLuma => blobs.withColumn("signal", col("media"))
-      case d =>
-        // asNondeterministic: both the length filter and the phash
-        // projection reference `signal`; a deterministic UDF gets
-        // substituted into BOTH by project-collapse/pushdown, decoding
-        // every blob twice (ADVICE r11). Nondeterminism pins the decode
-        // to this one projection — each blob decodes exactly once.
-        val decodeUdf = udf((b: Array[Byte]) => d.decode(b)).asNondeterministic()
-        blobs.withColumn("signal", decodeUdf(col("media")))
-    }
-    signal
+      : DataFrame =
+    decodedSignal(blobs, decoder, graft.multimodal.IdentityLuma, "signal")
       .filter(octet_length(col("signal")).cast("long") >= PHashCells)
       .select(col("doc_id"),
         graft.functions.media_phash(col("signal"), PHashCells).as("phash"))
-  }
 
   /** DuckDB twin of one [[mediaPhash]] byte parse: two uppercase hex
     * digits of `h` at 0-based byte offset `p` (the hashFractionSql
@@ -419,6 +396,19 @@ object Multimodal {
       s"CAST(CASE WHEN $c <= 57 THEN $c - 48 ELSE $c - 55 END AS BIGINT)"
     }
     s"(${digit(1)} * 16 + ${digit(2)})"
+  }
+
+  /** DuckDB twin of one s16le SAMPLE parse at 0-based sample index `i`
+    * of hex string `h`: low byte first, high byte carries the sign —
+    * the single source of the `>= 32768 → − 65536` rule for every
+    * audio oracle (q213/q215/q216), exactly as
+    * [[graft.expressions.AudioStats]] is the single Scala-side parse.
+    */
+  private def s16SampleSql(i: String): String = {
+    val raw = s"(${hexByteSql(s"($i * 2)")} + 256 * ${hexByteSql(s"($i * 2 + 1)")})"
+    s"""(CASE WHEN $raw >= 32768
+       |      THEN $raw - 65536
+       |      ELSE $raw END)""".stripMargin
   }
 
   /** The DuckDB mirror of [[bandVerify]]: given CTEs ending in
@@ -489,10 +479,7 @@ object Multimodal {
     */
   private def q215OracleSql: String = {
     val c = PHashCells
-    val sampleAbs =
-      s"""abs(CASE WHEN (${hexByteSql("(i * 2)")} + 256 * ${hexByteSql("(i * 2 + 1)")}) >= 32768
-         |      THEN (${hexByteSql("(i * 2)")} + 256 * ${hexByteSql("(i * 2 + 1)")}) - 65536
-         |      ELSE (${hexByteSql("(i * 2)")} + 256 * ${hexByteSql("(i * 2 + 1)")}) END)""".stripMargin
+    val sampleAbs = s"abs(${s16SampleSql("i")})"
     phashBandTailSql(
       s"""m AS (
          |  SELECT doc_id, hex(encode(text)) AS h,
@@ -523,10 +510,7 @@ object Multimodal {
     */
   private def q216OracleSql: String = {
     val c = ResizeCells
-    val sample =
-      s"""(CASE WHEN (${hexByteSql("(i * 2)")} + 256 * ${hexByteSql("(i * 2 + 1)")}) >= 32768
-         |      THEN (${hexByteSql("(i * 2)")} + 256 * ${hexByteSql("(i * 2 + 1)")}) - 65536
-         |      ELSE (${hexByteSql("(i * 2)")} + 256 * ${hexByteSql("(i * 2 + 1)")}) END)""".stripMargin
+    val sample = s16SampleSql("i")
     s"""WITH m AS (
        |  SELECT doc_id, hex(encode(text)) AS h,
        |    CAST(octet_length(encode(text)) // 2 AS BIGINT) AS ns
@@ -557,13 +541,7 @@ object Multimodal {
        |pos AS (
        |  SELECT doc_id, h, ns, unnest(range(0, ns)) AS i FROM m),
        |sm AS (
-       |  SELECT doc_id, ns, i,
-       |    CASE WHEN raw >= 32768 THEN raw - 65536 ELSE raw END AS v
-       |  FROM (
-       |    SELECT doc_id, ns, i,
-       |      (${hexByteSql("(i * 2)")} + 256 * ${hexByteSql("(i * 2 + 1)")})
-       |        AS raw
-       |    FROM pos)),
+       |  SELECT doc_id, ns, i, ${s16SampleSql("i")} AS v FROM pos),
        |w AS (
        |  SELECT doc_id, ns, v,
        |    lag(v) OVER (PARTITION BY doc_id ORDER BY i) AS pv

@@ -125,9 +125,12 @@ object AvroIO {
         val tfs = finalFile.getFileSystem(serConf.value)
         val out = tfs.create(tmpFile, true)
         val w = new DataFileWriter(new GenericDatumWriter[GenericRecord](schema))
-        w.create(schema, out) // w.close() closes the stream too
         var committed = false
+        // inside the try from the first write on: a failure while
+        // emitting the container HEADER must also close the stream
+        // and delete the attempt temp, not just failures mid-append
         try {
+          w.create(schema, out) // w.close() closes the stream too
           it.foreach { row =>
             val rec = new GenericData.Record(schema)
             var i = 0
@@ -151,6 +154,9 @@ object AvroIO {
         } finally {
           if (!committed) {
             try w.close() catch { case _: Throwable => () }
+            // w.close() is not guaranteed to reach the stream if
+            // w.create itself failed — close the raw handle too
+            try out.close() catch { case _: Throwable => () }
             try { tfs.delete(tmpFile, false); () } catch { case _: Throwable => () }
           }
         }
