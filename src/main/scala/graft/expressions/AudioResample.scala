@@ -1,9 +1,9 @@
 package graft.expressions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, UnsafeArrayData}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, LongType}
 
 /** Native box-filter downsample of an s16le PCM stream to a fixed
@@ -62,7 +62,10 @@ object AudioResample {
     require(n >= frames,
       s"audio_resample: $n samples is below the $frames-frame target " +
         "(filter octet_length >= 2 * frames upstream)")
-    val out = new Array[Any](frames)
+    // Primitive Array[Long] + UnsafeArrayData: this runs per row inside
+    // a generator projection, so per-element boxing into Array[Any]
+    // would allocate on the hot path (ADVICE r12).
+    val out = new Array[Long](frames)
     var k = 0
     while (k < frames) {
       var p = k * n / frames
@@ -77,6 +80,6 @@ object AudioResample {
       out(k) = s / len // truncating division == DuckDB's integer //
       k += 1
     }
-    new GenericArrayData(out)
+    UnsafeArrayData.fromPrimitiveArray(out)
   }
 }

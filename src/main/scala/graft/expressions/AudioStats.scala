@@ -13,8 +13,9 @@ import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, LongType}
   *
   *   1. `n_samples`  — floor(bytes / 2); a trailing odd byte is ignored
   *   2. `peak`       — max |sample| (|-32768| = 32768, exact)
-  *   3. `sum_sq`     — sum of sample² (≤ 2^31 per sample, so a 100-TB
-  *                     shard of 2^41 samples still fits a signed 64-bit)
+  *   3. `sum_sq`     — sum of sample² (≤ 2^30 per sample: 32768² =
+  *                     2^30; even a maximal ~2 GiB blob of 2^30
+  *                     samples sums below 2^60, inside a signed 64-bit)
   *   4. `n_clipped`  — count of |sample| ≥ 32767 (full-scale hits on
   *                     either rail — the digital-clipping detector)
   *   5. `zero_cross` — count of i in [1, n) where sign(s[i-1]) ≠

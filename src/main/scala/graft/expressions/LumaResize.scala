@@ -1,9 +1,9 @@
 package graft.expressions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, UnsafeArrayData}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, LongType}
 
 /** Native box-filter resample of a luma byte signal to a fixed number
@@ -60,7 +60,9 @@ object LumaResize {
     require(nb >= cells,
       s"luma_resize: blob of $nb bytes is below the $cells-cell target " +
         "(filter octet_length >= cells upstream)")
-    val out = new Array[Any](cells)
+    // Primitive Array[Long] + UnsafeArrayData — no per-element boxing
+    // in the per-row hot path (ADVICE r12).
+    val out = new Array[Long](cells)
     var k = 0
     while (k < cells) {
       var p = k * nb / cells
@@ -71,6 +73,6 @@ object LumaResize {
       out(k) = s / len
       k += 1
     }
-    new GenericArrayData(out)
+    UnsafeArrayData.fromPrimitiveArray(out)
   }
 }

@@ -243,15 +243,6 @@ object Multimodal {
       .select(col("doc_a"), col("doc_b"), col("n_shared_bands"), col("hamming"))
   }
 
-  /** q213 body over an already-binary media table `(doc_id, media)`
-    * with a pluggable decode seam ([[graft.multimodal.PcmDecoder]]) —
-    * the shape a real audio corpus enters through. The catalog entry
-    * rides the identity decoder (blob bytes AS s16le PCM — fully
-    * native, no UDF anywhere); MultimodalSpec drives real RIFF/WAVE
-    * containers through the SAME stats pipeline via
-    * [[graft.multimodal.WavPcm]]. Blobs below one complete sample are
-    * excluded (documented contract — real audio is KBs+).
-    */
   /** The seam-to-column step shared by every multimodal operator: the
     * per-modality identity stub keeps the plan fully native (the
     * expression runs straight over the blob column — no UDF anywhere,
@@ -273,6 +264,15 @@ object Multimodal {
       blobs.withColumn(out, decodeUdf(col("media")))
     }
 
+  /** q213 body over an already-binary media table `(doc_id, media)`
+    * with a pluggable decode seam ([[graft.multimodal.PcmDecoder]]) —
+    * the shape a real audio corpus enters through. The catalog entry
+    * rides the identity decoder (blob bytes AS s16le PCM — fully
+    * native, no UDF anywhere); MultimodalSpec drives real RIFF/WAVE
+    * containers through the SAME stats pipeline via
+    * [[graft.multimodal.WavPcm]]. Blobs below one complete sample are
+    * excluded (documented contract — real audio is KBs+).
+    */
   def audioStats(
       blobs: DataFrame,
       decoder: graft.multimodal.PcmDecoder = graft.multimodal.IdentityPcm)
