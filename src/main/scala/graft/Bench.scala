@@ -12,10 +12,17 @@ import scala.util.control.NonFatal
   * Harness rules (VERDICT r1 #5, r2 #5):
   *  - a WARMUP pass at sf0.001 first, so the timed passes measure plans,
   *    not JVM/codegen/session warmup;
-  *  - THREE timed passes per query, reporting the per-query MEDIAN
-  *    (plus min in "queries_min"): a single-shot timing cannot tell a
-  *    127x plan regression from one GC pause — r2's official 165 s vs
-  *    its 37 s re-run proved it. "value" = sum of medians;
+  *  - FIVE timed passes per query (SPARK_GRAFT_PASSES overrides),
+  *    reporting the per-query TRIMMED MEAN across passes — drop the
+  *    fastest and the slowest pass, mean the middle — plus min in
+  *    "queries_min" and max-min in "queries_spread": a single-shot
+  *    timing cannot tell a 127x plan regression from one GC pause
+  *    (r2's official 165 s vs its 37 s re-run), and a 3-pass median
+  *    lets TWO noisy passes inflate an untouched query 2.3-4x (the
+  *    round-12 reboot did exactly that to the graph family, q143 pass
+  *    spread 13.2 s, while per-pass minima sat at the r11 medians).
+  *    With 5 passes the statistic needs three bad passes to move.
+  *    "value" = sum of per-query trimmed means;
   *  - caches (Spark catalog + graft chunk-table memos + registered
   *    persisted intermediates) are cleared before EVERY pass, so each
   *    pass pays identical cold-plan work and passes are comparable;
@@ -82,21 +89,24 @@ object Bench {
   val CanaryReps = 5
 
   /** Per-canary reference trimmed-means (seconds), pinned from the
-    * round-12 canonical FULL-SUITE 3-pass local[32] run (the canaries
-    * run measurably slower inside a 218-query pass than in a one-query
-    * dev run — JIT/cache context — so the anchor must come from the
-    * same context the driver measures in). The ABSOLUTE values only
-    * anchor the normalization scale; comparisons should always quote
-    * the ratio (canary_scale), which is box-relative.
+    * round-13 canonical FULL-SUITE 5-pass local[32] run on the current
+    * boot (the canaries run measurably slower inside a 220-query pass
+    * than in a one-query dev run — JIT/cache context — so the anchor
+    * must come from the same context the driver measures in; and a
+    * reboot re-clocks the box, so the anchor must come from the boot
+    * being measured — the round-12 refs read 0.35x-0.64x on this boot
+    * with agreement 1.83). The ABSOLUTE values only anchor the
+    * normalization scale; comparisons should always quote the ratio
+    * (canary_scale), and only when canary_agreement is near 1.
     */
   val CanaryRef: Map[String, Double] = Map(
-    "canary:cpu" -> 1.102, "canary:shuffle" -> 1.009, "canary:sort" -> 0.482)
+    "canary:cpu" -> 0.383, "canary:shuffle" -> 0.641, "canary:sort" -> 0.175)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARMUP_DIR", "/root/testdata/sf0.001")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val passes = sys.env.getOrElse("SPARK_GRAFT_PASSES", "3").toInt
+    val passes = sys.env.getOrElse("SPARK_GRAFT_PASSES", "5").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -187,12 +197,22 @@ object Bench {
       if (s.size % 2 == 1) s(s.size / 2)
       else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
     }
+    // Per-query across-pass statistic (VERDICT r12 #1a): at >=4 passes
+    // the trimmed mean (drop fastest + slowest, mean the middle); the
+    // true median below that (short dev runs). A 3-pass median moves
+    // whenever 2 of 3 passes are noisy; the 5-pass trimmed mean needs
+    // three.
+    def stat(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.size >= 4) s.slice(1, s.size - 1).sum / (s.size - 2)
+      else median(xs)
+    }
     // An errored query's wall time is a fast-fail, not a measurement —
     // reporting it as a timing made error-vs-fast indistinguishable in
     // the r6 artifact (ADVICE r6). Errored names live ONLY in `errors`.
     val timed = (Canaries.map(_._1) ++ (if (runShared) sharedNames else Nil) ++ names)
       .filterNot(errors.contains)
-    val med = timed.map(n => n -> median(timings.map(_(n))))
+    val med = timed.map(n => n -> stat(timings.map(_(n))))
     val mins = timed.map(n => n -> timings.map(_(n)).min)
     // Per-query spread (max - min across passes): lets a reader classify
     // 1.3-1.6x run-to-run drift as noise from the artifact alone,
@@ -226,12 +246,26 @@ object Bench {
     // query); only the attribution moved. Canaries stay OUTSIDE it —
     // they're the measuring stick, not the workload.
     val total = plans.map(_._2).sum + sharedMed.map(_._2).sum
-    // canary_scale > 1 = this box/run is SLOWER than the pinned
-    // reference; value_normalized divides that weather out of "value".
-    val canarySum = canaryMed.map(_._2).sum
+    // Per-canary scales (VERDICT r12 #1c): after the round-12 reboot
+    // the three canaries disagreed 0.37x-4.15x against their refs — a
+    // single scalar averaged over regimes that disagree 11x corrects
+    // nothing. So: report each canary's own measured/ref ratio
+    // ("canary_scales"), take the MEDIAN ratio as canary_scale (robust
+    // to one regime re-clocking), and pin "canary_agreement" =
+    // max/min of the three ratios. canary_scale > 1 = this box/run is
+    // SLOWER than the pinned reference; value_normalized divides that
+    // weather out of "value" — a DIAGNOSTIC that is only meaningful
+    // when canary_agreement is near 1 (the regimes moved together).
+    // The raw "value" stays the gate metric always.
+    val canaryScales = canaryMed.toSeq.sortBy(_._1).collect {
+      case (n, v) if CanaryRef.contains(n) && CanaryRef(n) > 0 =>
+        n -> v / CanaryRef(n)
+    }
     val canaryScale =
-      if (canarySum > 0 && canaryMed.size == CanaryRef.size)
-        canarySum / CanaryRef.values.sum
+      if (canaryScales.nonEmpty) median(canaryScales.map(_._2)) else 1.0
+    val canaryAgreement =
+      if (canaryScales.nonEmpty)
+        canaryScales.map(_._2).max / canaryScales.map(_._2).min
       else 1.0
     val normalized = total / canaryScale
     val nonPlan = (kv: (String, Double)) =>
@@ -241,7 +275,7 @@ object Bench {
     // own stability evidence (VERDICT r11 #1); canary_scale is only
     // trustworthy when these are small relative to the medians
     val canarySpread = spread.filter(_._1.startsWith("canary:"))
-    val line = s"""{"metric":"total","value":${jnum(total)},"unit":"sec","passes":$passes,"canary":${jmap(canaryMed)},"canary_ref":${jmap(CanaryRef.toSeq.sorted)},"canary_scale":${jnum(canaryScale)},"canary_spread":${jmap(canarySpread)},"value_normalized":${jnum(normalized)},"queries":${jmap(plans)},"queries_min":${jmap(mins.filterNot(nonPlan))},"queries_spread":${jmap(spread.filterNot(nonPlan))},"shared_builds":${jmap(sharedMed)},"side_effect_queries":${jmap(sideEff)},"errors":$es,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":${jnum(total)},"unit":"sec","passes":$passes,"canary":${jmap(canaryMed)},"canary_ref":${jmap(CanaryRef.toSeq.sorted)},"canary_scales":${jmap(canaryScales)},"canary_scale":${jnum(canaryScale)},"canary_agreement":${jnum(canaryAgreement)},"canary_spread":${jmap(canarySpread)},"value_normalized":${jnum(normalized)},"queries":${jmap(plans)},"queries_min":${jmap(mins.filterNot(nonPlan))},"queries_spread":${jmap(spread.filterNot(nonPlan))},"shared_builds":${jmap(sharedMed)},"side_effect_queries":${jmap(sideEff)},"errors":$es,"sf":"$sfDir"}"""
     // The full per-query line outgrew the driver's 2000-char stdout tail
     // window at ~136 queries (r3/r4/r5 all recorded parsed:null because
     // the line's HEAD — "{"metric":... — fell outside the window). So:
@@ -260,7 +294,7 @@ object Bench {
       catch { case NonFatal(e) => System.err.println(s"bench detail write failed ($p): $e") }
     println(line)
     spark.stop()
-    val compact = s"""{"metric":"total","value":${jnum(total)},"unit":"sec","passes":$passes,"canary_scale":${jnum(canaryScale)},"value_normalized":${jnum(normalized)},"n_queries":${plans.size},"n_errors":${errors.size},"sf":"$sfDir","detail":"$detailPath"}"""
+    val compact = s"""{"metric":"total","value":${jnum(total)},"unit":"sec","passes":$passes,"canary_scale":${jnum(canaryScale)},"canary_agreement":${jnum(canaryAgreement)},"value_normalized":${jnum(normalized)},"n_queries":${plans.size},"n_errors":${errors.size},"sf":"$sfDir","detail":"$detailPath"}"""
     println(compact)
     if (errors.nonEmpty) sys.exit(1)
   }
