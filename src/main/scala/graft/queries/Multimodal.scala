@@ -183,6 +183,32 @@ object Multimodal {
     // envelope — then posexplode. Generator projection, no shuffle.
     "q216_audio_resample" -> ((s, d) => audioResample(
       documents(s, d)
+        .select(col("doc_id"), col("text").cast("binary").as("media")))),
+
+    // Video perceptual near-dup — the FOURTH dedup modality (text
+    // near-dups through MinHash bands, images through q209's luma
+    // phash, audio through q215's energy phash; video through
+    // temporally-aligned per-frame phashes). Frames enter through the
+    // [[graft.multimodal.FrameDecoder]] seam: the catalog rides the
+    // identity stub (8 uniform PROPORTIONAL byte windows read AS luma
+    // planes — q63's across-duration sampling as a byte rule, which
+    // keeps frame alignment stable between near-dup blobs of slightly
+    // different length; `sequence` + binary `substring` + the codegen'd
+    // MediaPhash, no UDF anywhere, DuckDB-mirrorable); MultimodalSpec
+    // drives a REAL synthesized MJPEG-in-AVI container through the
+    // SAME pipeline via AviMjpegFrames. Every [[VideoFrameStep]]-nd
+    // frame is sampled (q63's sampling rule as a plan, not metadata),
+    // each sampled frame grids through q209's hash, candidate VIDEO
+    // pairs come from SAME-frame-index band collisions (a re-encode
+    // keeps its frame sequence, so temporal alignment is a join key —
+    // frames of a pair never cross-product), and a pair near-dups when
+    // at least [[VideoQuorumFrames]] aligned frames verify within
+    // PHashMaxHam. Scale shape: per-frame phash is a generator
+    // projection; candidates shuffle on (frame_idx, band, sig)
+    // collision buckets; verify touches aligned candidate frames only
+    // — never N² over videos, never frames × frames within a pair.
+    "q217_video_phash_neardup" -> ((s, d) => videoPhashNeardup(
+      documents(s, d)
         .select(col("doc_id"), col("text").cast("binary").as("media"))))
   )
 
@@ -321,6 +347,112 @@ object Multimodal {
       .filter(octet_length(col("pcm")).cast("long") >= 2L * PHashCells)
       .select(col("doc_id"),
         graft.functions.audio_phash(col("pcm"), PHashCells).as("phash")))
+
+  /** q217 frame sampling stride (hash every 2nd frame — q63's
+    * every-other-moment rule as a plan step) and the aligned-frame
+    * quorum: a video pair is a near-dup when at least this many SAMPLED
+    * frame pairs verify within [[PHashMaxHam]]. One matching frame is a
+    * still-image coincidence; two temporally-aligned matches under
+    * sampling span a stretch of the stream.
+    */
+  val VideoFrameStep = 2
+  val VideoQuorumFrames = 2
+
+  /** The frame seam-to-rows step of q217: one `(doc_id, frame_idx,
+    * signal)` row per SAMPLED frame. The identity stub is fully native
+    * — frame indices from `sequence` (already striding by
+    * [[VideoFrameStep]], so unsampled frames are never materialized),
+    * the proportional window by binary `substring`; blobs below one
+    * grid per frame carry no stable per-frame signature and are
+    * excluded (the q209 rule, per frame). A real decoder interposes
+    * ONE blob→array<binary> UDF for the container+codec
+    * (nondeterministic-marked like every decode seam, ADVICE r11) and
+    * samples after posexplode.
+    */
+  private def decodedFrames(
+      blobs: DataFrame,
+      decoder: graft.multimodal.FrameDecoder): DataFrame = {
+    val nf = graft.multimodal.IdentityFrames.NumFrames
+    if (decoder == graft.multimodal.IdentityFrames)
+      blobs
+        .withColumn("nb", octet_length(col("media")).cast("long"))
+        .filter(col("nb") >= nf.toLong * PHashCells)
+        .select(col("doc_id"), col("media"), col("nb"),
+          explode(sequence(lit(0L), lit(nf - 1L),
+            lit(VideoFrameStep.toLong))).as("frame_idx"))
+        .select(col("doc_id"), col("frame_idx"),
+          expr(s"""substring(media,
+                  |  cast(frame_idx * nb div $nf as int) + 1,
+                  |  cast((frame_idx + 1) * nb div $nf
+                  |       - frame_idx * nb div $nf as int))""".stripMargin)
+            .as("signal"))
+    else {
+      val decodeUdf =
+        udf((b: Array[Byte]) => decoder.decodeFrames(b).toArray)
+          .asNondeterministic()
+      blobs
+        .select(col("doc_id"), posexplode(decodeUdf(col("media"))))
+        .select(col("doc_id"), col("pos").cast("long").as("frame_idx"),
+          col("col").as("signal"))
+        .filter(pmod(col("frame_idx"), lit(VideoFrameStep.toLong)) === 0)
+    }
+  }
+
+  /** q217 body over an already-binary media table `(doc_id, media)`
+    * with the [[graft.multimodal.FrameDecoder]] seam — see the catalog
+    * entry's scaladoc. Split out so the spec drives a synthesized real
+    * AVI (and its re-encoded copy) through the full
+    * sample→hash→band→verify→quorum pipeline via
+    * [[graft.multimodal.AviMjpegFrames]].
+    */
+  def videoPhashNeardup(
+      blobs: DataFrame,
+      decoder: graft.multimodal.FrameDecoder = graft.multimodal.IdentityFrames)
+      : DataFrame =
+    frameBandVerify(decodedFrames(blobs, decoder)
+      .filter(octet_length(col("signal")).cast("long") >= PHashCells)
+      .select(col("doc_id"), col("frame_idx"),
+        graft.functions.media_phash(col("signal"), PHashCells).as("phash")))
+
+  /** The temporally-aligned variant of [[bandVerify]] for per-frame
+    * signature tables `(doc_id, frame_idx, phash)`: banding and
+    * bucket caps key on (frame_idx, band_idx, band_sig) — candidates
+    * collide only at the SAME sampled frame index — verify is the same
+    * exact Hamming bit_count(XOR), and the quorum aggregate counts
+    * verified aligned frames per video pair. The signature table
+    * persists: banding and both verify joins consume it.
+    */
+  def frameBandVerify(phashes: DataFrame): DataFrame = {
+    val ph = phashes
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.pipeline.Chunker.registerForCleanup(ph)
+    val bands = ph.select(col("doc_id"), col("frame_idx"),
+        explode(sequence(lit(0), lit(PHashBands - 1))).as("band_idx"),
+        col("phash"))
+      .withColumn("band_sig", expr(
+        s"shiftright(phash, band_idx * $PHashBandBits) & ${(1 << PHashBandBits) - 1}"))
+      .select(col("doc_id"), col("frame_idx"), col("band_idx"), col("band_sig"))
+    val capped = Dedup.capBuckets(bands,
+      Seq("frame_idx", "band_idx", "band_sig"), "doc_id")
+    val candFrames = capped.as("a").join(capped.as("b"),
+        col("a.frame_idx") === col("b.frame_idx") &&
+          col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_sig") === col("b.band_sig") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.frame_idx").as("frame_idx"))
+      .distinct()
+    candFrames
+      .join(ph.select(col("doc_id").as("doc_a"), col("frame_idx"),
+        col("phash").as("pa")), Seq("doc_a", "frame_idx"))
+      .join(ph.select(col("doc_id").as("doc_b"), col("frame_idx"),
+        col("phash").as("pb")), Seq("doc_b", "frame_idx"))
+      .withColumn("hamming", expr("CAST(bit_count(pa ^ pb) AS LONG)"))
+      .filter(col("hamming") <= PHashMaxHam)
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_frames_matched"))
+      .filter(col("n_frames_matched") >= VideoQuorumFrames)
+  }
 
   /** q214 resize target: 16 cells — small enough that every fixture
     * blob (>= 16 bytes) resamples, wide enough to be a real thumbnail
@@ -503,6 +635,75 @@ object Multimodal {
          |  GROUP BY p.doc_id)""".stripMargin)
   }
 
+  /** DuckDB twin of q217: the identity frame sampling
+    * ([[graft.multimodal.IdentityFrames.NumFrames]] uniform
+    * proportional windows of the blob hex, sampled every
+    * [[VideoFrameStep]]), q209's grid+threshold per frame, then the
+    * temporally-aligned band tail and the quorum aggregate, each stage
+    * keyed (doc_id, frame_idx) exactly as [[frameBandVerify]].
+    */
+  private def q217OracleSql: String = {
+    val nf = graft.multimodal.IdentityFrames.NumFrames
+    val c = PHashCells
+    s"""WITH m AS (
+       |  SELECT doc_id, hex(encode(text)) AS hh,
+       |    CAST(octet_length(encode(text)) AS BIGINT) AS nb
+       |  FROM documents
+       |  WHERE octet_length(encode(text)) >= ${nf * c}),
+       |fr AS (
+       |  SELECT doc_id, unnest(range(0, $nf, $VideoFrameStep)) AS frame_idx,
+       |    hh, nb
+       |  FROM m),
+       |fh AS (
+       |  SELECT doc_id, frame_idx,
+       |    substring(hh, CAST(frame_idx * nb // $nf AS INT) * 2 + 1,
+       |      CAST((frame_idx + 1) * nb // $nf
+       |           - frame_idx * nb // $nf AS INT) * 2) AS h,
+       |    (frame_idx + 1) * nb // $nf - frame_idx * nb // $nf AS nbf
+       |  FROM fr),
+       |pos AS (
+       |  SELECT doc_id, frame_idx, t.k AS k,
+       |    list_sum(list_transform(
+       |      range(t.k * nbf // $c, (t.k + 1) * nbf // $c),
+       |      p -> ${hexByteSql("p")})) AS s
+       |  FROM fh CROSS JOIN (SELECT unnest(range(0, $c)) AS k) t),
+       |tot AS (SELECT doc_id, frame_idx, sum(s) AS tot
+       |  FROM pos GROUP BY doc_id, frame_idx),
+       |ph AS (
+       |  SELECT p.doc_id, p.frame_idx, CAST(sum(
+       |      CASE WHEN p.s * $c > t.tot
+       |           THEN (CAST(1 AS BIGINT) << CAST(p.k AS INT)) ELSE 0 END)
+       |    AS BIGINT) AS phash
+       |  FROM pos p
+       |  JOIN tot t ON t.doc_id = p.doc_id AND t.frame_idx = p.frame_idx
+       |  GROUP BY p.doc_id, p.frame_idx),
+       |bands AS (
+       |  SELECT doc_id, frame_idx, bb.b AS band_idx,
+       |    (phash >> (bb.b * $PHashBandBits)) & ${(1 << PHashBandBits) - 1}
+       |      AS band_sig
+       |  FROM ph CROSS JOIN (SELECT unnest(range(0, $PHashBands)) AS b) bb),
+       |capped AS (
+       |  SELECT doc_id, frame_idx, band_idx, band_sig FROM (
+       |    SELECT doc_id, frame_idx, band_idx, band_sig,
+       |      row_number() OVER (PARTITION BY frame_idx, band_idx, band_sig
+       |        ORDER BY doc_id) AS brk
+       |    FROM bands)
+       |  WHERE brk <= ${Dedup.BandBucketCap}),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    a.frame_idx AS frame_idx
+       |  FROM capped a JOIN capped b
+       |    ON a.frame_idx = b.frame_idx AND a.band_idx = b.band_idx
+       |    AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id)
+       |SELECT c.doc_a, c.doc_b, count(*) AS n_frames_matched
+       |FROM cand c
+       |JOIN ph pa ON pa.doc_id = c.doc_a AND pa.frame_idx = c.frame_idx
+       |JOIN ph pb ON pb.doc_id = c.doc_b AND pb.frame_idx = c.frame_idx
+       |WHERE bit_count(xor(pa.phash, pb.phash)) <= $PHashMaxHam
+       |GROUP BY 1, 2
+       |HAVING count(*) >= $VideoQuorumFrames""".stripMargin
+  }
+
   /** DuckDB twin of q216: q214's proportional windows over the q213
     * s16le sample parse, SIGNED means under truncating division
     * (DuckDB's integer `//` truncates toward zero exactly like
@@ -584,6 +785,7 @@ object Multimodal {
     "q214_luma_resize" -> q214OracleSql,
     "q215_audio_phash_neardup" -> q215OracleSql,
     "q216_audio_resample" -> q216OracleSql,
+    "q217_video_phash_neardup" -> q217OracleSql,
 
     "q44_props_struct" ->
       """SELECT event_type, count(*) AS n,

@@ -504,6 +504,134 @@ class MultimodalSpec extends AnyFunSuite {
     assert(viaWav == want.indices.map(k => (k.toLong, want(k))))
   }
 
+  /** Synthesize a real RIFF/AVI MJPEG container: hdrl list (walker
+    * skips it), a movi list holding the first frame as a bare '00dc'
+    * chunk, an odd-sized '01wb' audio chunk (skip + word-align pad),
+    * and the remaining frames inside a 'rec ' grouping sub-list
+    * (exercising the walker's recursion), then a trailing JUNK chunk.
+    */
+  private def aviMjpeg(frames: Seq[Array[Byte]]): Array[Byte] = {
+    def chunk(id: String, payload: Array[Byte]): Array[Byte] = {
+      val pad = payload.length & 1
+      val buf = java.nio.ByteBuffer.allocate(8 + payload.length + pad)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      buf.put(id.getBytes("US-ASCII")).putInt(payload.length).put(payload)
+      if (pad == 1) buf.put(0.toByte)
+      buf.array()
+    }
+    def list(listType: String, members: Array[Byte]): Array[Byte] =
+      chunk("LIST", listType.getBytes("US-ASCII") ++ members)
+    val hdrl = list("hdrl", chunk("avih", Array.fill[Byte](56)(0)))
+    val audio = chunk("01wb", Array[Byte](1, 2, 3)) // odd size -> pad
+    val (head, tail) = frames.splitAt(1)
+    val bare = head.map(f => chunk("00dc", f))
+      .foldLeft(Array.empty[Byte])(_ ++ _)
+    val rec =
+      if (tail.isEmpty) Array.empty[Byte]
+      else list("rec ", tail.map(f => chunk("00dc", f)).reduce(_ ++ _))
+    val movi = list("movi", bare ++ audio ++ rec)
+    val junk = chunk("JUNK", Array.fill[Byte](5)(0))
+    val body = "AVI ".getBytes("US-ASCII") ++ hdrl ++ movi ++ junk
+    val buf = java.nio.ByteBuffer.allocate(8 + body.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes).putInt(body.length).put(body)
+    buf.array()
+  }
+
+  test("AviMjpegFrames walks a real RIFF/AVI container — rec sub-lists, " +
+    "audio chunks, JUNK skipped; malformed containers throw") {
+    import graft.multimodal.{AviMjpegFrames, JpegLuma}
+    val imgs = (0 until 3).map(i =>
+      jpegBytes(grayImage(32, 24, (x, y) => (x * 8 + y * 11 + i * 40) % 256), 0.9f))
+    val frames = AviMjpegFrames.decodeFrames(aviMjpeg(imgs))
+    assert(frames.length == 3, "one luma plane per 00dc chunk, in order")
+    assert(frames.zip(imgs).forall { case (f, j) =>
+      f.sameElements(JpegLuma.decode(j)) },
+      "each frame must decode exactly as its standalone JPEG")
+    // a WAVE file is not an AVI; a truncated AVI is caught, not read past
+    intercept[IllegalArgumentException](
+      AviMjpegFrames.decodeFrames("RIFFxxxxWAVEdata".getBytes))
+    intercept[IllegalArgumentException](
+      AviMjpegFrames.decodeFrames(aviMjpeg(imgs).dropRight(6)))
+    // an AVI whose movi list holds no video chunks is rejected
+    intercept[IllegalArgumentException](
+      AviMjpegFrames.decodeFrames(aviMjpeg(Nil)))
+  }
+
+  test("q217 identity sampling: temporally-aligned sampled frames drive " +
+    "the quorum; one corrupted sampled frame still pairs, three gate it out") {
+    import graft.queries.Multimodal
+    val nf = graft.multimodal.IdentityFrames.NumFrames
+    val c = Multimodal.PHashCells
+    // nb = nf * c -> the 8 proportional windows are exactly c bytes;
+    // sampled indices 0, 2, 4, 6 under step 2
+    val base = Array.tabulate[Byte](nf * c)(i => ((i * 131 + 7) % 256).toByte)
+    def inverted(src: Array[Byte], frames: Int*): Array[Byte] = {
+      val out = src.clone()
+      frames.foreach(f =>
+        (c * f until c * (f + 1)).foreach(i => out(i) = (~out(i)).toByte))
+      out
+    }
+    val copy = inverted(base, 2, 6) // sampled frames 0 and 4 still match
+    val near = inverted(base, 0, 4, 6) // only sampled frame 2 matches
+    val blobs = Seq(1L -> base, 2L -> copy, 3L -> near)
+      .toDF("doc_id", "media")
+    val pairs = Multimodal.videoPhashNeardup(blobs).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->
+        r.getAs[Long]("n_frames_matched")).toMap
+    assert(pairs.get((1L, 2L)).contains(2L),
+      s"frames 0 and 4 align and match: $pairs")
+    assert(!pairs.contains((1L, 3L)),
+      s"a single matching frame sits below the quorum: $pairs")
+    // copy vs near share ONLY the both-inverted frame 6 -> 1 < quorum
+    assert(!pairs.contains((2L, 3L)),
+      s"one agreeing sampled frame sits below the quorum: $pairs")
+    // the identity stub's frame rule matches the decoder trait's
+    val viaDecoder = graft.multimodal.IdentityFrames.decodeFrames(base)
+    assert(viaDecoder.length == nf)
+    assert(viaDecoder.zipWithIndex.forall { case (f, k) =>
+      f.sameElements(base.slice(k * c, (k + 1) * c)) })
+    graft.pipeline.Chunker.clearCaches()
+  }
+
+  test("q217 pipeline with a REAL container decoder: a per-frame " +
+    "quality-85 AVI re-encode pairs under the aligned-frame quorum, an " +
+    "inverted video does not") {
+    import graft.queries.Multimodal
+    import graft.multimodal.AviMjpegFrames
+    val w = 32; val h = 24
+    // per-frame 16x8-region checker (the q209 JPEG-robust pattern),
+    // pattern phase advancing with the frame index so frames differ
+    def frameImg(k: Int, invert: Boolean) = grayImage(w, h, (x, y) => {
+      val region = (y / 8) * 2 + (x / 16)
+      val lvl = if ((region + k) % 2 == 0) 40 else 220
+      if (invert) 255 - lvl else lvl
+    })
+    val n = 6 // sampled frames 0, 2, 4
+    val origJpegs = (0 until n).map(k => jpegBytes(frameImg(k, invert = false), 1.0f))
+    // a REAL per-frame re-encode: decode each JPEG, write back at q85
+    val reencJpegs = origJpegs.map { j =>
+      jpegBytes(javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(j)), 0.85f)
+    }
+    val unrelJpegs = (0 until n).map(k => jpegBytes(frameImg(k, invert = true), 0.9f))
+    assert(origJpegs.zip(reencJpegs).forall { case (a, b) =>
+      !java.util.Arrays.equals(a, b) },
+      "re-encode must produce different frame bytes")
+    val blobs = Seq(1L -> aviMjpeg(origJpegs), 2L -> aviMjpeg(reencJpegs),
+      3L -> aviMjpeg(unrelJpegs)).toDF("doc_id", "media")
+    val pairs = Multimodal.videoPhashNeardup(blobs, AviMjpegFrames).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->
+        r.getAs[Long]("n_frames_matched")).toMap
+    assert(pairs.contains((1L, 2L)),
+      s"re-encoded AVI must pair with its original: $pairs")
+    assert(pairs((1L, 2L)) >= Multimodal.VideoQuorumFrames)
+    assert(pairs((1L, 2L)) <= 3, "only the sampled frames (0,2,4) can match")
+    assert(!pairs.keySet.exists(p => p._1 == 3L || p._2 == 3L),
+      s"the inverted video must not pair: $pairs")
+    graft.pipeline.Chunker.clearCaches()
+  }
+
   test("q214 through BmpLuma: a constant-color image resizes to " +
     "constant luma cells through the real decoder") {
     import graft.queries.Multimodal
