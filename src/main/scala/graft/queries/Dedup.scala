@@ -173,15 +173,18 @@ object Dedup {
   }
 
   /** Band table from a prepared minhash signature table. */
-  def minhashBandsFromTable(minhashes: DataFrame): DataFrame = {
+  def minhashBandsFromTable(minhashes: DataFrame,
+                            passthrough: Seq[String] = Nil): DataFrame = {
     val rowsPerBand = MinhashFuncs / MinhashBands
-    minhashes.select(col("doc"),
+    val extra = passthrough.map(col)
+    minhashes.select(col("doc") +: extra :+
       explode(array((0 until MinhashBands).map { b =>
         struct(lit(b).as("band_idx"),
           sha2(concat((0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}")): _*), 256)
             .as("band_hash"))
-      }: _*)).as("band"))
-      .select(col("doc"), col("band.band_idx"), col("band.band_hash"))
+      }: _*)).as("band"): _*)
+      .select(col("doc") +: extra :+ col("band.band_idx") :+
+        col("band.band_hash"): _*)
   }
 
   /** Raw (uncapped) MinHash band table (doc, band_idx, band_hash) —
@@ -197,27 +200,30 @@ object Dedup {
     * plan needs: a doc's bands derive with no aggregation before the
     * stateful stage, so the only shuffle is the band-bucket keyBy.
     */
-  def bandsPerRow(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def bandsPerRow(docs: DataFrame, idCol: String, textCol: String,
+                  passthrough: Seq[String] = Nil): DataFrame = {
     val ws = TextOps.wordsOf(col(textCol))
+    val extra = passthrough.map(col)
     val withSh = docs
-      .select(col(idCol).as("doc"), ws.as("ws"))
+      .select(col(idCol).as("doc") +: extra :+ ws.as("ws"): _*)
       .filter(size(col("ws")) >= 3)
-      .select(col("doc"), array_distinct(
+      .select(col("doc") +: extra :+ array_distinct(
         transform(sequence(lit(0), size(col("ws")) - 3), i =>
           concat_ws(" ", element_at(col("ws"), i + 1),
             element_at(col("ws"), i + 2),
-            element_at(col("ws"), i + 3)))).as("sh"))
+            element_at(col("ws"), i + 3)))).as("sh"): _*)
     // One native pass over the doc's shingle array yields all 9 minima
     // (expressions.MinhashSigs) — replaces 9 materialized transform
     // arrays + 9 array_min scans; bit-equal, so the DedupSpec parity
     // pin vs minhashTable and the oracle CTE both hold unchanged. The
     // two-select stack keeps minhash_sigs evaluated once: CollapseProject
     // refuses to inline a non-cheap producer referenced 9 times.
-    val withMhs = withSh.select(col("doc"),
-      graft.functions.minhash_sigs(col("sh"), MinhashFuncs).as("mhs"))
-    val withMh = withMhs.select(col("doc") +: (0 until MinhashFuncs).map(k =>
-      element_at(col("mhs"), k + 1).as(s"mh$k")): _*)
-    minhashBandsFromTable(withMh)
+    val withMhs = withSh.select(col("doc") +: extra :+
+      graft.functions.minhash_sigs(col("sh"), MinhashFuncs).as("mhs"): _*)
+    val withMh = withMhs.select(col("doc") +: extra ++:
+      (0 until MinhashFuncs).map(k =>
+        element_at(col("mhs"), k + 1).as(s"mh$k")): _*)
+    minhashBandsFromTable(withMh, passthrough)
   }
 
   /** Band-level (doc, partner, band_idx) collisions of the
@@ -244,6 +250,56 @@ object Dedup {
     */
   def neardupGate(bands: DataFrame): DataFrame =
     neardupGatePairs(bands)
+      .groupBy(col("doc").as("doc_id"))
+      .agg(countDistinct(col("partner")).as("n_partners"),
+        min(col("partner")).as("first_partner"),
+        count(lit(1)).as("n_shared_bands"))
+
+  /** q218 retention horizon (event-time ms). The fixture synthesizes
+    * `ts_ms = doc_id` (one doc per millisecond of arrival), so 200 ms
+    * genuinely ages members out mid-corpus and the oracle exercises
+    * the eviction rule, not just the join.
+    */
+  val GateHorizonMs = 200L
+
+  /** Band-level collisions of the BOUNDED ingestion gate — the batch
+    * twin of [[graft.streaming.BoundedNeardupGate]] (VERDICT r12 #3)
+    * and the parity target its StreamingSpec arm pins against. Input
+    * bands carry event time: (doc, ts_ms, band_idx, band_hash), with
+    * arrival order = ts order (ties by doc). A doc collides with
+    * earlier same-bucket docs that are BOTH inside the horizon
+    * (partner.ts_ms > doc.ts_ms − horizon: event-time aging) AND among
+    * the [[BandBucketCap]] most recent arrivals in the bucket
+    * (recency/LRU cap — unlike [[neardupGatePairs]]' admit-refusal
+    * cap, every doc is admitted and the OLDEST is evicted, which is
+    * what lets state stay bounded under continuous ingest). The recall
+    * trade is deliberate and documented on the streaming twin: a
+    * duplicate arriving beyond the horizon of its partner emits
+    * nothing.
+    *
+    * Scale shape: one self-join on band-collision buckets (the shuffle
+    * LSH always pays) + a recency window over the JOIN OUTPUT keyed
+    * (bucket, prober) — candidate-pair-sized, never corpus-sized.
+    */
+  def boundedGatePairs(bands: DataFrame,
+                       horizonMs: Long = GateHorizonMs): DataFrame =
+    bands.as("a").join(bands.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_hash") === col("b.band_hash") &&
+          col("b.doc") < col("a.doc") &&
+          col("b.ts_ms") > col("a.ts_ms") - horizonMs)
+      .select(col("a.doc").as("doc"), col("b.doc").as("partner"),
+        col("a.band_idx").as("band_idx"), col("a.band_hash").as("band_hash"))
+      .withColumn("_graft_rec", row_number().over(
+        Window.partitionBy(col("band_idx"), col("band_hash"), col("doc"))
+          .orderBy(col("partner").desc)))
+      .filter(col("_graft_rec") <= BandBucketCap)
+      .select(col("doc"), col("partner"), col("band_idx"))
+
+  /** q218 rollup — the q208 shape over [[boundedGatePairs]]. */
+  def boundedGate(bands: DataFrame,
+                  horizonMs: Long = GateHorizonMs): DataFrame =
+    boundedGatePairs(bands, horizonMs)
       .groupBy(col("doc").as("doc_id"))
       .agg(countDistinct(col("partner")).as("n_partners"),
         min(col("partner")).as("first_partner"),
@@ -1503,7 +1559,26 @@ object Dedup {
     // rows bounded by cap × distinct buckets, per-micro-batch cost
     // batch-sized, never corpus-sized.
     "q208_stream_neardup_gate" -> ((s, d) =>
-      neardupGate(minhashBandsFromTable(corpusMinhash(s, d))))
+      neardupGate(minhashBandsFromTable(corpusMinhash(s, d)))),
+
+    // BOUNDED streaming gate, batch twin (VERDICT r12 #3) — q208 with
+    // the state-lifecycle rules an always-on 100-TB gate needs:
+    // event-time aging (partners probe-able only within
+    // [[GateHorizonMs]] of the arriving doc) and a per-bucket
+    // recency/LRU cap (every doc admitted, oldest evicted — membership
+    // tracks the horizon, not the corpus). Fixture event time is
+    // ts_ms = doc_id (one arrival per ms), so the horizon genuinely
+    // evicts mid-corpus and the oracle checks the aging rule. ONE
+    // definition, two executions: this oracle-checked batch form
+    // ([[boundedGate]]) and streaming/BoundedNeardupGate.scala
+    // (transformWithState + event-time cleanup timers), which
+    // StreamingSpec proves band-level identical across micro-batches
+    // — including a late dup against an EVICTED partner emitting
+    // nothing (the documented recall trade).
+    "q218_bounded_neardup_gate" -> ((s, d) =>
+      boundedGate(minhashBandsFromTable(
+        corpusMinhash(s, d).withColumn("ts_ms", col("doc")),
+        passthrough = Seq("ts_ms"))))
   )
 
   /** q128 synthesized-line width (words per line). */
@@ -2242,6 +2317,26 @@ object Dedup {
          |FROM bands_raw a JOIN bands b
          |  ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
          |  AND b.doc < a.doc
-         |GROUP BY a.doc""".stripMargin
+         |GROUP BY a.doc""".stripMargin,
+
+    // Bounded gate: both sides of the join are UNCAPPED (every doc is
+    // admitted under LRU), the horizon predicate is event-time aging
+    // with ts_ms = doc, and the recency window over the join output is
+    // the per-bucket LRU cap — exactly [[boundedGatePairs]].
+    "q218_bounded_neardup_gate" ->
+      s"""$minhashCtes
+         |SELECT doc AS doc_id,
+         |  CAST(count(DISTINCT partner) AS BIGINT) AS n_partners,
+         |  min(partner) AS first_partner,
+         |  CAST(count(*) AS BIGINT) AS n_shared_bands
+         |FROM (
+         |  SELECT a.doc AS doc, b.doc AS partner,
+         |    row_number() OVER (PARTITION BY a.band_idx, a.band_hash, a.doc
+         |      ORDER BY b.doc DESC) AS rec
+         |  FROM bands_raw a JOIN bands_raw b
+         |    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+         |    AND b.doc < a.doc AND b.doc > a.doc - $GateHorizonMs)
+         |WHERE rec <= $BandBucketCap
+         |GROUP BY doc""".stripMargin
   )
 }

@@ -151,6 +151,9 @@ object StreamBench {
     val docsDir = java.nio.file.Files.createTempDirectory("graft-sbench-docs")
     (1 to nBatches).foreach(i =>
       stageBatch(docsDir, docs.filter(col("slice") === i).drop("slice"), i - 1))
+    // fanned ids are contiguous 0..N-1, so the row count doubles as the
+    // event-time span (ts = doc_id ms) for the bounded-gate horizon
+    val docsTotal = spark.read.parquet(docsDir.toString).count()
     val docsSchema = spark.read.parquet(s"$docsDir/batch-00000.parquet").schema
     def docsSrc(): DataFrame = spark.readStream.schema(docsSchema)
       .option("maxFilesPerTrigger", 1).parquet(docsDir.toString)
@@ -218,6 +221,20 @@ object StreamBench {
       // document stream.
       ("neardup_gate_tws",
         () => graft.streaming.StatefulNeardupGate.gateStream(docsSrc()).toDF()),
+      // BOUNDED gate (VERDICT r12 #3): same document stream with event
+      // time ts = doc_id ms, retention horizon = TWO batches' worth of
+      // arrivals. The unbounded arm's state_rows grow monotonically
+      // with the corpus; this arm must PLATEAU after ~2-3 batches
+      // (aging trims bucket members on arrival; event-time timers
+      // clear dormant bucket keys once the watermark passes their
+      // horizon) — the "state stays bounded under continuous ingest"
+      // observable for an always-on 100-TB gate.
+      ("neardup_gate_bounded", { () =>
+        val idsPerBatch = math.max(1L, docsTotal / nBatches)
+        graft.streaming.BoundedNeardupGate.gateStream(
+          docsSrc().withColumn("ts", timestamp_millis(col("doc_id"))),
+          horizonMs = 2L * idsPerBatch).toDF()
+      }),
       // keys-scaling arms on the transformWithState running stats (the
       // per-key-state flagship): state_rows_last must track the KEY
       // count (~10x base for keys_x10, ~collapsed for keys_skewed)
@@ -243,7 +260,27 @@ object StreamBench {
     // startup cost lands outside the recorded numbers
     measure("warmup_tumbling", graft.streaming.StreamingJobs.tumblingCounts(src()))
 
-    val runs = arms.map { case (name, plan) => measure(name, plan()) }
+    val runs0 = arms.map { case (name, plan) => measure(name, plan()) }
+
+    // q208 floor experiment (VERDICT r12 #5): the per-batch
+    // decomposition pins ~95% of the gate's trigger wall inside
+    // addBatch (plan_ms and walCommit are noise), i.e. the stateful
+    // stage itself: 32 shuffle partitions × 32 RocksDB stores each
+    // paying per-batch open/commit/changelog machinery on ~3.5k band
+    // rows apiece. This arm re-runs the UNBOUNDED gate with the
+    // stateful shuffle sized to the batch (8 partitions — each store
+    // sees ~4x the rows, total per-batch store machinery /4). If the
+    // floor is micro-batch machinery the rate rises materially; if it
+    // is minhash/probe CPU it stays put. (Fresh query name + sink =
+    // fresh checkpoint, so the re-partitioned state layout is legal.)
+    val runs = runs0 ++ (if (only.forall(_.exists(p =>
+      "neardup_gate_p8".startsWith(p)))) {
+      spark.conf.set("spark.sql.shuffle.partitions", "8")
+      val r = measure("neardup_gate_p8",
+        graft.streaming.StatefulNeardupGate.gateStream(docsSrc()).toDF())
+      spark.conf.set("spark.sql.shuffle.partitions", "32")
+      Seq(r)
+    } else Nil)
 
     deleteRecursively(srcDir)
     deleteRecursively(keys10Dir)

@@ -549,4 +549,51 @@ class StreamingSpec extends AnyFunSuite with CacheCleanup {
     assert(lastFlood == (100L to 163L).toSet)
     graft.pipeline.Chunker.clearCaches()
   }
+
+  test("BOUNDED streaming gate == batch twin q218 across micro-batches: " +
+    "event-time aging, LRU cap, and the evicted-partner recall trade") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import graft.queries.Dedup
+    val base = "alpha beta gamma delta epsilon zeta"
+    val flood = "flood one two three four five six"
+    val horizon = 300L
+    // event time = doc_id ms (one arrival per ms), arrival = id order
+    def docs(rows: Seq[(Long, String)]) = rows.toDF("doc_id", "text")
+      .withColumn("ts", timestamp_millis(col("doc_id")))
+    val b1 = docs(Seq(1L -> base,
+      2L -> "totally unrelated words here now", 5L -> base))
+    // a 70-doc flood bucket (LRU semantics) + a base dup still inside
+    // the horizon of batch 1's copies
+    val b2 = docs((100L to 169L).map(_ -> flood) :+ (250L -> base))
+    // 700: every base partner (1, 5, 250) is aged out; 720 pairs with
+    // the re-admitted 700 only
+    val b3 = docs(Seq(700L -> base, 720L -> base))
+    val all = Seq(b1, b2, b3).reduce(_ unionAll _)
+    val got = StreamingJobs.runIncremental(spark, Seq(b1, b2, b3),
+      df => graft.streaming.BoundedNeardupGate.gateStream(df, horizon).toDF(),
+      "t_bounded_gate")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val perRow = Dedup.bandsPerRow(all, "doc_id", "text", Seq("ts"))
+      .withColumn("ts_ms", unix_millis(col("ts")))
+    val want = Dedup.boundedGatePairs(perRow, horizon).collect()
+      .map(r => (r.getAs[Long]("doc"), r.getAs[Long]("partner"),
+        r.getAs[Int]("band_idx"))).toSet
+    assert(got == want, s"stream=${got.size} batch=${want.size}")
+    // within-horizon pairs from earlier batches survive
+    for (p <- Seq(1L, 5L); b <- 0 until Dedup.MinhashBands)
+      assert(got.contains((250L, p, b)), s"missing (250,$p,$b)")
+    // the recall trade, pinned: 700 IS a dup of 1/5/250, but all its
+    // partners aged out of the index — it emits nothing...
+    assert(!got.exists(_._1 == 700L),
+      "a late dup against evicted partners must emit nothing")
+    // ...and was re-admitted as new, so ITS later dup is caught
+    for (b <- 0 until Dedup.MinhashBands)
+      assert(got.contains((720L, 700L, b)), s"missing (720,700,$b)")
+    // LRU vs admit-refusal: the last flood doc sees the 64 most RECENT
+    // members (105..168), not the first 64 the unbounded gate keeps
+    val lastFlood = got.filter(c => c._1 == 169L && c._3 == 0).map(_._2)
+    assert(lastFlood == (105L to 168L).toSet)
+    graft.pipeline.Chunker.clearCaches()
+  }
 }
