@@ -248,9 +248,17 @@ object ScaleProbe {
     val warmNames = if (needFull) allNames else headNames
 
     // entries for one measured sweep: shared builds first (their own
-    // rows — attribution), then the query set for this factor
+    // rows — attribution), then the query set for this factor. The
+    // four EXACT O(N·Q)/O(N²) eval baselines are measured through 10×
+    // — where their documented super-linear contract numbers live
+    // (q168 84× per-unit at 30× would spend ~34 min/pass and 6.5 GB
+    // of spill re-measuring a contract the 10× row already pins) —
+    // and excluded above it; their PRODUCTION twins (q52/q62/q190/
+    // q200, the AnnSubstitutionSpec substitution) stay in every sweep.
     def entriesFor(factor: Int): Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)] = {
-      val names = if (fullSweep && factor <= FullSweepMaxFactor) allNames else headNames
+      val names0 = if (fullSweep && factor <= FullSweepMaxFactor) allNames else headNames
+      val names = if (factor <= 10) names0
+        else names0.filterNot(ExactBaselines.contains)
       shared ++ names.map(n => n -> graft.SparkEntry.queries(n))
     }
 
