@@ -29,7 +29,17 @@ import scala.util.control.NonFatal
   *  - every query is fully materialized through the `noop` sink — a
   *    `count()` would let Catalyst prune the projections being measured;
   *  - failures are REPORTED (per-query "errors" map + rc!=0), never
-  *    swallowed; warmup ignores only NonFatal errors.
+  *    swallowed; warmup ignores only NonFatal errors;
+  *  - the headline is WEATHER-PROOF BY CONSTRUCTION (VERDICT r13 #1):
+  *    when canary_agreement exceeds [[Bench.AgreementBar]] after the
+  *    initial passes, up to [[Bench.MaxExtraPasses]] recovery passes
+  *    run; if agreement still exceeds the bar, "value" demotes from
+  *    the trimmed-mean sum to the per-query-minimum sum ("gate_basis"
+  *    records which fired, and both totals are always in the
+  *    artifact) — a loaded box can inflate every pass's mean but it
+  *    cannot make a query's fastest observed run SLOWER than the
+  *    machine's floor, so the demoted headline stays within noise of
+  *    a clean-box run (pinned evidence: BENCH_weatherproof.json).
   */
 object Bench {
   /** Correctness entries whose evaluation does eager side-effecting
@@ -102,6 +112,30 @@ object Bench {
   val CanaryRef: Map[String, Double] = Map(
     "canary:cpu" -> 0.383, "canary:shuffle" -> 0.641, "canary:sort" -> 0.175)
 
+  /** Weather gate (VERDICT r13 #1): the canary_agreement ceiling above
+    * which this run's across-pass trimmed means are NOT trusted as the
+    * headline. A clean same-boot run measures agreement ~1.15 against
+    * freshly pinned refs (BENCH_agreement.json run B); the r13 driver
+    * run that inflated the headline 12% over a same-boot twin read
+    * 4.755. When the initial passes land above the bar, Bench first
+    * runs up to [[MaxExtraPasses]] additional passes (more samples →
+    * the trimmed mean sheds more bad passes); if agreement STILL
+    * exceeds the bar, the headline "value" demotes to the sum of
+    * per-query across-pass MINIMA — on a loaded box the minimum is the
+    * least-inflated sample, so weather can shift the gate metric at
+    * most toward (never past) the machine's true floor. The artifact
+    * records which basis fired ("gate_basis"), plus both candidate
+    * totals ("value_trimmed"/"value_min"), so a reader can always
+    * reconstruct the undemoted number.
+    */
+  val AgreementBar = 1.5
+
+  /** Extra recovery passes attempted when the initial passes blow
+    * [[AgreementBar]] before demoting the gate metric to per-query
+    * minima (bounded: each full pass is ~3.5 min at sf0.1).
+    */
+  val MaxExtraPasses = 2
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARMUP_DIR", "/root/testdata/sf0.001")
@@ -152,7 +186,7 @@ object Bench {
     // the headline "value" (same total work, now attributable).
     val sharedNames = SparkEntry.sharedBuilds.map(_._1)
     val runShared = only.isEmpty // a filtered dev run times queries standalone
-    val timings = (1 to passes).map { _ =>
+    def runPass(): Map[String, Double] = {
       clearAll()
       // Canaries run FIRST each pass (even in filtered dev runs —
       // they're sub-second and make any run self-calibrating).
@@ -207,6 +241,31 @@ object Bench {
       if (s.size >= 4) s.slice(1, s.size - 1).sum / (s.size - 2)
       else median(xs)
     }
+    // canary_agreement over a pass set: per-canary across-pass stat /
+    // pinned ref, max ratio over min ratio. The weather-gate signal.
+    def agreementOf(ts: Seq[Map[String, Double]]): Double = {
+      val scales = Canaries.map(_._1)
+        .filter(n => CanaryRef.get(n).exists(_ > 0) && !errors.contains(n))
+        .map(n => stat(ts.map(_(n))) / CanaryRef(n))
+      if (scales.isEmpty) 1.0 else scales.max / scales.min
+    }
+    val timingsBuf = scala.collection.mutable.ArrayBuffer.empty[Map[String, Double]]
+    (1 to passes).foreach(_ => timingsBuf += runPass())
+    // Weather recovery (VERDICT r13 #1): while the canary regimes
+    // disagree beyond [[AgreementBar]], buy more samples — each extra
+    // pass lets the trimmed mean shed one more distorted pass — up to
+    // [[MaxExtraPasses]]. If the run still reads distorted afterwards,
+    // the gate metric demotes to per-query minima below.
+    var extraPasses = 0
+    while (agreementOf(timingsBuf.toSeq) > AgreementBar &&
+        extraPasses < MaxExtraPasses) {
+      System.err.println(f"BENCH weather: canary_agreement " +
+        f"${agreementOf(timingsBuf.toSeq)}%.3f > $AgreementBar%.2f after " +
+        s"${timingsBuf.size} passes - running an extra pass")
+      extraPasses += 1
+      timingsBuf += runPass()
+    }
+    val timings = timingsBuf.toSeq
     // An errored query's wall time is a fast-fail, not a measurement —
     // reporting it as a timing made error-vs-fast indistinguishable in
     // the r6 artifact (ADVICE r6). Errored names live ONLY in `errors`.
@@ -246,6 +305,11 @@ object Bench {
     // query); only the attribution moved. Canaries stay OUTSIDE it —
     // they're the measuring stick, not the workload.
     val total = plans.map(_._2).sum + sharedMed.map(_._2).sum
+    // Min-basis twin of `total`: per-query across-pass minima over the
+    // same query set (plans + shared builds). The weather-proof
+    // fallback headline — see [[AgreementBar]].
+    val totalMin = mins.filter(kv => !kv._1.startsWith("canary:") &&
+      !SideEffectQueries(kv._1)).map(_._2).sum
     // Per-canary scales (VERDICT r12 #1c): after the round-12 reboot
     // the three canaries disagreed 0.37x-4.15x against their refs — a
     // single scalar averaged over regimes that disagree 11x corrects
@@ -268,6 +332,15 @@ object Bench {
         canaryScales.map(_._2).max / canaryScales.map(_._2).min
       else 1.0
     val normalized = total / canaryScale
+    // Weather-proof gate metric (VERDICT r13 #1): when the run STILL
+    // reads weather-distorted after the recovery passes, the headline
+    // demotes to per-query minima — the trimmed mean has been proven
+    // (r13: agreement 4.755, headline +12% over a same-boot twin) to
+    // inflate when three or more passes are loaded, while per-query
+    // minima sat at the clean-run values. gate_basis says which fired.
+    val weatherDistorted = canaryAgreement > AgreementBar
+    val gateValue = if (weatherDistorted) totalMin else total
+    val gateBasis = if (weatherDistorted) "per_query_min" else "trimmed_mean"
     val nonPlan = (kv: (String, Double)) =>
       SideEffectQueries(kv._1) || kv._1.startsWith("shared:") ||
         kv._1.startsWith("canary:")
@@ -275,7 +348,7 @@ object Bench {
     // own stability evidence (VERDICT r11 #1); canary_scale is only
     // trustworthy when these are small relative to the medians
     val canarySpread = spread.filter(_._1.startsWith("canary:"))
-    val line = s"""{"metric":"total","value":${jnum(total)},"unit":"sec","passes":$passes,"canary":${jmap(canaryMed)},"canary_ref":${jmap(CanaryRef.toSeq.sorted)},"canary_scales":${jmap(canaryScales)},"canary_scale":${jnum(canaryScale)},"canary_agreement":${jnum(canaryAgreement)},"canary_spread":${jmap(canarySpread)},"value_normalized":${jnum(normalized)},"queries":${jmap(plans)},"queries_min":${jmap(mins.filterNot(nonPlan))},"queries_spread":${jmap(spread.filterNot(nonPlan))},"shared_builds":${jmap(sharedMed)},"side_effect_queries":${jmap(sideEff)},"errors":$es,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":${jnum(gateValue)},"gate_basis":"$gateBasis","agreement_bar":${jnum(AgreementBar)},"extra_passes":$extraPasses,"value_trimmed":${jnum(total)},"value_min":${jnum(totalMin)},"unit":"sec","passes":${timings.size},"canary":${jmap(canaryMed)},"canary_ref":${jmap(CanaryRef.toSeq.sorted)},"canary_scales":${jmap(canaryScales)},"canary_scale":${jnum(canaryScale)},"canary_agreement":${jnum(canaryAgreement)},"canary_spread":${jmap(canarySpread)},"value_normalized":${jnum(normalized)},"queries":${jmap(plans)},"queries_min":${jmap(mins.filterNot(nonPlan))},"queries_spread":${jmap(spread.filterNot(nonPlan))},"shared_builds":${jmap(sharedMed)},"side_effect_queries":${jmap(sideEff)},"errors":$es,"sf":"$sfDir"}"""
     // The full per-query line outgrew the driver's 2000-char stdout tail
     // window at ~136 queries (r3/r4/r5 all recorded parsed:null because
     // the line's HEAD — "{"metric":... — fell outside the window). So:
@@ -294,7 +367,7 @@ object Bench {
       catch { case NonFatal(e) => System.err.println(s"bench detail write failed ($p): $e") }
     println(line)
     spark.stop()
-    val compact = s"""{"metric":"total","value":${jnum(total)},"unit":"sec","passes":$passes,"canary_scale":${jnum(canaryScale)},"canary_agreement":${jnum(canaryAgreement)},"value_normalized":${jnum(normalized)},"n_queries":${plans.size},"n_errors":${errors.size},"sf":"$sfDir","detail":"$detailPath"}"""
+    val compact = s"""{"metric":"total","value":${jnum(gateValue)},"gate_basis":"$gateBasis","unit":"sec","passes":${timings.size},"canary_scale":${jnum(canaryScale)},"canary_agreement":${jnum(canaryAgreement)},"value_normalized":${jnum(normalized)},"n_queries":${plans.size},"n_errors":${errors.size},"sf":"$sfDir","detail":"$detailPath"}"""
     println(compact)
     if (errors.nonEmpty) sys.exit(1)
   }

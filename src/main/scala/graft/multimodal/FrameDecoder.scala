@@ -94,8 +94,16 @@ case object AviMjpegFrames extends FrameDecoder {
     val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
 
     // Walk one chunk run [off, end); descend into LISTs, decode '##dc'
-    // payloads when inside the movi tree.
-    def walk(start: Int, end: Int, inMovi: Boolean): Unit = {
+    // payloads when inside the movi tree. Real AVI nests ~3 LIST
+    // levels (AVI  > movi > rec ); the depth bound turns a malformed
+    // blob of pathologically nested 12-byte LISTs (~80k levels/MB)
+    // into the contract's IllegalArgumentException instead of a
+    // StackOverflowError that could kill the executor task rather
+    // than quarantine the row (ADVICE r13).
+    val MaxListDepth = 64
+    def walk(start: Int, end: Int, inMovi: Boolean, depth: Int): Unit = {
+      require(depth <= MaxListDepth,
+        s"avi_mjpeg: LIST nesting exceeds $MaxListDepth levels")
       var off = start
       while (off + 8 <= end) {
         val id = fourcc(blob, off)
@@ -107,7 +115,7 @@ case object AviMjpegFrames extends FrameDecoder {
           require(size >= 4, "avi_mjpeg: LIST below list-type size")
           val listType = fourcc(blob, payload)
           walk(payload + 4, payload + size.toInt,
-            inMovi || listType == "movi")
+            inMovi || listType == "movi", depth + 1)
         } else if (inMovi && isVideoChunk(id)) {
           require(size >= 2 && (blob(payload) & 0xff) == 0xff &&
               (blob(payload + 1) & 0xff) == 0xd8,
@@ -119,7 +127,7 @@ case object AviMjpegFrames extends FrameDecoder {
       }
     }
 
-    walk(12, blob.length, inMovi = false)
+    walk(12, blob.length, inMovi = false, depth = 0)
     require(frames.nonEmpty, "avi_mjpeg: no video frames in movi list")
     frames.toSeq
   }

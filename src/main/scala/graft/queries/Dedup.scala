@@ -283,16 +283,24 @@ object Dedup {
     */
   def boundedGatePairs(bands: DataFrame,
                        horizonMs: Long = GateHorizonMs): DataFrame =
+    // "b arrived earlier" is EVENT-TIME order with doc as tiebreak —
+    // (b.ts_ms, b.doc) < (a.ts_ms, a.doc) lexicographically — and the
+    // recency/LRU rank orders by the same key, so the twin stays
+    // faithful when arrival ts order diverges from doc-id order
+    // (ADVICE r13: the previous b.doc < a.doc form silently assumed
+    // ts order == id order, which only the fixture guarantees).
     bands.as("a").join(bands.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
           col("a.band_hash") === col("b.band_hash") &&
-          col("b.doc") < col("a.doc") &&
+          (col("b.ts_ms") < col("a.ts_ms") ||
+            (col("b.ts_ms") === col("a.ts_ms") && col("b.doc") < col("a.doc"))) &&
           col("b.ts_ms") > col("a.ts_ms") - horizonMs)
       .select(col("a.doc").as("doc"), col("b.doc").as("partner"),
+        col("b.ts_ms").as("partner_ts"),
         col("a.band_idx").as("band_idx"), col("a.band_hash").as("band_hash"))
       .withColumn("_graft_rec", row_number().over(
         Window.partitionBy(col("band_idx"), col("band_hash"), col("doc"))
-          .orderBy(col("partner").desc)))
+          .orderBy(col("partner_ts").desc, col("partner").desc)))
       .filter(col("_graft_rec") <= BandBucketCap)
       .select(col("doc"), col("partner"), col("band_idx"))
 

@@ -339,6 +339,61 @@ object TextAnalytics {
   val RepTop3Max = 0.18
   val RepDup5Max = 0.15
 
+  /** Covered-character counts of one document's repetition statistics:
+    * `top{2,3}_chars` = occurrences × char-length of the most frequent
+    * word 2-/3-gram (ties broken by the SMALLEST gram in binary
+    * collation — identical to the oracle's `ORDER BY count DESC, g`
+    * row_number tiebreak), `dup5_chars` = Σ occurrences × char-length
+    * over every 5-gram occurring 2+ times. Char lengths are CODE-POINT
+    * counts (Spark/DuckDB `length` semantics, not UTF-16 units) and
+    * the tiebreak compares UTF-8 bytes (binary collation = code-point
+    * order), so the kernel cannot diverge from the declarative oracle
+    * on non-ASCII text.
+    */
+  private[queries] final case class RepCoverage(
+      top2_chars: Long, top3_chars: Long, dup5_chars: Long)
+
+  private[queries] def repCoverageOf(ws: Seq[String]): RepCoverage = {
+    if (ws == null) return RepCoverage(0L, 0L, 0L)
+    val arr = ws.toArray
+    def cpLen(s: String): Long = s.codePointCount(0, s.length).toLong
+    def byteLess(a: String, b: String): Boolean =
+      java.util.Arrays.compareUnsigned(
+        a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        b.getBytes(java.nio.charset.StandardCharsets.UTF_8)) < 0
+    def gramCounts(n: Int): scala.collection.mutable.HashMap[String, Long] = {
+      val m = scala.collection.mutable.HashMap.empty[String, Long]
+      val sb = new java.lang.StringBuilder()
+      var i = 0
+      while (i + n <= arr.length) {
+        sb.setLength(0)
+        var j = 0
+        while (j < n) {
+          if (j > 0) sb.append(' ')
+          sb.append(arr(i + j))
+          j += 1
+        }
+        val g = sb.toString
+        m.update(g, m.getOrElse(g, 0L) + 1L)
+        i += 1
+      }
+      m
+    }
+    def topChars(n: Int): Long = {
+      var bestG: String = null
+      var bestC = 0L
+      gramCounts(n).foreachEntry { (g, c) =>
+        if (c > bestC || (c == bestC && bestG != null && byteLess(g, bestG))) {
+          bestG = g; bestC = c
+        }
+      }
+      if (bestG == null) 0L else bestC * cpLen(bestG)
+    }
+    var dup5 = 0L
+    gramCounts(5).foreachEntry { (g, c) => if (c >= 2L) dup5 += c * cpLen(g) }
+    RepCoverage(topChars(2), topChars(3), dup5)
+  }
+
   /** q198 body — the REPETITION half of the published quality battery
     * (q194 covers the composition rules): per doc, the fraction of
     * characters covered by (a) the most frequent word 2-gram, (b) the
@@ -352,40 +407,26 @@ object TextAnalytics {
     * documented as the simplification). Docs with fewer than n words
     * have no n-grams and pass that rule with fraction 0.
     *
-    * Scale shape: one words projection feeding three explodes, each
-    * aggregated on (doc, gram) — doc+gram-keyed shuffles; the top-1
-    * window partitions by doc and rides the aggregate's exchange;
-    * results join back doc-keyed. Everything linear in corpus size.
+    * Scale shape: every statistic is a function of ONE document's own
+    * words, so the whole battery is a per-row kernel
+    * ([[repCoverageOf]]) over the words array — a pure projection,
+    * zero shuffles, embarrassingly parallel at any corpus size. The
+    * previous declarative form exploded all 2/3/5-grams corpus-wide
+    * and paid three (doc, gram)-keyed shuffles for what is per-doc
+    * state; at 30× the sf0.1 corpus the 5-gram aggregate hash table
+    * spilled ~1 GB (SCALE.md r13). The DuckDB oracle keeps the
+    * declarative explode+window form, so the kernel's count/tiebreak
+    * semantics stay independently cross-checked.
     */
   def repetitionBattery(docs: DataFrame): DataFrame = {
-    val base = docs.select(col("doc_id"),
-      length(col("text")).cast("long").as("n_chars"),
-      TextOps.wordsOf(col("text")).as("ws"))
-    def grams(n: Int): DataFrame =
-      base.filter(size(col("ws")) >= n)
-        .select(col("doc_id"), explode(transform(
-          sequence(lit(0), size(col("ws")) - n), i =>
-            concat_ws(" ", (0 until n).map(j =>
-              element_at(col("ws"), i + j + 1)): _*))).as("g"))
-    def topFrac(n: Int, out: String): DataFrame =
-      grams(n).groupBy(col("doc_id"), col("g"))
-        .agg(count(lit(1)).as("c"))
-        .withColumn("rn", row_number().over(
-          org.apache.spark.sql.expressions.Window
-            .partitionBy(col("doc_id"))
-            .orderBy(col("c").desc, col("g"))))
-        .filter(col("rn") === 1)
-        .select(col("doc_id"),
-          (col("c") * length(col("g")).cast("long")).as(s"${out}_chars"))
-    val dup5 = grams(5).groupBy(col("doc_id"), col("g"))
-      .agg(count(lit(1)).as("c"))
-      .filter(col("c") >= 2)
-      .groupBy(col("doc_id"))
-      .agg(sum(col("c") * length(col("g")).cast("long")).as("dup5_chars"))
-    base.select(col("doc_id"), col("n_chars"))
-      .join(topFrac(2, "top2"), Seq("doc_id"), "left")
-      .join(topFrac(3, "top3"), Seq("doc_id"), "left")
-      .join(dup5, Seq("doc_id"), "left")
+    val cover = udf(repCoverageOf _)
+    docs.select(col("doc_id"),
+        length(col("text")).cast("long").as("n_chars"),
+        cover(TextOps.wordsOf(col("text"))).as("cov"))
+      .select(col("doc_id"), col("n_chars"),
+        col("cov.top2_chars").as("top2_chars"),
+        col("cov.top3_chars").as("top3_chars"),
+        col("cov.dup5_chars").as("dup5_chars"))
       .select(col("doc_id"), col("n_chars"),
         // empty doc: no chars, no grams — every fraction is 0 (and the
         // rules pass), never a divide-by-zero null verdict

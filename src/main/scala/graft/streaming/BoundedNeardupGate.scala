@@ -102,11 +102,21 @@ object BoundedNeardupGate {
       // The firing timer is the latest registered (older ones are
       // deleted on re-registration), so watermark >= newest member's
       // expiry — the whole bucket is unreachable. Guarded trim anyway:
-      // keep any member still inside a future probe window.
+      // keep any member still inside a future probe window — and
+      // RE-ARM a timer at the survivors' expiry, because a guard that
+      // retains members without a pending timer would hold them
+      // forever if no further arrival ever touches the bucket (the
+      // unbounded-state condition this class exists to prevent;
+      // ADVICE r13).
       val wm = timerValues.getCurrentWatermarkInMs()
       val alive = members.get().filter(_.ts_ms > wm - horizonMs).toArray
       if (alive.isEmpty) { members.clear(); cleanupAt.clear() }
-      else members.put(alive)
+      else {
+        members.put(alive)
+        val expiry = alive.map(_.ts_ms).max + horizonMs + 1
+        getHandle.registerTimer(expiry)
+        cleanupAt.update(expiry)
+      }
       Iterator.empty
     }
   }
@@ -114,12 +124,22 @@ object BoundedNeardupGate {
   /** The streaming plan over a documents-shaped stream with event time
     * `(doc_id, text, ts)` (ts a timestamp column; the watermark drives
     * both aging and bucket-clear timers).
+    *
+    * `statePartitions`: when set, pins `spark.sql.shuffle.partitions`
+    * on the session BEFORE the plan is built — state partitioning is
+    * frozen into the checkpoint at first start. Size it with
+    * [[StatefulNeardupGate.autoStatePartitions]] (same per-store
+    * machinery floor, same rule); callers restore the conf afterwards
+    * if they interleave other work.
     */
   def gateStream(docs: DataFrame, horizonMs: Long,
-                 watermarkDelay: String = "0 seconds"): Dataset[Collision] = {
+                 watermarkDelay: String = "0 seconds",
+                 statePartitions: Option[Int] = None): Dataset[Collision] = {
     val spark = docs.sparkSession
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    statePartitions.foreach(n =>
+      spark.conf.set("spark.sql.shuffle.partitions", n.toString))
     import spark.implicits._
     Dedup.bandsPerRow(docs.withWatermark("ts", watermarkDelay),
         "doc_id", "text", passthrough = Seq("ts"))

@@ -273,14 +273,37 @@ object StreamBench {
     // floor is micro-batch machinery the rate rises materially; if it
     // is minhash/probe CPU it stays put. (Fresh query name + sink =
     // fresh checkpoint, so the re-partitioned state layout is legal.)
-    val runs = runs0 ++ (if (only.forall(_.exists(p =>
-      "neardup_gate_p8".startsWith(p)))) {
+    // Both experiment arms below shrink the session's shuffle-partition
+    // conf (streaming state partitioning is frozen from it at first
+    // start); try/finally so a throwing arm cannot leave the session
+    // at the experimental size for everything after it (ADVICE r13).
+    def withRestoredPartitions(body: => Seq[Run]): Seq[Run] = {
+      val saved = spark.conf.get("spark.sql.shuffle.partitions")
+      try body finally spark.conf.set("spark.sql.shuffle.partitions", saved)
+    }
+    val runsP8 = if (only.forall(_.exists(p =>
+      "neardup_gate_p8".startsWith(p)))) withRestoredPartitions {
       spark.conf.set("spark.sql.shuffle.partitions", "8")
-      val r = measure("neardup_gate_p8",
-        graft.streaming.StatefulNeardupGate.gateStream(docsSrc()).toDF())
-      spark.conf.set("spark.sql.shuffle.partitions", "32")
-      Seq(r)
-    } else Nil)
+      Seq(measure("neardup_gate_p8",
+        graft.streaming.StatefulNeardupGate.gateStream(docsSrc()).toDF()))
+    } else Nil
+    // AUTO-SIZED arm (VERDICT r13 #5): the production sizing rule —
+    // state partitions computed from the expected per-batch volume by
+    // StatefulNeardupGate.autoStatePartitions — measured against the
+    // default-32 arm and the hand-picked p8 floor experiment. Done
+    // criterion: matches or beats p8 with no hand-picked constant.
+    val runsAuto = if (only.forall(_.exists(p =>
+      "neardup_gate_auto".startsWith(p)))) withRestoredPartitions {
+      val autoN = graft.streaming.StatefulNeardupGate.autoStatePartitions(
+        docsPerBatch = math.max(1L, docsTotal / nBatches),
+        cores = Runtime.getRuntime.availableProcessors())
+      System.err.println(s"STREAMBENCH neardup_gate_auto: " +
+        s"autoStatePartitions=${autoN} for ~${docsTotal / nBatches} docs/batch")
+      Seq(measure("neardup_gate_auto",
+        graft.streaming.StatefulNeardupGate.gateStream(docsSrc(),
+          statePartitions = Some(autoN)).toDF()))
+    } else Nil
+    val runs = runs0 ++ runsP8 ++ runsAuto
 
     deleteRecursively(srcDir)
     deleteRecursively(keys10Dir)
