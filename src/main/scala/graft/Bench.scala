@@ -31,15 +31,15 @@ import scala.util.control.NonFatal
   *  - failures are REPORTED (per-query "errors" map + rc!=0), never
   *    swallowed; warmup ignores only NonFatal errors;
   *  - the headline is WEATHER-PROOF BY CONSTRUCTION (VERDICT r13 #1):
-  *    when canary_agreement exceeds [[Bench.AgreementBar]] after the
-  *    initial passes, up to [[Bench.MaxExtraPasses]] recovery passes
-  *    run; if agreement still exceeds the bar, "value" demotes from
-  *    the trimmed-mean sum to the per-query-minimum sum ("gate_basis"
-  *    records which fired, and both totals are always in the
-  *    artifact) — a loaded box can inflate every pass's mean but it
-  *    cannot make a query's fastest observed run SLOWER than the
-  *    machine's floor, so the demoted headline stays within noise of
-  *    a clean-box run (pinned evidence: BENCH_weatherproof.json).
+  *    when canary_agreement exceeds [[Bench.AgreementBar]] or
+  *    canary_scale exceeds [[Bench.ScaleBar]] after the initial
+  *    passes, up to [[Bench.MaxExtraPasses]] recovery passes run; if
+  *    a bar is still blown, "value" demotes to min(trimmed-mean sum,
+  *    per-query median over the CALMEST passes) — load only pushes
+  *    measurements up, so the smaller of two upward-biased statistics
+  *    is the better clean-cost estimate ("gate_basis" records which
+  *    fired, and all candidate totals stay in the artifact; pinned
+  *    evidence: BENCH_weatherproof.json).
   */
 object Bench {
   /** Correctness entries whose evaluation does eager side-effecting
@@ -112,27 +112,51 @@ object Bench {
   val CanaryRef: Map[String, Double] = Map(
     "canary:cpu" -> 0.383, "canary:shuffle" -> 0.641, "canary:sort" -> 0.175)
 
-  /** Weather gate (VERDICT r13 #1): the canary_agreement ceiling above
-    * which this run's across-pass trimmed means are NOT trusted as the
-    * headline. A clean same-boot run measures agreement ~1.15 against
-    * freshly pinned refs (BENCH_agreement.json run B); the r13 driver
-    * run that inflated the headline 12% over a same-boot twin read
-    * 4.755. When the initial passes land above the bar, Bench first
-    * runs up to [[MaxExtraPasses]] additional passes (more samples →
-    * the trimmed mean sheds more bad passes); if agreement STILL
-    * exceeds the bar, the headline "value" demotes to the sum of
-    * per-query across-pass MINIMA — on a loaded box the minimum is the
-    * least-inflated sample, so weather can shift the gate metric at
-    * most toward (never past) the machine's true floor. The artifact
-    * records which basis fired ("gate_basis"), plus both candidate
-    * totals ("value_trimmed"/"value_min"), so a reader can always
-    * reconstruct the undemoted number.
+  /** Weather gate (VERDICT r13 #1): the run's trimmed means are NOT
+    * trusted as the headline when EITHER canary signal blows its bar —
+    * canary_agreement > [[AgreementBar]] (the regimes moved apart:
+    * the r13 driver run read 4.755 while inflating the headline 12%
+    * over a same-boot twin; a clean same-boot run reads ~1.07-1.15)
+    * or canary_scale > [[ScaleBar]] (the regimes moved TOGETHER —
+    * uniform external load inflates every canary alike, so agreement
+    * alone cannot see it; clean same-boot runs read 0.95-1.13).
+    *
+    * When a bar is blown after the initial passes, Bench first runs up
+    * to [[MaxExtraPasses]] additional passes (buying samples taken
+    * after transient load has passed); if a bar is STILL blown, the
+    * headline demotes to the CLEAN-PASS MEDIAN: passes are ranked by
+    * their own canary weather (median canary ratio of that pass),
+    * passes within [[CleanPassTolerance]] of the calmest pass are
+    * kept (always at least 2), and "value" = min(trimmed-mean sum,
+    * clean-pass-median sum): load only ever pushes measurements UP, so
+    * both candidates are upward-biased estimates of the clean cost and
+    * the smaller is the better one — pass-concentrated weather (the
+    * r13 event) inflates the trimmed mean while the calm-pass medians
+    * stay clean, pulsed intra-pass weather can do the reverse. On a
+    * clean run both statistics coincide, so the demoted headline of a
+    * noise-injected run lands within noise of a clean-box run — unlike
+    * a raw per-query-minimum sum, which undershoots a clean headline
+    * ~15% by construction (still reported as "value_min").
+    * The artifact records which basis fired ("gate_basis"), the
+    * per-pass weather indices ("pass_weather"), and both candidate
+    * totals, so a reader can always reconstruct the undemoted number.
+    * Pinned evidence: BENCH_weatherproof.json (clean vs stressed run).
     */
   val AgreementBar = 1.5
 
-  /** Extra recovery passes attempted when the initial passes blow
-    * [[AgreementBar]] before demoting the gate metric to per-query
-    * minima (bounded: each full pass is ~3.5 min at sf0.1).
+  /** canary_scale ceiling for the uniform-load arm of the weather
+    * gate — see [[AgreementBar]].
+    */
+  val ScaleBar = 1.5
+
+  /** A pass qualifies as clean when its weather index is within this
+    * factor of the calmest pass's — see [[AgreementBar]].
+    */
+  val CleanPassTolerance = 1.25
+
+  /** Extra recovery passes attempted when a weather bar is blown,
+    * before demoting the gate metric (bounded: each full pass is
+    * ~3.5 min at sf0.1).
     */
   val MaxExtraPasses = 2
 
@@ -241,27 +265,35 @@ object Bench {
       if (s.size >= 4) s.slice(1, s.size - 1).sum / (s.size - 2)
       else median(xs)
     }
-    // canary_agreement over a pass set: per-canary across-pass stat /
-    // pinned ref, max ratio over min ratio. The weather-gate signal.
+    // The weather-gate signals over a pass set (see [[AgreementBar]]):
+    // per-canary scales = across-pass stat / pinned ref; agreement =
+    // max/min of the scales; scale = their median.
+    def liveCanaries: Seq[String] = Canaries.map(_._1)
+      .filter(n => CanaryRef.get(n).exists(_ > 0) && !errors.contains(n))
+    def scalesOf(ts: Seq[Map[String, Double]]): Seq[Double] =
+      liveCanaries.map(n => stat(ts.map(_(n))) / CanaryRef(n))
     def agreementOf(ts: Seq[Map[String, Double]]): Double = {
-      val scales = Canaries.map(_._1)
-        .filter(n => CanaryRef.get(n).exists(_ > 0) && !errors.contains(n))
-        .map(n => stat(ts.map(_(n))) / CanaryRef(n))
-      if (scales.isEmpty) 1.0 else scales.max / scales.min
+      val s = scalesOf(ts)
+      if (s.isEmpty) 1.0 else s.max / s.min
     }
+    def scaleOf(ts: Seq[Map[String, Double]]): Double = {
+      val s = scalesOf(ts)
+      if (s.isEmpty) 1.0 else median(s)
+    }
+    def barBlown(ts: Seq[Map[String, Double]]): Boolean =
+      agreementOf(ts) > AgreementBar || scaleOf(ts) > ScaleBar
     val timingsBuf = scala.collection.mutable.ArrayBuffer.empty[Map[String, Double]]
     (1 to passes).foreach(_ => timingsBuf += runPass())
-    // Weather recovery (VERDICT r13 #1): while the canary regimes
-    // disagree beyond [[AgreementBar]], buy more samples — each extra
-    // pass lets the trimmed mean shed one more distorted pass — up to
-    // [[MaxExtraPasses]]. If the run still reads distorted afterwards,
-    // the gate metric demotes to per-query minima below.
+    // Weather recovery (VERDICT r13 #1): while a weather bar is blown,
+    // buy more samples — extra passes taken after transient load has
+    // passed feed the clean-pass subset the gate metric demotes to.
     var extraPasses = 0
-    while (agreementOf(timingsBuf.toSeq) > AgreementBar &&
-        extraPasses < MaxExtraPasses) {
-      System.err.println(f"BENCH weather: canary_agreement " +
-        f"${agreementOf(timingsBuf.toSeq)}%.3f > $AgreementBar%.2f after " +
-        s"${timingsBuf.size} passes - running an extra pass")
+    while (barBlown(timingsBuf.toSeq) && extraPasses < MaxExtraPasses) {
+      System.err.println(f"BENCH weather: agreement " +
+        f"${agreementOf(timingsBuf.toSeq)}%.3f / scale " +
+        f"${scaleOf(timingsBuf.toSeq)}%.3f over bars " +
+        f"($AgreementBar%.2f/$ScaleBar%.2f) after ${timingsBuf.size} " +
+        "passes - running an extra pass")
       extraPasses += 1
       timingsBuf += runPass()
     }
@@ -306,8 +338,10 @@ object Bench {
     // they're the measuring stick, not the workload.
     val total = plans.map(_._2).sum + sharedMed.map(_._2).sum
     // Min-basis twin of `total`: per-query across-pass minima over the
-    // same query set (plans + shared builds). The weather-proof
-    // fallback headline — see [[AgreementBar]].
+    // same query set (plans + shared builds). A diagnostic floor —
+    // biased ~15% below a clean trimmed mean by construction, which is
+    // why the weather gate demotes to the clean-pass median instead
+    // (see [[AgreementBar]]).
     val totalMin = mins.filter(kv => !kv._1.startsWith("canary:") &&
       !SideEffectQueries(kv._1)).map(_._2).sum
     // Per-canary scales (VERDICT r12 #1c): after the round-12 reboot
@@ -334,13 +368,43 @@ object Bench {
     val normalized = total / canaryScale
     // Weather-proof gate metric (VERDICT r13 #1): when the run STILL
     // reads weather-distorted after the recovery passes, the headline
-    // demotes to per-query minima — the trimmed mean has been proven
-    // (r13: agreement 4.755, headline +12% over a same-boot twin) to
-    // inflate when three or more passes are loaded, while per-query
-    // minima sat at the clean-run values. gate_basis says which fired.
-    val weatherDistorted = canaryAgreement > AgreementBar
-    val gateValue = if (weatherDistorted) totalMin else total
-    val gateBasis = if (weatherDistorted) "per_query_min" else "trimmed_mean"
+    // demotes to the clean-pass median — see [[AgreementBar]]. The
+    // trimmed mean has been proven (r13: agreement 4.755, headline
+    // +12% over a same-boot twin) to inflate when three or more passes
+    // are loaded; the per-pass canary weather identifies WHICH passes
+    // were loaded and the medians over the calm subset read as a
+    // clean-box run. gate_basis says which fired.
+    val weatherDistorted = canaryAgreement > AgreementBar || canaryScale > ScaleBar
+    def passWeather(t: Map[String, Double]): Double = {
+      val rs = liveCanaries.map(n => t(n) / CanaryRef(n))
+      if (rs.isEmpty) 1.0 else median(rs)
+    }
+    val passWeights = timings.map(passWeather)
+    val keptIdx = {
+      val wMin = passWeights.min
+      val calm = timings.indices.filter(i =>
+        passWeights(i) <= wMin * CleanPassTolerance)
+      if (calm.size >= 2) calm
+      else timings.indices.sortBy(passWeights).take(2)
+    }
+    val demoted = timed.map(n =>
+      n -> median(keptIdx.map(i => timings(i)(n)))).toMap
+    val totalClean = plans.map(kv => demoted(kv._1)).sum +
+      sharedMed.map(kv => demoted(kv._1)).sum
+    // Load can only push a measurement UP, so both candidate totals
+    // are upward-biased estimates of the clean-box cost and the SMALLER
+    // one is the better estimate: pass-concentrated weather (the r13
+    // event) inflates the trimmed mean while the calm-pass medians stay
+    // clean; pulsed intra-pass weather can land inside canary-calm
+    // passes and inflate the medians while per-query trimming sheds it.
+    // Neither mechanism can drive either statistic BELOW the clean
+    // cost, so min() stays honest.
+    val gateValue =
+      if (weatherDistorted) math.min(total, totalClean) else total
+    val gateBasis =
+      if (!weatherDistorted) "trimmed_mean"
+      else if (totalClean <= total) "clean_pass_median"
+      else "trimmed_mean_weathered_min"
     val nonPlan = (kv: (String, Double)) =>
       SideEffectQueries(kv._1) || kv._1.startsWith("shared:") ||
         kv._1.startsWith("canary:")
@@ -348,7 +412,7 @@ object Bench {
     // own stability evidence (VERDICT r11 #1); canary_scale is only
     // trustworthy when these are small relative to the medians
     val canarySpread = spread.filter(_._1.startsWith("canary:"))
-    val line = s"""{"metric":"total","value":${jnum(gateValue)},"gate_basis":"$gateBasis","agreement_bar":${jnum(AgreementBar)},"extra_passes":$extraPasses,"value_trimmed":${jnum(total)},"value_min":${jnum(totalMin)},"unit":"sec","passes":${timings.size},"canary":${jmap(canaryMed)},"canary_ref":${jmap(CanaryRef.toSeq.sorted)},"canary_scales":${jmap(canaryScales)},"canary_scale":${jnum(canaryScale)},"canary_agreement":${jnum(canaryAgreement)},"canary_spread":${jmap(canarySpread)},"value_normalized":${jnum(normalized)},"queries":${jmap(plans)},"queries_min":${jmap(mins.filterNot(nonPlan))},"queries_spread":${jmap(spread.filterNot(nonPlan))},"shared_builds":${jmap(sharedMed)},"side_effect_queries":${jmap(sideEff)},"errors":$es,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":${jnum(gateValue)},"gate_basis":"$gateBasis","agreement_bar":${jnum(AgreementBar)},"scale_bar":${jnum(ScaleBar)},"extra_passes":$extraPasses,"pass_weather":${passWeights.map(jnum).mkString("[", ",", "]")},"passes_kept":${keptIdx.size},"value_trimmed":${jnum(total)},"value_clean_pass":${jnum(totalClean)},"value_min":${jnum(totalMin)},"unit":"sec","passes":${timings.size},"canary":${jmap(canaryMed)},"canary_ref":${jmap(CanaryRef.toSeq.sorted)},"canary_scales":${jmap(canaryScales)},"canary_scale":${jnum(canaryScale)},"canary_agreement":${jnum(canaryAgreement)},"canary_spread":${jmap(canarySpread)},"value_normalized":${jnum(normalized)},"queries":${jmap(plans)},"queries_min":${jmap(mins.filterNot(nonPlan))},"queries_spread":${jmap(spread.filterNot(nonPlan))},"shared_builds":${jmap(sharedMed)},"side_effect_queries":${jmap(sideEff)},"errors":$es,"sf":"$sfDir"}"""
     // The full per-query line outgrew the driver's 2000-char stdout tail
     // window at ~136 queries (r3/r4/r5 all recorded parsed:null because
     // the line's HEAD — "{"metric":... — fell outside the window). So:

@@ -350,10 +350,10 @@ object TextAnalytics {
     * order), so the kernel cannot diverge from the declarative oracle
     * on non-ASCII text.
     */
-  private[queries] final case class RepCoverage(
+  private[graft] final case class RepCoverage(
       top2_chars: Long, top3_chars: Long, dup5_chars: Long)
 
-  private[queries] def repCoverageOf(ws: Seq[String]): RepCoverage = {
+  private[graft] def repCoverageOf(ws: Seq[String]): RepCoverage = {
     if (ws == null) return RepCoverage(0L, 0L, 0L)
     val arr = ws.toArray
     def cpLen(s: String): Long = s.codePointCount(0, s.length).toLong

@@ -773,4 +773,42 @@ class DedupSpec extends AnyFunSuite with CacheCleanup {
     assert(nDet == r188.getAs[Long]("n_tp"),
       "q210 detected mass must equal q188's true positives")
   }
+
+  test("q218 batch twin with event-time order DIVERGING from doc-id order " +
+    "matches a sequential LRU-gate simulation (ADVICE r13)") {
+    // Two regimes in one shared bucket:
+    //  - docs 0..99 with STRICTLY DECREASING ts (arrival order is the
+    //    reverse of id order, so partners carry LARGER ids) — exercises
+    //    event-time aging under the diverging order;
+    //  - docs 200..269 all at ONE ts (ties order by doc) — exercises
+    //    the LRU cap (70 > BandBucketCap members, no aging).
+    val rows: Seq[(Long, Long)] =
+      (0 until 100).map(d => (d.toLong, 1000L - 3L * d)) ++
+        (200 until 270).map(d => (d.toLong, 50000L))
+    val horizon = 40L
+    val bands = rows.map { case (doc, ts) => (doc, ts, 0, "bucket0") }
+      .toDF("doc", "ts_ms", "band_idx", "band_hash")
+    val got = Dedup.boundedGatePairs(bands, horizon).collect()
+      .map(r => (r.getAs[Long]("doc"), r.getAs[Long]("partner"))).toSet
+    // sequential reference = the streaming processor's semantics: walk
+    // arrivals in (ts, doc) order; age members past the horizon,
+    // collide with the survivors, admit, evict the oldest past the cap
+    var members = Vector.empty[(Long, Long)] // (doc, ts) in arrival order
+    val want = scala.collection.mutable.Set.empty[(Long, Long)]
+    for ((doc, ts) <- rows.sortBy { case (doc, ts) => (ts, doc) }) {
+      members = members.filter(_._2 > ts - horizon)
+      members.foreach(m => want += ((doc, m._1)))
+      members = (members :+ ((doc, ts))).takeRight(Dedup.BandBucketCap)
+    }
+    assert(got == want.toSet, s"got=${got.size} want=${want.size}")
+    // the diverging order is really exercised: partners with larger ids
+    assert(got.exists { case (d, p) => p > d },
+      "an earlier-in-event-time partner with a larger doc id must pair")
+    // aging binds under the reversed order: doc 0 (ts 1000) pairs with
+    // ids 1..13 (ts >= 961) but not 14 (ts 958 = 1000 - 42)
+    assert(got.filter(_._1 == 0L).map(_._2) == (1L to 13L).toSet)
+    // the LRU cap binds in the tied-ts flood: the last arrival (269)
+    // sees the 64 most recent earlier members (205..268), not all 69
+    assert(got.filter(_._1 == 269L).map(_._2) == (205L to 268L).toSet)
+  }
 }

@@ -558,6 +558,26 @@ class MultimodalSpec extends AnyFunSuite {
       AviMjpegFrames.decodeFrames(aviMjpeg(Nil)))
   }
 
+  test("AviMjpegFrames: pathological LIST nesting is rejected by the " +
+    "depth bound (IllegalArgumentException, never a StackOverflowError)") {
+    import graft.multimodal.AviMjpegFrames
+    def le32(v: Int): Array[Byte] = java.nio.ByteBuffer.allocate(4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(v).array()
+    // 200 nested LISTs — over the 64-level bound but far below any
+    // real stack limit, so only the explicit guard can fire
+    var inner = Array.empty[Byte]
+    for (_ <- 0 until 200) {
+      val payload = "rec ".getBytes("US-ASCII") ++ inner
+      inner = "LIST".getBytes("US-ASCII") ++ le32(payload.length) ++ payload
+    }
+    val body = "AVI ".getBytes("US-ASCII") ++ inner
+    val blob = "RIFF".getBytes("US-ASCII") ++ le32(body.length) ++ body
+    val e = intercept[IllegalArgumentException](
+      AviMjpegFrames.decodeFrames(blob))
+    assert(e.getMessage.contains("nesting"),
+      s"the DEPTH guard must fire, got: ${e.getMessage}")
+  }
+
   test("q217 identity sampling: temporally-aligned sampled frames drive " +
     "the quorum; one corrupted sampled frame still pairs, three gate it out") {
     import graft.queries.Multimodal

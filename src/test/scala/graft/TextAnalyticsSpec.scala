@@ -328,4 +328,32 @@ class TextAnalyticsSpec extends AnyFunSuite with CacheCleanup {
       ./(BigDecimal(loop.length)).setScale(6, BigDecimal.RoundingMode.HALF_UP)
     assert(BigDecimal(out(1L).getAs[Double]("top2_frac")) == expect)
   }
+
+  test("q198 per-doc kernel edges: deterministic tie-break on the smallest " +
+    "gram, code-point char lengths, null/short inputs") {
+    import graft.queries.TextAnalytics.repCoverageOf
+    // three 2-grams tied at count 2 with different char lengths — the
+    // (count desc, gram asc) tiebreak must pick "a b" (len 3), exactly
+    // the oracle's row_number order, NOT the longest-coverage gram
+    val tied = Seq("a", "b", "a", "b", "ccc", "ddd", "ccc", "ddd", "ccc")
+    assert(repCoverageOf(tied).top2_chars == 2L * 3L)
+    // gram char length counts CODE POINTS (Spark/DuckDB `length`),
+    // not UTF-16 units: U+1D11E is one char but two UTF-16 units
+    val clef = "𝄞"
+    val astral = Seq(clef + clef, "x", clef + clef, "x")
+    assert(repCoverageOf(astral).top2_chars == 2L * 4L,
+      s"expected code-point length 4 for '$clef$clef x'")
+    // dup-5 sums EVERY occurrence of duplicated 5-grams
+    val loop5 = Seq.fill(3)(Seq("v", "w", "x", "y", "z")).flatten
+    // 5-grams of the 15-word loop: "v w x y z" x3, the 4 rotations x2
+    assert(repCoverageOf(loop5).dup5_chars ==
+      3L * 9L + 2L * 9L * 4L)
+    // null / empty / below-n inputs produce zero coverage, not nulls
+    assert(repCoverageOf(null) ==
+      graft.queries.TextAnalytics.RepCoverage(0L, 0L, 0L))
+    assert(repCoverageOf(Seq.empty) ==
+      graft.queries.TextAnalytics.RepCoverage(0L, 0L, 0L))
+    assert(repCoverageOf(Seq("only")).top2_chars == 0L)
+    assert(repCoverageOf(Seq("a", "b", "c", "d")).dup5_chars == 0L)
+  }
 }
