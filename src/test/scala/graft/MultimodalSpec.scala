@@ -578,6 +578,29 @@ class MultimodalSpec extends AnyFunSuite {
       s"the DEPTH guard must fire, got: ${e.getMessage}")
   }
 
+  test("VideoScaleBench synthesis: blobs are real decodable MJPEG-AVIs and " +
+    "the planted re-encode pairs (and ONLY those) survive the pipeline") {
+    import graft.tools.VideoScaleBench
+    import graft.multimodal.AviMjpegFrames
+    // every blob decodes through the real walker to the declared frames
+    val frames = AviMjpegFrames.decodeFrames(VideoScaleBench.blobFor(0L))
+    assert(frames.length == VideoScaleBench.FramesPerVideo)
+    assert(frames.forall(_.length ==
+      VideoScaleBench.FrameW * VideoScaleBench.FrameH))
+    // a re-encode (id%4==3) carries different bytes than its source
+    assert(!java.util.Arrays.equals(
+      VideoScaleBench.blobFor(3L), VideoScaleBench.blobFor(2L)))
+    // at n=8 the planted pairs are exactly (2,3) and (6,7); fresh videos
+    // carry independent seeded 48-bit signatures, so nothing else pairs
+    val blobs = (0L until 8L).map(id => id -> VideoScaleBench.blobFor(id))
+      .toDF("doc_id", "media")
+    val pairs = graft.queries.Multimodal
+      .videoPhashNeardup(blobs, AviMjpegFrames).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(pairs == Set((2L, 3L), (6L, 7L)), s"got $pairs")
+    graft.pipeline.Chunker.clearCaches()
+  }
+
   test("q217 identity sampling: temporally-aligned sampled frames drive " +
     "the quorum; one corrupted sampled frame still pairs, three gate it out") {
     import graft.queries.Multimodal
