@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.expressions.{AudioPhash, AudioResample, AudioStats, HashFraction, LumaResize, MediaPhash, MinhashSigs, NfcNormalize, TokenCount, TokenCountCl100k, VecDot, WinnowFps}
+import graft.expressions.{AudioPhash, AudioResample, AudioStats, HashFraction, LumaResize, MediaPhash, MinhashSigs, NfcNormalize, RepCoverage, TokenCount, TokenCountCl100k, VecDot, WinnowFps}
 
 /** Session extensions: registers graft's native expressions as SQL
   * functions, so `spark.sql("SELECT token_count(text) ...")` works for
@@ -134,6 +134,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             s"luma_resize: cells must be an integer literal, got $other")
         }
         LumaResize(children.head, cells)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("rep_coverage"),
+      info("rep_coverage", "rep_coverage(arr) - repetition covered-char counts struct<top2_chars,top3_chars,dup5_chars> over a words array (see graft.expressions.RepCoverage)"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1, "rep_coverage takes exactly 1 argument")
+        RepCoverage(children.head)
       }))
     ext.injectFunction((
       FunctionIdentifier("hash_fraction"),

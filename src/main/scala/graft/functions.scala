@@ -95,4 +95,14 @@ object functions {
     */
   def luma_resize(c: Column, cells: Int): Column =
     ExprBridge.column(expressions.LumaResize(ExprBridge.expression(c), cells))
+
+  /** Covered-character counts of one document's repetition statistics
+    * as struct<top2_chars, top3_chars, dup5_chars : bigint> (see
+    * [[expressions.RepCoverage]]); value-equal to the Scala kernel it
+    * replaces (`TextAnalytics.repCoverageOf`, kept as the spec
+    * cross-check) and to the DuckDB oracle's declarative
+    * explode+window form — q198's shape.
+    */
+  def rep_coverage(c: Column): Column =
+    ExprBridge.column(expressions.RepCoverage(ExprBridge.expression(c)))
 }

@@ -408,21 +408,24 @@ object TextAnalytics {
     * have no n-grams and pass that rule with fraction 0.
     *
     * Scale shape: every statistic is a function of ONE document's own
-    * words, so the whole battery is a per-row kernel
-    * ([[repCoverageOf]]) over the words array — a pure projection,
-    * zero shuffles, embarrassingly parallel at any corpus size. The
-    * previous declarative form exploded all 2/3/5-grams corpus-wide
-    * and paid three (doc, gram)-keyed shuffles for what is per-doc
-    * state; at 30× the sf0.1 corpus the 5-gram aggregate hash table
-    * spilled ~1 GB (SCALE.md r13). The DuckDB oracle keeps the
-    * declarative explode+window form, so the kernel's count/tiebreak
-    * semantics stay independently cross-checked.
+    * words, so the whole battery is a per-row kernel — the native
+    * codegen'd [[graft.expressions.RepCoverage]] expression — over the
+    * words array: a pure projection, zero shuffles, embarrassingly
+    * parallel at any corpus size, and UDF-free (VERDICT r14 #3: the
+    * Scala-UDF form was the engine's one hot per-row kernel left
+    * outside whole-stage codegen, paying ser/de of every doc's words
+    * array; [[repCoverageOf]] stays as the expression's spec-level
+    * cross-check). The r13 declarative form before THAT exploded all
+    * 2/3/5-grams corpus-wide and paid three (doc, gram)-keyed shuffles
+    * for what is per-doc state; at 30× the sf0.1 corpus the 5-gram
+    * aggregate hash table spilled ~1 GB (SCALE.md r13). The DuckDB
+    * oracle keeps the declarative explode+window form, so the kernel's
+    * count/tiebreak semantics stay independently cross-checked.
     */
   def repetitionBattery(docs: DataFrame): DataFrame = {
-    val cover = udf(repCoverageOf _)
     docs.select(col("doc_id"),
         length(col("text")).cast("long").as("n_chars"),
-        cover(TextOps.wordsOf(col("text"))).as("cov"))
+        graft.functions.rep_coverage(TextOps.wordsOf(col("text"))).as("cov"))
       .select(col("doc_id"), col("n_chars"),
         col("cov.top2_chars").as("top2_chars"),
         col("cov.top3_chars").as("top3_chars"),
