@@ -71,6 +71,8 @@ object SparkEntry {
     Seq(
       "shared:dedup_shingles" -> ((s: SparkSession, d: String) =>
         Dedup.corpusShingles(s, d)),
+      "shared:dedup_pos_shingles" -> ((s: SparkSession, d: String) =>
+        Dedup.corpusPosShingles(s, d)),
       "shared:dedup_minhash" -> ((s: SparkSession, d: String) =>
         Dedup.corpusMinhash(s, d)),
       "shared:dedup_candidates" -> ((s: SparkSession, d: String) =>

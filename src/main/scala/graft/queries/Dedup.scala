@@ -277,6 +277,18 @@ object Dedup {
     * duplicate arriving beyond the horizon of its partner emits
     * nothing.
     *
+    * Parity convention (ADVICE r14 #4): this twin ranks recency by
+    * (ts_ms, doc) — EVENT-time order. The streaming processor's member
+    * list is ARRIVAL-ordered, so with a nonzero `watermarkDelay`,
+    * cross-micro-batch out-of-order arrivals can make the stream evict
+    * in arrival order where the twin ranks by event time, and the two
+    * diverge on which capped member a late doc collides with. Parity
+    * therefore holds under the convention stated on
+    * [[graft.streaming.BoundedNeardupGate]]: arrival order == event-
+    * time order (the zero-delay ingest contract both the spec and the
+    * pinned bench arms run under); late-data deployments accept the
+    * LRU-by-arrival semantics on the stream side.
+    *
     * Scale shape: one self-join on band-collision buckets (the shuffle
     * LSH always pays) + a recency window over the JOIN OUTPUT keyed
     * (bucket, prober) — candidate-pair-sized, never corpus-sized.
@@ -357,6 +369,35 @@ object Dedup {
   def corpusShingles(s: SparkSession, dir: String): DataFrame =
     Chunker.sharedTable(s, s"dedup:shingles:$dir")(
       shingleTable(documents(s, dir), "doc_id", "text"))
+
+  /** POSITIONAL word-3-gram shingles per doc: (doc, pos, shingle),
+    * every occurrence with its word offset (no array_distinct — the
+    * substring-dedup family needs positions and duplicate occurrences;
+    * [[shingleTable]] is the distinct-set form the Jaccard family
+    * needs). Docs with fewer than 3 words have no 3-shingle and are
+    * excluded.
+    */
+  def posShingleTable(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val ws = TextOps.wordsOf(col(textCol))
+    docs
+      .select(col(idCol).as("doc"), ws.as("ws"))
+      .filter(size(col("ws")) >= 3)
+      .select(col("doc"), posexplode(transform(
+        sequence(lit(0), size(col("ws")) - 3), i =>
+          concat_ws(" ", element_at(col("ws"), i + 1),
+            element_at(col("ws"), i + 2),
+            element_at(col("ws"), i + 3)))).as(Seq("pos", "shingle")))
+  }
+
+  /** Memoized [[posShingleTable]] of the full documents table at `dir`
+    * (VERDICT r14 #7): q163, q203, and q206 each rebuilt+persisted an
+    * IDENTICAL positional-shingle lineage per evaluation — three corpus
+    * tokenize+explode passes for one table. One shared build, three
+    * riders.
+    */
+  def corpusPosShingles(s: SparkSession, dir: String): DataFrame =
+    Chunker.sharedTable(s, s"dedup:posshingles:$dir")(
+      posShingleTable(documents(s, dir), "doc_id", "text"))
 
   /** [[minhashTable]]'s signature computed PER DOCUMENT ROW: the doc's
     * distinct-shingle array feeds ONE [[graft.functions.minhash_sigs]]
@@ -492,6 +533,17 @@ object Dedup {
     val sh = shingleTable(docs, idCol, textCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     Chunker.registerForCleanup(sh)
+    containmentPairsFromShingles(sh, maxDf, threshold)
+  }
+
+  /** As [[containmentPairs]], over a prepared (persisted) shingle
+    * table — the shared-build form the q179 catalog entry uses
+    * (VERDICT r14 #7: the by-docs form rebuilt+persisted a duplicate
+    * of `shared:dedup_shingles` per evaluation).
+    */
+  def containmentPairsFromShingles(sh: DataFrame,
+                                   maxDf: Long = RareShingleMaxDf,
+                                   threshold: Double = ContainmentThreshold): DataFrame = {
     // Per-shingle df partitions the shingle space three ways: df = 1
     // can never be shared, df in [2, maxDf] is the candidate-blocking
     // mid-band, df > maxDf is "common" (boilerplate). The annotate
@@ -1125,7 +1177,7 @@ object Dedup {
       ngramJaccardFromParts(corpusShingles(s, d),
         corpusCandidates(s, d).select(col("doc_a"), col("doc_b")))),
     "q179_containment_dedup" -> ((s, d) =>
-      containmentPairs(documents(s, d), "doc_id", "text")),
+      containmentPairsFromShingles(corpusShingles(s, d))),
     // Character-level verify stage: exact edit distance, again on the
     // CANDIDATE pairs only (levenshtein is O(len^2) per pair — the
     // bucketed candidate set is what makes it affordable at scale).
@@ -1239,23 +1291,14 @@ object Dedup {
     // q201 doc-keyed left-join aggregate. A suffix array — the paper's
     // single-node tool — cannot shard this way; the shingle key can.
     "q203_exactsubstr_trim" -> ((s, d) => {
-      val base = documents(s, d)
-        .select(col("doc_id").as("doc"), TextOps.wordsOf(col("text")).as("ws"))
-        .filter(size(col("ws")) > 0)
-        // the word explode AND the shingle explode both read base —
-        // persist the compact (doc, ws) form, not the wider explodes
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      Chunker.registerForCleanup(base)
-      val words = base.select(col("doc"),
-        posexplode(col("ws")).as(Seq("pos", "word")))
-      val posh = base.filter(size(col("ws")) >= 3)
-        .select(col("doc"), posexplode(transform(
-          sequence(lit(0), size(col("ws")) - 3), i =>
-            concat_ws(" ", element_at(col("ws"), i + 1),
-              element_at(col("ws"), i + 2),
-              element_at(col("ws"), i + 3)))).as(Seq("pos", "shingle")))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      Chunker.registerForCleanup(posh)
+      // the shingle side rides the shared positional table (VERDICT
+      // r14 #7); the word side is one fresh scan+posexplode projection
+      // (posexplode of an empty words array emits nothing, so 0-word
+      // docs drop out exactly as the old filter did)
+      val words = documents(s, d)
+        .select(col("doc_id").as("doc"),
+          posexplode(TextOps.wordsOf(col("text"))).as(Seq("pos", "word")))
+      val posh = corpusPosShingles(s, d)
       val occ = posh.groupBy(col("shingle"))
         .agg(count(lit(1)).as("n_occ"),
           min(struct(col("doc"), col("pos"))).as("c"))
@@ -1440,16 +1483,7 @@ object Dedup {
     // rides the semi-join's exchange only when doc happens to collide
     // — otherwise one doc-keyed exchange.
     "q163_dup_spans" -> ((s, d) => {
-      val posh = documents(s, d)
-        .select(col("doc_id").as("doc"), TextOps.wordsOf(col("text")).as("ws"))
-        .filter(size(col("ws")) >= 3)
-        .select(col("doc"), posexplode(transform(
-          sequence(lit(0), size(col("ws")) - 3), i =>
-            concat_ws(" ", element_at(col("ws"), i + 1),
-              element_at(col("ws"), i + 2),
-              element_at(col("ws"), i + 3)))).as(Seq("pos", "shingle")))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      Chunker.registerForCleanup(posh)
+      val posh = corpusPosShingles(s, d)
       val dup = posh.groupBy(col("shingle"))
         .agg(countDistinct(col("doc")).as("nd"))
         .filter(col("nd") >= 2)
@@ -1480,16 +1514,7 @@ object Dedup {
     // semi-join, then two doc-keyed counts folded in one left join —
     // no windows, no all-pairs.
     "q206_dup_profile" -> ((s, d) => {
-      val posh = documents(s, d)
-        .select(col("doc_id").as("doc"), TextOps.wordsOf(col("text")).as("ws"))
-        .filter(size(col("ws")) >= 3)
-        .select(col("doc"), posexplode(transform(
-          sequence(lit(0), size(col("ws")) - 3), i =>
-            concat_ws(" ", element_at(col("ws"), i + 1),
-              element_at(col("ws"), i + 2),
-              element_at(col("ws"), i + 3)))).as(Seq("pos", "shingle")))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      Chunker.registerForCleanup(posh)
+      val posh = corpusPosShingles(s, d)
       val dup = posh.groupBy(col("shingle"))
         .agg(countDistinct(col("doc")).as("nd"))
         .filter(col("nd") >= 2)

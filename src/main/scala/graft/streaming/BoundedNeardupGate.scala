@@ -129,8 +129,10 @@ object BoundedNeardupGate {
     * on the session BEFORE the plan is built — state partitioning is
     * frozen into the checkpoint at first start. Size it with
     * [[StatefulNeardupGate.autoStatePartitions]] (same per-store
-    * machinery floor, same rule); callers restore the conf afterwards
-    * if they interleave other work.
+    * machinery floor, same rule); the conf stays mutated, so run the
+    * whole start-to-finish arm inside
+    * [[StatefulNeardupGate.withStatePartitions]] so the restore cannot
+    * be forgotten (ADVICE r14 #3).
     */
   def gateStream(docs: DataFrame, horizonMs: Long,
                  watermarkDelay: String = "0 seconds",

@@ -89,14 +89,34 @@ object StatefulNeardupGate {
       math.ceil(bandRows.toDouble / RowsPerStatePartition).toInt))
   }
 
+  /** Runs `body` with `spark.sql.shuffle.partitions` pinned to `n`,
+    * restoring the prior value in a finally (ADVICE r14 #3: gateStream
+    * pins the conf as a side effect — state partitioning is frozen
+    * from it at the query's first start, so it cannot be a plan-level
+    * hint — and a caller that forgot to restore silently ran all later
+    * batch work at the reduced partition count). The body must cover
+    * the streaming query's START AND COMPLETION, not just plan
+    * construction: the conf is read when the first micro-batch is
+    * planned, so restoring before the query starts would un-pin it.
+    * No-op wrapper when `n` is None.
+    */
+  def withStatePartitions[T](spark: org.apache.spark.sql.SparkSession,
+      n: Option[Int])(body: => T): T = {
+    val saved = spark.conf.get("spark.sql.shuffle.partitions")
+    try { n.foreach(v => spark.conf.set("spark.sql.shuffle.partitions", v.toString)); body }
+    finally spark.conf.set("spark.sql.shuffle.partitions", saved)
+  }
+
   /** The streaming plan over a documents-shaped stream (doc_id, text).
     *
     * `statePartitions`: when set, pins `spark.sql.shuffle.partitions`
     * on the session BEFORE the plan is built (state partitioning is
     * frozen into the checkpoint at first start, so it cannot be a
     * plan-level hint) — size it with [[autoStatePartitions]]. The
-    * session conf stays mutated; callers that interleave other work
-    * restore it afterwards (StreamBench wraps arms in try/finally).
+    * session conf stays mutated (the pin must survive until the
+    * query's first batch is planned); run the whole start-to-finish
+    * arm inside [[withStatePartitions]] so the restore cannot be
+    * forgotten (ADVICE r14 #3).
     */
   def gateStream(docs: DataFrame,
                  statePartitions: Option[Int] = None): Dataset[Collision] = {

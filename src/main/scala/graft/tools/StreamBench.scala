@@ -202,25 +202,40 @@ object StreamBench {
     // pinned-run recipe.
     val only = sys.env.get("SPARK_GRAFT_STREAM_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
-    val arms: Seq[(String, () => DataFrame)] = Seq(
+    // Production state-partition size for the gate arms (VERDICT r14
+    // #5): the canonical gate arms run at the AUTO-computed size — the
+    // sizing rule a deployment gets by default — after the r13 A/B
+    // (BENCH_streaming_ab.json) showed it matching/beating the
+    // hand-picked p8 floor. The default-32 and p8 arms below stay as
+    // the comparison experiments.
+    val autoN = graft.streaming.StatefulNeardupGate.autoStatePartitions(
+      docsPerBatch = math.max(1L, docsTotal / nBatches),
+      cores = Runtime.getRuntime.availableProcessors())
+    System.err.println(s"STREAMBENCH gate arms: autoStatePartitions=$autoN " +
+      s"for ~${docsTotal / nBatches} docs/batch")
+    // (name, plan thunk, state-partition pin) — pinned arms run inside
+    // StatefulNeardupGate.withStatePartitions so the session conf is
+    // always restored (ADVICE r14 #3).
+    val arms: Seq[(String, () => DataFrame, Option[Int])] = Seq(
       ("tumbling_agg",
-        () => graft.streaming.StreamingJobs.tumblingCounts(src())),
+        () => graft.streaming.StreamingJobs.tumblingCounts(src()), None),
       ("dedup_within_watermark",
-        () => graft.streaming.StreamingJobs.dedupStream(src(), "event_id")),
+        () => graft.streaming.StreamingJobs.dedupStream(src(), "event_id"), None),
       ("transform_with_state_running",
-        () => graft.streaming.StatefulRunning.runningStats(src()).toDF()),
+        () => graft.streaming.StatefulRunning.runningStats(src()).toDF(), None),
       ("debounce_fmgws", () => graft.streaming.StatefulDebounce.debounce(
         src().select(col("user_id"), col("event_type"), col("event_id"),
           unix_micros(col("ts")).as("ts_us"))
-          .as[graft.streaming.KeyedEvent]).toDF()),
+          .as[graft.streaming.KeyedEvent]).toDF(), None),
       ("interval_join_outer_q196",
-        () => graft.streaming.StreamingJobs.attributionJoinOuter(src(), src())),
+        () => graft.streaming.StreamingJobs.attributionJoinOuter(src(), src()), None),
       // q208 near-dup ingestion gate: the band index accretes across
       // batches in ListState — state_rows tracks cap-bounded bucket
       // membership (corpus-shaped, not row-shaped), rows_in counts the
       // document stream.
       ("neardup_gate_tws",
-        () => graft.streaming.StatefulNeardupGate.gateStream(docsSrc()).toDF()),
+        () => graft.streaming.StatefulNeardupGate.gateStream(docsSrc(),
+          statePartitions = Some(autoN)).toDF(), Some(autoN)),
       // BOUNDED gate (VERDICT r12 #3): same document stream with event
       // time ts = doc_id ms, retention horizon = TWO batches' worth of
       // arrivals. The unbounded arm's state_rows grow monotonically
@@ -233,8 +248,9 @@ object StreamBench {
         val idsPerBatch = math.max(1L, docsTotal / nBatches)
         graft.streaming.BoundedNeardupGate.gateStream(
           docsSrc().withColumn("ts", timestamp_millis(col("doc_id"))),
-          horizonMs = 2L * idsPerBatch).toDF()
-      }),
+          horizonMs = 2L * idsPerBatch,
+          statePartitions = Some(autoN)).toDF()
+      }, Some(autoN)),
       // keys-scaling arms on the transformWithState running stats (the
       // per-key-state flagship): state_rows_last must track the KEY
       // count (~10x base for keys_x10, ~collapsed for keys_skewed)
@@ -243,24 +259,28 @@ object StreamBench {
       // micro-batch (per-key state work is O(batch rows of that key),
       // not O(accumulated state)).
       ("running_keys_x10",
-        () => graft.streaming.StatefulRunning.runningStats(srcFrom(keys10Dir)).toDF()),
+        () => graft.streaming.StatefulRunning.runningStats(srcFrom(keys10Dir)).toDF(), None),
       ("running_keys_skewed",
-        () => graft.streaming.StatefulRunning.runningStats(srcFrom(skewDir)).toDF()),
+        () => graft.streaming.StatefulRunning.runningStats(srcFrom(skewDir)).toDF(), None),
       ("debounce_keys_x10", () => graft.streaming.StatefulDebounce.debounce(
         srcFrom(keys10Dir).select(col("user_id"), col("event_type"),
           col("event_id"), unix_micros(col("ts")).as("ts_us"))
-          .as[graft.streaming.KeyedEvent]).toDF()),
+          .as[graft.streaming.KeyedEvent]).toDF(), None),
       ("debounce_keys_skewed", () => graft.streaming.StatefulDebounce.debounce(
         srcFrom(skewDir).select(col("user_id"), col("event_type"),
           col("event_id"), unix_micros(col("ts")).as("ts_us"))
-          .as[graft.streaming.KeyedEvent]).toDF()))
-      .filter { case (n, _) => only.forall(_.exists(n.startsWith)) }
+          .as[graft.streaming.KeyedEvent]).toDF(), None))
+      .filter { case (n, _, _) => only.forall(_.exists(n.startsWith)) }
 
     // warmup: run the cheapest workload once so JVM/codegen/RocksDB
     // startup cost lands outside the recorded numbers
     measure("warmup_tumbling", graft.streaming.StreamingJobs.tumblingCounts(src()))
 
-    val runs0 = arms.map { case (name, plan) => measure(name, plan()) }
+    val runs0 = arms.map { case (name, plan, sp) =>
+      graft.streaming.StatefulNeardupGate.withStatePartitions(spark, sp) {
+        measure(name, plan())
+      }
+    }
 
     // q208 floor experiment (VERDICT r12 #5): the per-batch
     // decomposition pins ~95% of the gate's trigger wall inside
@@ -273,37 +293,32 @@ object StreamBench {
     // floor is micro-batch machinery the rate rises materially; if it
     // is minhash/probe CPU it stays put. (Fresh query name + sink =
     // fresh checkpoint, so the re-partitioned state layout is legal.)
-    // Both experiment arms below shrink the session's shuffle-partition
-    // conf (streaming state partitioning is frozen from it at first
-    // start); try/finally so a throwing arm cannot leave the session
-    // at the experimental size for everything after it (ADVICE r13).
-    def withRestoredPartitions(body: => Seq[Run]): Seq[Run] = {
-      val saved = spark.conf.get("spark.sql.shuffle.partitions")
-      try body finally spark.conf.set("spark.sql.shuffle.partitions", saved)
-    }
+    // Each experiment arm pins the session's shuffle-partition conf
+    // inside withStatePartitions (streaming state partitioning is
+    // frozen from it at first start), so a throwing arm cannot leave
+    // the session at the experimental size for everything after it
+    // (ADVICE r13, r14 #3).
     val runsP8 = if (only.forall(_.exists(p =>
-      "neardup_gate_p8".startsWith(p)))) withRestoredPartitions {
-      spark.conf.set("spark.sql.shuffle.partitions", "8")
-      Seq(measure("neardup_gate_p8",
-        graft.streaming.StatefulNeardupGate.gateStream(docsSrc()).toDF()))
-    } else Nil
-    // AUTO-SIZED arm (VERDICT r13 #5): the production sizing rule —
-    // state partitions computed from the expected per-batch volume by
-    // StatefulNeardupGate.autoStatePartitions — measured against the
-    // default-32 arm and the hand-picked p8 floor experiment. Done
-    // criterion: matches or beats p8 with no hand-picked constant.
-    val runsAuto = if (only.forall(_.exists(p =>
-      "neardup_gate_auto".startsWith(p)))) withRestoredPartitions {
-      val autoN = graft.streaming.StatefulNeardupGate.autoStatePartitions(
-        docsPerBatch = math.max(1L, docsTotal / nBatches),
-        cores = Runtime.getRuntime.availableProcessors())
-      System.err.println(s"STREAMBENCH neardup_gate_auto: " +
-        s"autoStatePartitions=${autoN} for ~${docsTotal / nBatches} docs/batch")
-      Seq(measure("neardup_gate_auto",
-        graft.streaming.StatefulNeardupGate.gateStream(docsSrc(),
-          statePartitions = Some(autoN)).toDF()))
-    } else Nil
-    val runs = runs0 ++ runsP8 ++ runsAuto
+      "neardup_gate_p8".startsWith(p))))
+      graft.streaming.StatefulNeardupGate.withStatePartitions(spark, Some(8)) {
+        Seq(measure("neardup_gate_p8",
+          graft.streaming.StatefulNeardupGate.gateStream(docsSrc()).toDF()))
+      }
+    else Nil
+    // DEFAULT-32 comparison arm (VERDICT r14 #5 flipped the canonical
+    // gate arms to the auto size, so the old default becomes the
+    // experiment): the 32-partition layout the session ships with —
+    // oversized for fixture batches, each store paying per-batch
+    // machinery on too few rows. Kept so the artifact still pins the
+    // auto-vs-default delta every re-run.
+    val runsD32 = if (only.forall(_.exists(p =>
+      "neardup_gate_d32".startsWith(p))))
+      graft.streaming.StatefulNeardupGate.withStatePartitions(spark, Some(32)) {
+        Seq(measure("neardup_gate_d32",
+          graft.streaming.StatefulNeardupGate.gateStream(docsSrc()).toDF()))
+      }
+    else Nil
+    val runs = runs0 ++ runsP8 ++ runsD32
 
     deleteRecursively(srcDir)
     deleteRecursively(keys10Dir)
