@@ -401,6 +401,20 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // The JVM-wide whole-stage-codegen class cache defaults to 100
+      // entries; this catalog generates ~2,000 distinct codegen units
+      // per pass, so at the default EVERY query re-Janino-compiles all
+      // its generated classes on EVERY evaluation (PhaseProbe r15:
+      // per-rep compile counts of 60/67/44 for q119/q166/q80 with the
+      // identical source text, ~0.4-0.7 s per query per pass). Sizing
+      // the cache to the workload turns repeat evaluations into cache
+      // hits — a compiler-artifact cache keyed on generated SOURCE,
+      // never on data or results (every pass still recomputes from
+      // parquet; Bench's clearAll() wipes all data caches). Not a
+      // local[32] tune: any driver serving a many-query workload needs
+      // the same (the compiled-class footprint is a few hundred MB at
+      // worst, driver-side only).
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
