@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.expressions.{AudioPhash, AudioResample, AudioStats, HashFraction, LumaResize, MediaPhash, MinhashSigs, NfcNormalize, RepCoverage, TokenCount, TokenCountCl100k, VecDot, WinnowFps}
+import graft.expressions.{AudioPhash, AudioResample, AudioStats, HashFraction, LumaResize, MediaPhash, MinhashSigs, NfcNormalize, RepCoverage, TokenCount, TokenCountCl100k, VecDistSq, VecDot, WinnowFps}
 
 /** Session extensions: registers graft's native expressions as SQL
   * functions, so `spark.sql("SELECT token_count(text) ...")` works for
@@ -48,6 +48,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.size == 2, "vec_dot takes exactly 2 arguments")
         VecDot(children(0), children(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("vec_dist_sq"),
+      info("vec_dist_sq", "vec_dist_sq(v, c) - squared L2 distance of array<float> vs array<double> as double (see graft.expressions.VecDistSq)"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "vec_dist_sq takes exactly 2 arguments")
+        VecDistSq(children(0), children(1))
       }))
     ext.injectFunction((
       FunctionIdentifier("nfc_normalize"),

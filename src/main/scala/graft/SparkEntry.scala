@@ -86,6 +86,8 @@ object SparkEntry {
       "shared:cluster_pq_codebooks" -> ((s: SparkSession, d: String) =>
         (0 until Clustering.PqM).map(j =>
           Clustering.sharedSubCentroids(s, d, j, 64 / Clustering.PqM,
-            Clustering.PqK, Clustering.PqIters)).reduce(_ union _)))
+            Clustering.PqK, Clustering.PqIters)).reduce(_ union _)),
+      "shared:trade_edges" -> ((s: SparkSession, d: String) =>
+        graft.queries.Graph.sharedTradeWeights(s, d)))
   }
 }

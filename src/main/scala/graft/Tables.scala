@@ -30,6 +30,56 @@ object Tables {
     chaos match { case Some(f) => f(df); case None => df }
   }
 
+  /** Scan-parallelism floor for PER-ROW-KERNEL operators (optimization
+    * guide §2.5 "input skew" / §6 "input split size"): the testdata
+    * ships each table as ONE parquet file with ONE row group, so a scan
+    * — and every map-side stage Spark pipelines into it (tokenize,
+    * shingle, minhash, distance kernels) — is a single task on a
+    * single core no matter how many the session has. Splits cannot
+    * help (a row group is the atomic read unit), so the only remedy is
+    * an explicit exchange: hash-repartition on the table's primary key
+    * to `defaultParallelism` partitions.
+    *
+    * Scale-adaptive by construction, not a local[32] constant: the
+    * guard `scan partitions < defaultParallelism` makes this a no-op
+    * the moment the input is already at least core-parallel (any real
+    * multi-file/multi-row-group layout — the 10x/30x/100x scale-probe
+    * dirs and any production table), so the extra exchange exists
+    * precisely when the input layout under-parallelizes the box and
+    * never at scale. Keying by the primary key (not round-robin) keeps
+    * the shuffle deterministic under task retry (no
+    * sortBeforeRepartition pass), spreads evenly (the keys are unique
+    * or near-unique), and lets Catalyst reuse the exchange for
+    * downstream operations keyed the same way. Filters/projections
+    * still reach the scan: PushDownPredicates pushes through
+    * RepartitionByExpression, so PushedFilters/ReadSchema are
+    * unchanged (PlanAudit r15 confirms).
+    *
+    * Placement is MEASURED per operator, not blanket (three full-bench
+    * A/Bs, r15): a TABLE-level spread won wherever the downstream is
+    * per-row CPU (shingle/minhash/winnow/entropy/cosine kernels,
+    * −0.3 to −0.8 s each at sf0.1) but LOST wherever the first
+    * operator is an aggregation or a tiny-table band join — map-side
+    * partial combine already shrinks the single-partition scan to
+    * partial-state rows, and the pre-aggregation exchange of raw rows
+    * violates guide §2.3 "aggregate before you shuffle" (spreading
+    * lineitem/orders/events cost +14 s across the relational/events
+    * families; documents-spread cost the native-kernel multimodal
+    * family +2.1 s standalone). So the spread is applied INSIDE the
+    * operators whose map side is provably kernel-heavy — the
+    * shingle/minhash/simhash builders, the repetition/entropy/PII text
+    * kernels, the exact brute-force similarity arms — and nowhere
+    * else. Callers pass the table's primary key.
+    *
+    * SPARK_GRAFT_SPREAD=0 disables (dev A/B hook; never set by the
+    * driver).
+    */
+  private[graft] def spread(df: DataFrame, key: String): DataFrame = {
+    if (sys.env.get("SPARK_GRAFT_SPREAD").contains("0")) return df
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < p) df.repartition(p, col(key)) else df
+  }
+
   def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = table(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame  = table(s, d, "customer")

@@ -24,6 +24,14 @@ object functions {
     ExprBridge.column(expressions.VecDot(
       ExprBridge.expression(a), ExprBridge.expression(b)))
 
+  /** Codegen'd squared L2 distance between a float vector and a double
+    * centroid (see [[expressions.VecDistSq]]); bit-equal to the
+    * aggregate/zip_with fold it replaces.
+    */
+  def vec_dist_sq(v: Column, c: Column): Column =
+    ExprBridge.column(expressions.VecDistSq(
+      ExprBridge.expression(v), ExprBridge.expression(c)))
+
   /** Unicode NFC canonical normalization (see
     * [[expressions.NfcNormalize]]); value-equal to DuckDB's
     * nfc_normalize.

@@ -50,9 +50,7 @@ object Clustering {
     * IEEE result as the DuckDB mirror.
     */
   def distSq(v: Column, c: Column): Column =
-    aggregate(
-      zip_with(v, c, (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
-      lit(0.0), (acc, e) => acc + e)
+    graft.functions.vec_dist_sq(v, c)
 
   /** K seed centroids: smallest hashFraction(vec_id) first. Components
     * cast to double exactly (no rounding — float→double is lossless).

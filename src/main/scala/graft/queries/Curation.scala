@@ -84,7 +84,7 @@ object Curation {
     */
   private def decontamGrams(docs: DataFrame): DataFrame = {
     val n = DecontamN
-    docs
+    graft.Tables.spread(docs, "doc_id") // kernel-heavy map side: spread the scan
       .select(col("doc_id"), TextOps.wordsOf(col("text")).as("ws"))
       .filter(size(col("ws")) >= n)
       .select(col("doc_id"), explode(array_distinct(transform(

@@ -116,7 +116,9 @@ object Dedup {
     */
   def shingleTable(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val ws = TextOps.wordsOf(col(textCol))
-    docs
+    // tokenize+shingle is the kernel-heavy map side — spread the scan
+    // (graft.Tables.spread: no-op on already-parallel inputs)
+    graft.Tables.spread(docs, idCol)
       .select(col(idCol).as("doc"), ws.as("ws"))
       .filter(size(col("ws")) >= 3)
       .select(col("doc"), explode(array_distinct(
@@ -379,7 +381,7 @@ object Dedup {
     */
   def posShingleTable(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val ws = TextOps.wordsOf(col(textCol))
-    docs
+    graft.Tables.spread(docs, idCol) // kernel-heavy map side: spread the scan
       .select(col(idCol).as("doc"), ws.as("ws"))
       .filter(size(col("ws")) >= 3)
       .select(col("doc"), posexplode(transform(
@@ -421,7 +423,7 @@ object Dedup {
     */
   def minhashTablePerRow(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val ws = TextOps.wordsOf(col(textCol))
-    docs
+    graft.Tables.spread(docs, idCol) // kernel-heavy map side: spread the scan
       .select(col(idCol).as("doc"), ws.as("ws"))
       .filter(size(col("ws")) >= 3)
       .select(col("doc"), array_distinct(
@@ -654,7 +656,7 @@ object Dedup {
     */
   def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val hexHigh = Seq("8", "9", "a", "b", "c", "d", "e", "f")
-    val counts = docs
+    val counts = graft.Tables.spread(docs, idCol) // kernel-heavy map side
       .select(col(idCol).as("doc"), explode(TextOps.wordsOf(col(textCol))).as("word"))
       .groupBy(col("doc"), col("word")).agg(count(lit(1)).as("cnt"))
       .withColumn("wh", sha2(col("word"), 256))
@@ -1295,7 +1297,7 @@ object Dedup {
       // r14 #7); the word side is one fresh scan+posexplode projection
       // (posexplode of an empty words array emits nothing, so 0-word
       // docs drop out exactly as the old filter did)
-      val words = documents(s, d)
+      val words = graft.Tables.spread(documents(s, d), "doc_id")
         .select(col("doc_id").as("doc"),
           posexplode(TextOps.wordsOf(col("text"))).as(Seq("pos", "word")))
       val posh = corpusPosShingles(s, d)

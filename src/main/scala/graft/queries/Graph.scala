@@ -83,17 +83,36 @@ object Graph {
   /** Edges (src, dst, w, out_w): supplier nation ships to customer
     * nation, weight = lineitem count over the joined facts.
     */
+  /** The (src, dst, w) trade-weight aggregate every graph operator's
+    * edge table derives from — supplier nation ships to customer
+    * nation, weight = lineitem count over the joined facts — memoized
+    * per (session, dir) as `shared:trade_edges` (r15: q119/q127/q138/
+    * q141/q143/q146/q166 each re-ran the identical
+    * lineitem⋈orders⋈customer⋈supplier lineage per evaluation — seven
+    * corpus-fact join passes for one 625-row-max table; same
+    * train-once-serve-many attribution as the dedup/IVF shared
+    * builds, and the production shape: an edge list is materialized
+    * once, then every graph algorithm reads it). src/dst are cast to
+    * long here so every derivation agrees on the node id type.
+    */
+  def sharedTradeWeights(s: SparkSession, d: String): DataFrame =
+    graft.pipeline.Chunker.sharedTable(s, s"graph:tradew:$d") {
+      val co = orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+        .join(customer(s, d).select(col("c_custkey"), col("c_nationkey")),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey"), col("c_nationkey").as("dst"))
+      val ls = lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
+        .join(broadcast(supplier(s, d).select(col("s_suppkey"), col("s_nationkey"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("l_orderkey"), col("s_nationkey").as("src"))
+      ls.join(co, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("src").cast("long").as("src"),
+          col("dst").cast("long").as("dst"))
+        .agg(count(lit(1)).as("w"))
+    }
+
   def tradeEdges(s: SparkSession, d: String): DataFrame = {
-    val co = orders(s, d).select(col("o_orderkey"), col("o_custkey"))
-      .join(customer(s, d).select(col("c_custkey"), col("c_nationkey")),
-        col("o_custkey") === col("c_custkey"))
-      .select(col("o_orderkey"), col("c_nationkey").as("dst"))
-    val ls = lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
-      .join(broadcast(supplier(s, d).select(col("s_suppkey"), col("s_nationkey"))),
-        col("l_suppkey") === col("s_suppkey"))
-      .select(col("l_orderkey"), col("s_nationkey").as("src"))
-    val edges = ls.join(co, col("l_orderkey") === col("o_orderkey"))
-      .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
+    val edges = sharedTradeWeights(s, d)
     val outw = edges.groupBy(col("src")).agg(sum(col("w")).as("out_w"))
     // Transition probability quantized ONCE per edge to exact 1e-6
     // units: the per-iteration product pr·85·t is then bounded by
@@ -148,7 +167,12 @@ object Graph {
     * join count each triangle EXACTLY once.
     */
   def undirectedTradeEdges(s: SparkSession, d: String): DataFrame =
-    tradeEdges(s, d)
+    // straight off the shared (src, dst, w) table: the transition
+    // lineage tradeEdges adds (out_w aggregate + broadcast join) is an
+    // inner join that keeps every edge row, so the pair set is
+    // identical and deriving from the weights directly drops two
+    // operators from every undirected consumer (q127/q138/q141/q143)
+    sharedTradeWeights(s, d)
       .filter(col("src") =!= col("dst"))
       .select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
@@ -330,21 +354,10 @@ object Graph {
     * at any scale factor, which Bellman-Ford relaxation requires for a
     * fixed sweep count to be meaningful.
     */
-  def costedTradeEdges(s: SparkSession, d: String): DataFrame = {
-    val co = orders(s, d).select(col("o_orderkey"), col("o_custkey"))
-      .join(customer(s, d).select(col("c_custkey"), col("c_nationkey")),
-        col("o_custkey") === col("c_custkey"))
-      .select(col("o_orderkey"), col("c_nationkey").as("dst"))
-    val ls = lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
-      .join(broadcast(supplier(s, d).select(col("s_suppkey"), col("s_nationkey"))),
-        col("l_suppkey") === col("s_suppkey"))
-      .select(col("l_orderkey"), col("s_nationkey").as("src"))
-    ls.join(co, col("l_orderkey") === col("o_orderkey"))
-      .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
-      .select(col("src").cast("long").as("src"),
-        col("dst").cast("long").as("dst"),
+  def costedTradeEdges(s: SparkSession, d: String): DataFrame =
+    sharedTradeWeights(s, d)
+      .select(col("src"), col("dst"),
         expr("greatest(CAST(1 AS BIGINT), 1000000 div w)").as("cost"))
-  }
 
   /** Single-source shortest paths — Bellman-Ford relaxation sweeps,
     * the iterative-graph operator behind reachability-with-cost
@@ -414,20 +427,8 @@ object Graph {
   /** Directed trade edges with their RAW weight (shipment count) —
     * the [[costedTradeEdges]] build without the cost inversion.
     */
-  def weightedTradeEdges(s: SparkSession, d: String): DataFrame = {
-    val co = orders(s, d).select(col("o_orderkey"), col("o_custkey"))
-      .join(customer(s, d).select(col("c_custkey"), col("c_nationkey")),
-        col("o_custkey") === col("c_custkey"))
-      .select(col("o_orderkey"), col("c_nationkey").as("dst"))
-    val ls = lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
-      .join(broadcast(supplier(s, d).select(col("s_suppkey"), col("s_nationkey"))),
-        col("l_suppkey") === col("s_suppkey"))
-      .select(col("l_orderkey"), col("s_nationkey").as("src"))
-    ls.join(co, col("l_orderkey") === col("o_orderkey"))
-      .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
-      .select(col("src").cast("long").as("src"),
-        col("dst").cast("long").as("dst"), col("w"))
-  }
+  def weightedTradeEdges(s: SparkSession, d: String): DataFrame =
+    sharedTradeWeights(s, d)
 
   /** Synchronous weighted label propagation (Raghavan et al. 2007) —
     * community detection, the MODE-label complement to

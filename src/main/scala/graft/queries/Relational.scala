@@ -626,9 +626,16 @@ object Relational {
     // forces the sketches through the expanded row stream off the
     // codegen path (measured 60s at sf0.1 vs ~1s split).
     "q11_approx_distinct" -> ((s, d) => {
-      val exact = lineitem(s, d).agg(
-        countDistinct(col("l_partkey")).as("exact_parts"),
-        countDistinct(col("l_orderkey")).as("exact_orders"))
+      // Two distinct aggregates over DIFFERENT columns in one agg
+      // force an Expand (x2 row multiplication before the partial
+      // aggregate, off the map-side-combine fast path — guide §2.3).
+      // One single-column distinct per scan keeps each pass
+      // partial-distinct -> exchange of distinct keys only; the two
+      // 1-row results cross-join for free. Same exact counts.
+      val exact = lineitem(s, d)
+        .agg(countDistinct(col("l_partkey")).as("exact_parts"))
+        .crossJoin(broadcast(lineitem(s, d)
+          .agg(countDistinct(col("l_orderkey")).as("exact_orders"))))
       val approx = lineitem(s, d).agg(
         approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"),
         approx_count_distinct(col("l_orderkey"), 0.01).as("approx_orders"))

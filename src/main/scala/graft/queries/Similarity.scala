@@ -136,7 +136,8 @@ object Similarity {
     * BASELINE; the bucketed plans below are what you run at 100 TB.
     */
   def bruteTopK(emb: DataFrame, k: Int): DataFrame = {
-    val e = emb
+    // the O(N*Q) cosine scan is the kernel-heavy map side — spread it
+    val e = graft.Tables.spread(emb, "vec_id")
       .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
     val q = emb.filter(col("label") === 0)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
@@ -166,7 +167,7 @@ object Similarity {
     * exactly that at 10×.
     */
   def bruteTopKFixedQ(emb: DataFrame, k: Int, nQ: Int): DataFrame = {
-    val e = emb
+    val e = graft.Tables.spread(emb, "vec_id") // O(N*Q) scan side: spread
       .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
     val q = emb.filter(col("label") === 0)
       .select(col("vec_id"), col("embedding"))

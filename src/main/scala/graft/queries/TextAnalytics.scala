@@ -660,7 +660,7 @@ object TextAnalytics {
     "q115_word_entropy" -> ((s, d) => {
       // tf feeds the per-doc rollup AND the probability join — persist,
       // or the corpus is scanned/exploded/aggregated twice.
-      val tf = documents(s, d)
+      val tf = graft.Tables.spread(documents(s, d), "doc_id") // kernel-heavy map side
         .select(col("doc_id"), explode(TextOps.wordsOf(col("text"))).as("word"))
         .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -901,7 +901,8 @@ object TextAnalytics {
     // explode_outer with NULL metrics.
     "q75_repetition_stats" -> ((s, d) => {
       val ws = TextOps.wordsOf(col("text"))
-      val base = documents(s, d).select(col("doc_id"), ws.as("ws"))
+      val base = graft.Tables.spread(documents(s, d), "doc_id") // kernel-heavy map side
+        .select(col("doc_id"), ws.as("ws"))
         .withColumn("n_words", size(col("ws")).cast("long"))
         .withColumn("n_distinct", size(array_distinct(col("ws"))).cast("long"))
       val ex = base.select(col("doc_id"), col("n_words"), col("n_distinct"),
@@ -1097,7 +1098,7 @@ object TextAnalytics {
       val emailPat = "[a-z0-9._]+@[a-z0-9.]+"
       val phonePat = "555-[0-9]{4}"
       val ipPat = "10\\.[0-9]{1,3}\\.0\\.1"
-      val planted = documents(s, d).select(col("doc_id"),
+      val planted = graft.Tables.spread(documents(s, d), "doc_id").select(col("doc_id"),
         concat(col("text"),
           lit(" contact user"), col("doc_id"), lit("@mail.example"),
           lit(" phone 555-"),
