@@ -1441,7 +1441,7 @@ object Dedup {
     // all shuffles are doc-keyed, no cross-document work at all.
     "q128_line_dedup" -> ((s, d) => {
       val L = LineDedupWords
-      val lines = documents(s, d)
+      val lines = graft.Tables.spread(documents(s, d), "doc_id") // kernel-heavy map side
         .select(col("doc_id"), TextOps.wordsOf(col("text")).as("ws"))
         .filter(size(col("ws")) > 0)
         .select(col("doc_id"),
