@@ -73,11 +73,85 @@ object Tables {
     *
     * SPARK_GRAFT_SPREAD=0 disables (dev A/B hook; never set by the
     * driver).
+    *
+    * The no-op guard reads the scan's ACTUAL layout (ADVICE r15 #1):
+    * `df.rdd.getNumPartitions` counts file SPLITS, which are sized by
+    * `spark.sql.files.maxPartitionBytes` — a single-file
+    * single-row-group table LARGER than maxPartitionBytes×parallelism
+    * produces >= defaultParallelism splits of which all but one are
+    * EMPTY (a parquet row group is the atomic read unit), so the split
+    * count no-ops the guard exactly on the pathological layout the
+    * helper exists for; it also forces a physical-planning pass per
+    * call site. Instead: when `df`'s lineage roots in one parquet
+    * relation, the upper bound on non-empty scan tasks is
+    * min(row groups, splits) summed over files — if the relation has
+    * >= defaultParallelism FILES it is parallel regardless of row
+    * groups (no footer reads), otherwise the per-file row-group counts
+    * come from the parquet footers (driver-side KB-sized reads, cached
+    * per (session, fileset) for the life of the session — the files
+    * under an sf dir are immutable within a session, the same contract
+    * Chunker's memos document). Non-scan-rooted inputs (test fixtures,
+    * derived unions) keep the split-count guard.
     */
-  private[graft] def spread(df: DataFrame, key: String): DataFrame = {
+  private[graft] def spread(df: DataFrame, keys: String*): DataFrame = {
     if (sys.env.get("SPARK_GRAFT_SPREAD").contains("0")) return df
     val p = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < p) df.repartition(p, col(key)) else df
+    val nonEmpty = nonEmptyScanPartitions(df)
+      .getOrElse(df.rdd.getNumPartitions)
+    if (nonEmpty < p) df.repartition(p, keys.map(col): _*) else df
+  }
+
+  /** Cached per (session, fileset-root): upper bound on the number of
+    * non-empty partitions a scan of that fileset can produce. See
+    * [[spread]].
+    */
+  private val scanLayoutCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Integer]()
+
+  private def nonEmptyScanPartitions(df: DataFrame): Option[Int] = {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val spark = df.sparkSession
+    df.queryExecution.analyzed.collectLeaves() match {
+      case Seq(lr: LogicalRelation) => lr.relation match {
+        case fs: HadoopFsRelation =>
+          val rootKey = fs.location.rootPaths.map(_.toString).sorted.mkString(",")
+          // bound the memo (it strongly references sessions; spec
+          // suites create many short-lived ones — a clear just costs a
+          // few footer re-reads)
+          if (scanLayoutCache.size > 256) scanLayoutCache.clear()
+          Option(scanLayoutCache.computeIfAbsent((spark, rootKey), _ => {
+            val p = spark.sparkContext.defaultParallelism
+            val files = fs.location.inputFiles
+            if (files.length >= p) Integer.valueOf(files.length)
+            else {
+              val conf = spark.sessionState.newHadoopConf()
+              val maxSplit = spark.sessionState.conf.filesMaxPartitionBytes
+              var total = 0L
+              files.foreach { f =>
+                val path = new org.apache.hadoop.fs.Path(f)
+                val rgs =
+                  try {
+                    val in = org.apache.parquet.hadoop.util.HadoopInputFile
+                      .fromPath(path, conf)
+                    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+                    try r.getRowGroups.size.toLong finally r.close()
+                  } catch { case scala.util.control.NonFatal(_) =>
+                    // unreadable footer (non-parquet relation): assume
+                    // the split count for this file
+                    val len = path.getFileSystem(conf).getFileStatus(path).getLen
+                    math.max(1L, len / math.max(1L, maxSplit))
+                  }
+                // splits can be fewer than row groups for small files,
+                // but never more non-empty than row groups
+                total += rgs
+              }
+              Integer.valueOf(math.min(total, Int.MaxValue.toLong).toInt)
+            }
+          }).intValue)
+        case _ => None
+      }
+      case _ => None
+    }
   }
 
   def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")

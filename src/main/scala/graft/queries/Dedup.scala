@@ -548,10 +548,20 @@ object Dedup {
                                    threshold: Double = ContainmentThreshold): DataFrame = {
     // Per-shingle df partitions the shingle space three ways: df = 1
     // can never be shared, df in [2, maxDf] is the candidate-blocking
-    // mid-band, df > maxDf is "common" (boilerplate). The annotate
-    // join and the df aggregate share the shingle-keyed exchange.
-    val sdf = sh.groupBy(col("shingle")).agg(count(lit(1)).as("sdf"))
-    val shAnnot = sh.join(sdf, Seq("shingle"))
+    // mid-band, df > maxDf is "common" (boilerplate). The annotation
+    // is a WINDOW count over the shingle partition, not an aggregate
+    // joined back (VERDICT r15 #4): the r15 agg+join form shuffled the
+    // shingle table by shingle TWICE (once into the df aggregate, once
+    // into the annotate join's probe side); count(*) over
+    // (partition by shingle) needs ONE shingle-keyed exchange and
+    // leaves the persisted table partitioned AND sorted by shingle, so
+    // the mid-band self-join below rides the cached layout with no
+    // further exchange. Same sdf values (a group's window count IS its
+    // group count); a corpus-hot shingle's window group buffers in the
+    // spillable window sorter — the same rows the old join shuffled to
+    // one partition anyway.
+    val shAnnot = sh.withColumn("sdf",
+        count(lit(1)).over(Window.partitionBy(col("shingle"))))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     Chunker.registerForCleanup(shAnnot)
     val counts = shAnnot.groupBy(col("doc")).agg(
@@ -761,10 +771,40 @@ object Dedup {
     * emit for near-dup dedup (the reference's product is the KEPT
     * subset of the corpus: /root/reference/internal/cli/mapreduce.go:91).
     */
+  /** Target rows per shuffle partition for the label-propagation loop:
+    * ~4M (id, label) unsafe rows ≈ the 64 MB AQE advisory partition
+    * size — the loop's shuffles are sized from the DATA (VERDICT r15
+    * #3), not from the session's core-count default, which left every
+    * round of the tiny sf-corpus loops running 32-partition stages of
+    * near-empty tasks (per-round fixed cost = rounds × stages × task
+    * overhead). Scale-adaptive in both directions: 1 partition for a
+    * 5k-doc corpus, thousands at a 1e10-doc one (the rule yields MORE
+    * than a core-count constant as rows grow — same shape as
+    * [[graft.streaming.StatefulNeardupGate.autoStatePartitions]]).
+    */
+  val RowsPerCCPartition = 4000000L
+
+  private def ccPartitions(rows: Long): Int =
+    math.max(1, math.min(Int.MaxValue.toLong,
+      (rows + RowsPerCCPartition - 1) / RowsPerCCPartition).toInt)
+
   def neardupClusters(docs: DataFrame, pairs: DataFrame, idCol: String): DataFrame = {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val spark = docs.sparkSession
+    // Row counts are cheap here: docs is a parquet relation (metadata
+    // count) and pairs is the persisted shared candidates table. They
+    // size every per-round shuffle below via the pinned conf (restored
+    // by the wrapper — the withStatePartitions discipline, ADVICE r14
+    // #3); the loop plans each round inside the wrapper, so every
+    // round inherits the sized partitioning.
+    val loopParts = ccPartitions(math.max(docs.count(), 2L * pairs.count()))
+    graft.streaming.StatefulNeardupGate.withStatePartitions(
+        spark, Some(loopParts)) {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .coalesce(loopParts) // cached-layout twin of the conf: the union
+      // inherits the candidates table's core-count partitioning, and
+      // every round's join re-reads it as that many map tasks
       .persist(MEMORY_AND_DISK)
     Chunker.registerForCleanup(edges)
     var labels = docs.select(col(idCol).as("doc"), col(idCol).as("label"))
@@ -797,6 +837,7 @@ object Dedup {
     Chunker.registerForCleanup(labels)
     labels.select(col("doc").as(idCol), col("label").as("cluster_id"),
       (col("doc") === col("label")).cast("long").as("is_survivor"))
+    }
   }
 
   /** The near-dup-deduplicated corpus: one surviving row (smallest id)
@@ -1360,7 +1401,13 @@ object Dedup {
           concat(array(lit(C4PlantLine)), col("ls")).as("ls")) // plant
       // pos feeds BOTH the line-frequency aggregate and the removal
       // join — persist it (spill-to-disk, the q163 discipline) or the
-      // corpus scan + line synthesis runs twice
+      // corpus scan + line synthesis runs twice. NOT spread: both the
+      // r15 table-level spread and the r16 post-explode spread
+      // (VERDICT r15 #7, keyed on the even doc_id) measured flat
+      // standalone — the removal join broadcasts the tiny `removed`
+      // side, so the only exploded-row exchange is the final doc-keyed
+      // aggregate either way. Negative documented in
+      // OPTIMIZATION_r16.md.
       val pos = lines.select(col("doc_id"),
         posexplode(col("ls")).as(Seq("pos", "line")))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -153,10 +153,19 @@ object Relational {
         .agg(count(lit(1)).as("c"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       graft.pipeline.Chunker.registerForCleanup(h)
+      // Both window columns ride ONE window spec (same partition AND
+      // order): the group total is the running-sum spec with an
+      // explicit unbounded-unbounded ROWS frame, so Spark plans a
+      // single WindowExec evaluating both frames in one pass over the
+      // sorted histogram instead of two Window operators (guide §2.4
+      // "operations keyed the same way share one exchange"; the r15
+      // form's second Window re-buffered every group). Long-count sums
+      // are order-independent — values unchanged.
+      val wOrd = Window.partitionBy(col("f")).orderBy(col("v"))
       val cum = h
-        .withColumn("cs", sum(col("c")).over(
-          Window.partitionBy(col("f")).orderBy(col("v"))))
-        .withColumn("n", sum(col("c")).over(Window.partitionBy(col("f"))))
+        .withColumn("cs", sum(col("c")).over(wOrd))
+        .withColumn("n", sum(col("c")).over(wOrd.rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)))
       // the value at 0-based sorted row index i is the one whose
       // cumulative range [cs − c, cs) covers i; exactly one does, so
       // max(when(...)) is the lookup
@@ -629,17 +638,22 @@ object Relational {
       // Two distinct aggregates over DIFFERENT columns in one agg
       // force an Expand (x2 row multiplication before the partial
       // aggregate, off the map-side-combine fast path — guide §2.3).
-      // One single-column distinct per scan keeps each pass
-      // partial-distinct -> exchange of distinct keys only; the two
-      // 1-row results cross-join for free. Same exact counts.
-      val exact = lineitem(s, d)
-        .agg(countDistinct(col("l_partkey")).as("exact_parts"))
-        .crossJoin(broadcast(lineitem(s, d)
-          .agg(countDistinct(col("l_orderkey")).as("exact_orders"))))
-      val approx = lineitem(s, d).agg(
-        approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"),
-        approx_count_distinct(col("l_orderkey"), 0.01).as("approx_orders"))
-      exact.crossJoin(broadcast(approx))
+      // One single-column pass per column: explicit
+      // distinct -> (count + HLL) keeps the pass partial-distinct ->
+      // exchange of distinct keys only, and folds the approx sketch
+      // into the SAME scan (r15 left it as a third lineitem scan) —
+      // HLL register updates are idempotent max-folds, so the sketch
+      // over the distinct keys is BIT-IDENTICAL to the sketch over the
+      // raw rows (multiplicity and order never change a register).
+      // count(*) over the distinct non-null keys == countDistinct.
+      // 3 scans -> 2 (VERDICT r15 #1); the two 1-row results
+      // cross-join for free. Same exact counts, same flags.
+      def arm(c: String, exact: String, approx: String) =
+        lineitem(s, d).select(col(c)).where(col(c).isNotNull).distinct()
+          .agg(count(lit(1)).as(exact),
+            approx_count_distinct(col(c), 0.01).as(approx))
+      arm("l_partkey", "exact_parts", "approx_parts")
+        .crossJoin(broadcast(arm("l_orderkey", "exact_orders", "approx_orders")))
         .select(col("exact_parts"), col("exact_orders"),
           (abs(col("approx_parts") - col("exact_parts")).cast("double")
             / col("exact_parts") <= 0.05).cast("long").as("parts_within_5pct"),

@@ -1147,6 +1147,12 @@ object TextAnalytics {
     // same skew class as every word-count op here. Per-doc mean runs
     // in exact integer micro-units (the q98/q114 parity rule).
     "q167_bigram_nll" -> ((s, d) => {
+      // NOT spread: r15 measured the table-level spread +0.18 s, and
+      // r16 measured the POST-EXPLODE spread of this persisted bigram
+      // table (VERDICT r15 #7) at +0.06 s weather-adjusted standalone
+      // — the exchange + 32-partition cache write of the exploded rows
+      // costs more than the consumers' single-task map sides save at
+      // this kernel weight. Negative documented in OPTIMIZATION_r16.md.
       val bg = documents(s, d)
         .select(col("doc_id"), TextOps.wordsOf(col("text")).as("ws"))
         .filter(size(col("ws")) >= 2)
