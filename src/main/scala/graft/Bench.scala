@@ -118,8 +118,14 @@ object Bench {
   val CalibrationReps = 7
 
   /** Per-canary reference trimmed-means (seconds), pinned from the
-    * round-13 canonical FULL-SUITE 5-pass local[32] run on boot
-    * [[CanaryRefBootId]] (the canaries run measurably slower inside a
+    * round-16 boot's post-warmup self-calibration on boot
+    * [[CanaryRefBootId]] (VERDICT r15 #2: the r15 runs were
+    * `cached_calibration` on this boot because the round-13 pins were
+    * two boots stale; these are the values the calibration machinery
+    * itself produced and cached on this boot's first canonical run —
+    * the r15 driver run's in-pass medians on the same boot read within
+    * 6% of them). Historical context (the canaries run measurably
+    * slower inside a
     * 220-query pass than in a one-query dev run — JIT/cache context —
     * so the anchor must come from the same context the driver measures
     * in; and a reboot re-clocks the box, so the anchor must come from
@@ -130,7 +136,7 @@ object Bench {
     * near 1.
     */
   val CanaryRef: Map[String, Double] = Map(
-    "canary:cpu" -> 0.383, "canary:shuffle" -> 0.641, "canary:sort" -> 0.175)
+    "canary:cpu" -> 0.235, "canary:shuffle" -> 0.448, "canary:sort" -> 0.138)
 
   /** Boot the pinned [[CanaryRef]] values were measured on (VERDICT
     * r14 #1: a host reboot re-clocks the VM — the round-12 reboot read
@@ -144,7 +150,7 @@ object Bench {
     * / "self_calibrated") and "boot_id". After each canonical run on a
     * new boot, re-pin these constants from its canary trimmed means.
     */
-  val CanaryRefBootId = "6cb8b063-3bc7-423c-9a28-f962a6467945"
+  val CanaryRefBootId = "6139f93d-88c2-4508-b1cb-0550fb9c0c5c"
 
   /** Core count the pinned [[CanaryRef]] values were measured at. The
     * canaries are fixed-size parallel jobs, so their wall time scales
@@ -628,7 +634,7 @@ object Bench {
     // own stability evidence (VERDICT r11 #1); canary_scale is only
     // trustworthy when these are small relative to the medians
     val canarySpread = spread.filter(_._1.startsWith("canary:"))
-    val line = s"""{"metric":"total","value":${jnum(gate.value)},"gate_basis":"${gate.basis}","agreement_bar":${jnum(AgreementBar)},"scale_bar":${jnum(ScaleBar)},"extra_passes":$extraPasses,"pass_weather":${gate.passWeather.map(jnum).mkString("[", ",", "]")},"passes_kept":${gate.keptIdx.size},"value_trimmed":${jnum(gate.total)},"value_clean_pass":${jnum(gate.totalClean)},"value_min":${jnum(totalMin)},"unit":"sec","passes":${timings.size},"boot_id":${jstr(bootId)},"canary_ref_source":${jstr(refSource)},"canary":${jmap(canaryMed)},"canary_ref":${jmap(refs.toSeq.sorted)},"canary_scales":${jmap(canaryScales)},"canary_scale":${jnum(gate.canaryScale)},"canary_agreement":${jnum(gate.canaryAgreement)},"canary_spread":${jmap(canarySpread)},"value_normalized":${jnum(normalized)},"queries":${jmap(plans)},"queries_min":${jmap(mins.filterNot(nonPlan))},"queries_spread":${jmap(spread.filterNot(nonPlan))},"shared_builds":${jmap(sharedMed)},"side_effect_queries":${jmap(sideEff)},"errors":$es,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":${jnum(gate.value)},"gate_basis":"${gate.basis}","agreement_bar":${jnum(AgreementBar)},"scale_bar":${jnum(ScaleBar)},"extra_passes":$extraPasses,"pass_weather":${gate.passWeather.map(jnum).mkString("[", ",", "]")},"passes_kept":${gate.keptIdx.size},"value_trimmed":${jnum(gate.total)},"value_clean_pass":${jnum(gate.totalClean)},"value_min":${jnum(totalMin)},"unit":"sec","passes":${timings.size},"cpus":$cpus,"boot_id":${jstr(bootId)},"canary_ref_source":${jstr(refSource)},"canary":${jmap(canaryMed)},"canary_ref":${jmap(refs.toSeq.sorted)},"canary_scales":${jmap(canaryScales)},"canary_scale":${jnum(gate.canaryScale)},"canary_agreement":${jnum(gate.canaryAgreement)},"canary_spread":${jmap(canarySpread)},"value_normalized":${jnum(normalized)},"queries":${jmap(plans)},"queries_min":${jmap(mins.filterNot(nonPlan))},"queries_spread":${jmap(spread.filterNot(nonPlan))},"shared_builds":${jmap(sharedMed)},"side_effect_queries":${jmap(sideEff)},"errors":$es,"sf":"$sfDir"}"""
     // The full per-query line outgrew the driver's 2000-char stdout tail
     // window at ~136 queries (r3/r4/r5 all recorded parsed:null because
     // the line's HEAD — "{"metric":... — fell outside the window). So:
@@ -639,8 +645,15 @@ object Bench {
     // /tmp is volatile across rounds; also persist the detail next to
     // the build (cwd = repo root under the driver's sbt fork) so the
     // full per-query map survives in-repo regardless of tail-capture
-    // size (ADVICE r6).
-    val repoDetail = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPO_OUT", "BENCH_detail.json")
+    // size (ADVICE r6). A reduced-core run (the driver's scaling
+    // block) writes a cpu-suffixed file instead of clobbering the
+    // canonical detail — the committed r15 BENCH_detail.json was the
+    // c8 scaling run because the low-core invocation ran LAST
+    // (VERDICT r15 #8); the full-core canonical run keeps the plain
+    // name. Additive only; the timed methodology is untouched.
+    val repoDetail = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPO_OUT",
+      if (cpus.toInt == Runtime.getRuntime.availableProcessors()) "BENCH_detail.json"
+      else s"BENCH_detail_c$cpus.json")
     for (p <- Seq(detailPath, repoDetail).distinct)
       try java.nio.file.Files.write(java.nio.file.Paths.get(p),
         (line + "\n").getBytes("UTF-8"))

@@ -101,6 +101,28 @@ object Tables {
     if (nonEmpty < p) df.repartition(p, keys.map(col): _*) else df
   }
 
+  /** Target rows per shuffle partition for ITERATIVE driver loops
+    * (label propagation, PageRank, CC, SSSP, LPA): ~4M narrow unsafe
+    * rows ≈ the 64 MB AQE advisory partition size. Loops plan a fresh
+    * round per sweep, so their shuffles must be sized from the DATA
+    * (VERDICT r15 #3), not the session's core-count default, which ran
+    * every round of a dimension-sized loop as 32 near-empty tasks
+    * (per-round fixed cost = rounds × stages × task overhead).
+    * Scale-adaptive in both directions: 1 partition for a 25-node
+    * graph or 5k-doc corpus, thousands at a 1e10-row one (the rule
+    * yields MORE than a core-count constant once rows demand it —
+    * same shape as autoStatePartitions' streaming rule).
+    */
+  val RowsPerLoopPartition = 4000000L
+
+  /** ceil(rows / [[RowsPerLoopPartition]]), floor 1 — the shuffle
+    * partition count an iterative loop should pin via
+    * withStatePartitions for a state/edge volume of `rows`.
+    */
+  private[graft] def sizedLoopPartitions(rows: Long): Int =
+    math.max(1L, math.min(Int.MaxValue.toLong,
+      (rows + RowsPerLoopPartition - 1) / RowsPerLoopPartition)).toInt
+
   /** Cached per (session, fileset-root): upper bound on the number of
     * non-empty partitions a scan of that fileset can produce. See
     * [[spread]].

@@ -771,23 +771,6 @@ object Dedup {
     * emit for near-dup dedup (the reference's product is the KEPT
     * subset of the corpus: /root/reference/internal/cli/mapreduce.go:91).
     */
-  /** Target rows per shuffle partition for the label-propagation loop:
-    * ~4M (id, label) unsafe rows ≈ the 64 MB AQE advisory partition
-    * size — the loop's shuffles are sized from the DATA (VERDICT r15
-    * #3), not from the session's core-count default, which left every
-    * round of the tiny sf-corpus loops running 32-partition stages of
-    * near-empty tasks (per-round fixed cost = rounds × stages × task
-    * overhead). Scale-adaptive in both directions: 1 partition for a
-    * 5k-doc corpus, thousands at a 1e10-doc one (the rule yields MORE
-    * than a core-count constant as rows grow — same shape as
-    * [[graft.streaming.StatefulNeardupGate.autoStatePartitions]]).
-    */
-  val RowsPerCCPartition = 4000000L
-
-  private def ccPartitions(rows: Long): Int =
-    math.max(1, math.min(Int.MaxValue.toLong,
-      (rows + RowsPerCCPartition - 1) / RowsPerCCPartition).toInt)
-
   def neardupClusters(docs: DataFrame, pairs: DataFrame, idCol: String): DataFrame = {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val spark = docs.sparkSession
@@ -796,8 +779,10 @@ object Dedup {
     // size every per-round shuffle below via the pinned conf (restored
     // by the wrapper — the withStatePartitions discipline, ADVICE r14
     // #3); the loop plans each round inside the wrapper, so every
-    // round inherits the sized partitioning.
-    val loopParts = ccPartitions(math.max(docs.count(), 2L * pairs.count()))
+    // round inherits the sized partitioning (VERDICT r15 #3; rule
+    // documented at [[graft.Tables.RowsPerLoopPartition]]).
+    val loopParts = graft.Tables.sizedLoopPartitions(
+      math.max(docs.count(), 2L * pairs.count()))
     graft.streaming.StatefulNeardupGate.withStatePartitions(
         spark, Some(loopParts)) {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))

@@ -63,7 +63,13 @@ object PhaseProbe {
         catch { case NonFatal(_) => () } }
     }
 
-    println(f"${"name"}%-28s rep  total_s  anal_ms  opt_ms  phys_ms  exec_s  cg_n  cg_ms")
+    // cg_ms_est, not cg_ms (ADVICE r15 #3): the column is the codegen
+    // histogram's LIFETIME mean × this rep's compile-count delta — an
+    // ESTIMATE of compile time attributable to the rep, skewed by
+    // earlier compiles once the JVM is warm, not a measured per-rep
+    // duration (Codahale's Timer exposes count + snapshot, not a
+    // windowed sum to delta).
+    println(f"${"name"}%-28s rep  total_s  anal_ms  opt_ms  phys_ms  exec_s  cg_n  cg_ms_est")
     (1 to reps).foreach { rep =>
       clearAll()
       // shared builds materialized outside the per-query timings, as Bench does
