@@ -88,6 +88,8 @@ object SparkEntry {
           Clustering.sharedSubCentroids(s, d, j, 64 / Clustering.PqM,
             Clustering.PqK, Clustering.PqIters)).reduce(_ union _)),
       "shared:trade_edges" -> ((s: SparkSession, d: String) =>
-        graft.queries.Graph.sharedTradeWeights(s, d)))
+        graft.queries.Graph.sharedTradeWeights(s, d)),
+      "shared:rrf_fused" -> ((s: SparkSession, d: String) =>
+        graft.queries.TextAnalytics.sharedRrfFused(s, d)))
   }
 }
