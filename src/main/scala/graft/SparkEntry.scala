@@ -90,6 +90,10 @@ object SparkEntry {
       "shared:trade_edges" -> ((s: SparkSession, d: String) =>
         graft.queries.Graph.sharedTradeWeights(s, d)),
       "shared:rrf_fused" -> ((s: SparkSession, d: String) =>
-        graft.queries.TextAnalytics.sharedRrfFused(s, d)))
+        graft.queries.TextAnalytics.sharedRrfFused(s, d)),
+      "shared:ann_eval_truth" -> ((s: SparkSession, d: String) =>
+        graft.queries.Similarity.sharedAnnTruth(s, d)),
+      "shared:ann_eval_probe" -> ((s: SparkSession, d: String) =>
+        graft.queries.Similarity.sharedAnnMultiprobe(s, d)))
   }
 }

@@ -587,10 +587,13 @@ object Similarity {
     // the comparison itself is one semi-join + one anchor-sized left
     // join.
     "q170_ann_recall" -> ((s, d) => {
-      val e = embeddings(s, d)
-      val truth = bruteTopK(e, 5).filter(col("rn") <= 3)
+      // Both eval arms ride the shared k=[[NdcgK]] tables q197 also
+      // reads (guide §3 build-once): topK's row_number orders by the
+      // TOTAL key (cosine desc, neighbor_id), so `rn <= 3` of the k=10
+      // table is EXACTLY the k=3 result — same rows, same rns.
+      val truth = sharedAnnTruth(s, d).filter(col("rn") <= 3)
         .select(col("q_id"), col("neighbor_id"))
-      val approx = annMultiprobe(e, Q52Bits, 3)
+      val approx = sharedAnnMultiprobe(s, d).filter(col("rn") <= 3)
         .select(col("q_id"), col("neighbor_id"))
       val hits = approx.join(truth, Seq("q_id", "neighbor_id"), "left_semi")
         .groupBy(col("q_id")).agg(count(lit(1)).as("n_hits"))
@@ -612,7 +615,8 @@ object Similarity {
     // micro-units (the q167 rule) so the ≤10-term sums are exact;
     // nDCG is one long/long division. Cost is the two arms it
     // evaluates; the comparison is anchor-sized joins.
-    "q197_ann_ndcg" -> ((s, d) => annNdcg(embeddings(s, d), NdcgK, Q52Bits)),
+    "q197_ann_ndcg" -> ((s, d) =>
+      annNdcgFrom(sharedAnnTruth(s, d), sharedAnnMultiprobe(s, d), NdcgK)),
 
     // k-center greedy coreset (Gonzalez '85, the 2-approximation) —
     // the diversity-maximizing DATA-SELECTION op (pick K exemplars so
@@ -726,14 +730,43 @@ object Similarity {
     */
   def annNdcg(e: DataFrame, k: Int, bits: Int): DataFrame = {
     val truth = bruteTopK(e, k)
-      .select(col("q_id"), col("neighbor_id"), col("rn").as("t_rn"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     graft.pipeline.Chunker.registerForCleanup(truth)
+    annNdcgFrom(truth, annMultiprobe(e, bits, k), k)
+  }
+
+  /** The q170/q197 eval arms, memoized (guide §3 build-once / the
+    * shared:trade_edges pattern): the exact truth list and the q52
+    * multi-probe approx list at k = [[NdcgK]]. Before this, each eval
+    * row re-ran BOTH arms per evaluation (the O(N·Q) brute scan
+    * twice + the multiprobe rerank twice per pass). q170 reads the
+    * k ≤ 3 prefix (exact — topK's row_number orders by the total
+    * (cosine desc, neighbor_id) key). The SERVING/baseline rows
+    * (q38/q52/q200) deliberately do NOT ride these: their standalone
+    * cost is the documented measured-baseline evidence. Itemized in
+    * Bench/ScaleProbe; `clearAll()` drops them every pass.
+    */
+  def sharedAnnTruth(s: SparkSession, d: String): DataFrame =
+    graft.pipeline.Chunker.sharedTable(s, s"sim:ann_eval_truth:$d") {
+      bruteTopK(embeddings(s, d), NdcgK)
+    }
+
+  def sharedAnnMultiprobe(s: SparkSession, d: String): DataFrame =
+    graft.pipeline.Chunker.sharedTable(s, s"sim:ann_eval_probe:$d") {
+      annMultiprobe(embeddings(s, d), Q52Bits, NdcgK)
+    }
+
+  /** q197 body over pre-built arms: `truth`/`approx` are
+    * (q_id, neighbor_id, rn, ...) at depth >= k.
+    */
+  def annNdcgFrom(truthIn: DataFrame, approxIn: DataFrame, k: Int): DataFrame = {
+    val truth = truthIn.filter(col("rn") <= k)
+      .select(col("q_id"), col("neighbor_id"), col("rn").as("t_rn"))
     val idcg = truth.groupBy(col("q_id"))
       .agg(sum(round((lit(k + 1) - col("t_rn"))
           / log2(col("t_rn") + lit(1)) * 1e6, 0).cast("long"))
         .as("idcg_micro"))
-    val approx = annMultiprobe(e, bits, k)
+    val approx = approxIn.filter(col("rn") <= k)
       .select(col("q_id"), col("neighbor_id"), col("rn").as("a_rn"))
     approx.join(truth, Seq("q_id", "neighbor_id"), "left")
       .groupBy(col("q_id"))

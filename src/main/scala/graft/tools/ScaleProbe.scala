@@ -88,7 +88,10 @@ object ScaleProbe {
       "DEFINITION; production runs it over a benchmark-sized query " +
       "slice, not a corpus-fraction query set"),
     "q197_ann_ndcg" -> ("nDCG@10 eval — same exact truth arm as q170, " +
-      "same benchmark-slice production shape"))
+      "same benchmark-slice production shape"),
+    "shared:ann_eval_truth" -> ("the memoized exact truth arm q170/q197 " +
+      "read (r16) — the SAME O(N·Q) brute scan those rows used to " +
+      "rebuild inline, now built once and itemized; scoped with them"))
 
   /** Documented super-linear rows that are NOT exact baselines: the
     * growth decomposes into known, contracted components with a
@@ -261,7 +264,11 @@ object ScaleProbe {
       val names0 = if (fullSweep && factor <= FullSweepMaxFactor) allNames else headNames
       val names = if (factor <= 10) names0
         else names0.filterNot(ExactBaselines.contains)
-      shared ++ names.map(n => n -> graft.SparkEntry.queries(n))
+      // the exact-arm shared build is scoped out above 10× with its
+      // consumers (same reasoning as the query-name exclusion)
+      val sharedFor = if (factor <= 10) shared
+        else shared.filterNot(kv => ExactBaselines.contains(kv._1))
+      sharedFor ++ names.map(n => n -> graft.SparkEntry.queries(n))
     }
 
     shared.foreach { case (_, fn) =>
