@@ -94,6 +94,8 @@ object SparkEntry {
       "shared:ann_eval_truth" -> ((s: SparkSession, d: String) =>
         graft.queries.Similarity.sharedAnnTruth(s, d)),
       "shared:ann_eval_probe" -> ((s: SparkSession, d: String) =>
-        graft.queries.Similarity.sharedAnnMultiprobe(s, d)))
+        graft.queries.Similarity.sharedAnnMultiprobe(s, d)),
+      "shared:decontam_grams" -> ((s: SparkSession, d: String) =>
+        graft.queries.Curation.sharedDecontamGrams(s, d)))
   }
 }

@@ -93,14 +93,28 @@ object Curation {
             element_at(col("ws"), i + j + 1)): _*)))).as("g"))
   }
 
+  /** The corpus (doc, distinct 5-gram) table, memoized (guide §3
+    * build-once; the shared:dedup_shingles pattern): q199 and q205
+    * each rebuilt the identical gram explode per evaluation — the
+    * corpus-sized front end of both decontamination plans. Itemized
+    * under `shared:decontam_grams`; dropped by `clearAll()` every
+    * pass. Spec fixtures keep passing their own docs frames through
+    * [[decontaminate]]/[[bloomDecontaminate]]'s default path.
+    */
+  def sharedDecontamGrams(s: SparkSession, d: String): DataFrame =
+    graft.pipeline.Chunker.sharedTable(s, s"cur:decontam_grams:$d") {
+      decontamGrams(documents(s, d))
+    }
+
   /** q205 body — see the catalog entry's doc; split out so the spec
     * can drive the planted-overlap fixture through the gated path.
     */
-  def bloomDecontaminate(docs: DataFrame): DataFrame = {
+  def bloomDecontaminate(docs: DataFrame,
+                         gramsIn: Option[DataFrame] = None): DataFrame = {
     import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, ScalarSubquery}
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
     import org.apache.spark.sql.graft.ExprBridge
-    val grams = decontamGrams(docs)
+    val grams = gramsIn.getOrElse(decontamGrams(docs))
     val isEval = hashFraction(col("doc_id")) < DecontamEvalFrac
     val evalGrams = grams.filter(isEval).select(col("g")).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -119,8 +133,9 @@ object Curation {
       .agg(count(lit(1)).as("n_shared_grams"))
   }
 
-  def decontaminate(docs: DataFrame): DataFrame = {
-    val grams = decontamGrams(docs)
+  def decontaminate(docs: DataFrame,
+                    gramsIn: Option[DataFrame] = None): DataFrame = {
+    val grams = gramsIn.getOrElse(decontamGrams(docs))
     val isEval = hashFraction(col("doc_id")) < DecontamEvalFrac
     val evalGrams = grams.filter(isEval).select(col("g")).distinct()
     val hits = grams.filter(!isEval)
@@ -409,7 +424,8 @@ object Curation {
     "q193_ccnet_buckets" -> ((s, d) => ccnetBuckets(documents(s, d))),
 
     // Test-set decontamination — see [[decontaminate]].
-    "q199_decontaminate" -> ((s, d) => decontaminate(documents(s, d))),
+    "q199_decontaminate" -> ((s, d) =>
+      decontaminate(documents(s, d), Some(sharedDecontamGrams(s, d)))),
 
     // Bloom-GATED decontamination — [[decontaminate]]'s 100-TB serving
     // shape. In production the eval n-gram table is benchmark-sized,
@@ -425,7 +441,7 @@ object Curation {
     // sketch changes the plan, not the result. Output lists only the
     // contaminated docs with their audit counts.
     "q205_bloom_decontaminate" -> ((s, d) =>
-      bloomDecontaminate(documents(s, d))),
+      bloomDecontaminate(documents(s, d), Some(sharedDecontamGrams(s, d)))),
 
     // GPT-3-style QUALITY-CLASSIFIER keep rule (Brown et al. 2020,
     // Appendix A; also the Pile/PaLM crawl filter): train a classifier
