@@ -403,8 +403,9 @@ object Curation {
     // [[hashFraction]] (×256 is a power-of-two multiply, so bucket ids
     // are bit-identical in DuckDB).
     // Scale shape: one word-explode feeding both aggregates (persisted);
-    // the bucket model is a 256-row broadcast; the per-doc pass is a
-    // doc-keyed aggregate over (doc, bucket) counts — word-count shuffle
+    // the bucket model is a 256-row broadcast joined straight onto the
+    // occurrences; the per-doc pass is ONE doc-keyed aggregate whose
+    // map-side combine collapses occurrences — word-count shuffle
     // class, nothing quadratic, model size independent of corpus size.
     // Parity: per-bucket log-ratios land in integer micro-units
     // (q167's rule) so the doc sums are exact integer arithmetic.
@@ -493,12 +494,18 @@ object Curation {
         round((log((col("ct") + 1.0) / (col("nt") + lit(DsirBuckets.toDouble)))
           - log((col("cr") + 1.0) / (col("nr") + lit(DsirBuckets.toDouble))))
           * 1e6, 0).cast("long").as("lr_micro"))
-    val db = occ.filter(!isTarget)
-      .groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("n"))
-    db.join(broadcast(lr), Seq("b"))
+    // The model join is a 256-row BROADCAST, so the old (doc_id, b)
+    // pre-aggregate bought nothing: occurrences never crossed an
+    // exchange before it, and the doc-keyed aggregate's map-side
+    // combine already collapses them — the pre-agg was a second full
+    // exchange + hash-agg pass of the (doc, b) table. Join occurrences
+    // to the broadcast model directly and aggregate ONCE by doc; the
+    // per-doc sums are exact integer arithmetic either way
+    // (sum n*lr == sum lr over occurrences), so values are identical.
+    occ.filter(!isTarget).join(broadcast(lr), Seq("b"))
       .groupBy(col("doc_id"))
-      .agg(sum(col("n")).as("n_words"),
-        sum(col("n") * col("lr_micro")).as("w_micro"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("lr_micro")).as("w_micro"))
       .select(col("doc_id"), col("n_words"),
         round(col("w_micro") / 1e6, 4).as("dsir_weight"),
         round(col("w_micro") / 1e6 / col("n_words"), 6)
@@ -529,12 +536,15 @@ object Curation {
         round((log((col("cp") + 1.0) / (col("np") + lit(DsirBuckets.toDouble)))
           - log((col("cn") + 1.0) / (col("nn") + lit(DsirBuckets.toDouble))))
           * 1e6, 0).cast("long").as("lr_micro"))
-    val scored = occ.groupBy(col("doc_id"), col("source"), col("b"))
-      .agg(count(lit(1)).as("n"))
-      .join(broadcast(lr), Seq("b"))
+    // Same fusion as dsirWeights: the model join is a 256-row
+    // broadcast, so the (doc, source, b) pre-aggregate was a second
+    // full exchange of the occurrence-grain table for nothing — join
+    // occurrences to the broadcast model and aggregate ONCE; exact
+    // integer sums are order-independent, values identical.
+    val scored = occ.join(broadcast(lr), Seq("b"))
       .groupBy(col("doc_id"), col("source"))
-      .agg(sum(col("n")).as("n_words"),
-        sum(col("n") * col("lr_micro")).as("s_micro"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("lr_micro")).as("s_micro"))
     // p = sigmoid(mean log-odds): the argument is an exact rational of
     // integers, so exp receives the identical double in both engines.
     // The log-odds audit column stays the exact integer micro-SUM —
@@ -568,6 +578,14 @@ object Curation {
     graft.pipeline.Chunker.registerForCleanup(occ)
     val cw = occ.groupBy(col("w")).agg(count(lit(1)).as("cw"))
     val tot = occ.agg(count(lit(1)).as("n_tot"))
+    // docScore feeds the tertile boundaries AND the final bucket
+    // assignment, so its lineage (occ cache scan + vocab-model join +
+    // doc aggregate) runs twice per evaluation. Persisting the
+    // doc-sized result was measured r16 and REVERTED: flat-to-worse at
+    // BOTH sf0.1 (min 1.08 -> 1.12 s) and 10x (min 5.92 -> 6.67 s) —
+    // the recompute rides the occ cache and broadcast joins, while the
+    // persist adds a full materialization barrier before the bounds
+    // broadcast can even start.
     val docScore = occ.join(cw, Seq("w"))
       .crossJoin(broadcast(tot))
       .select(col("doc_id"), col("lang"),

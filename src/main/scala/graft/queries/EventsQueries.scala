@@ -60,16 +60,19 @@ object EventsQueries {
     // envelope pattern: emit the exact value plus a within-5% flag
     // (deterministic for a fixed dataset), oracle pins the flag to 1 —
     // so a sketch drifting out of envelope is a hash FAILURE, not a
-    // silent degradation. Same split-scan rule as q11: countDistinct's
-    // Expand and the HLL buffers stay in separate aggregates, joined on
-    // the groups-sized results.
+    // silent degradation. Same ONE-scan rule as q11's r16 form: an
+    // explicit (event_type, user_id) distinct keeps the exchange
+    // carrying distinct keys only, count(*) over the distinct non-null
+    // rows IS the grouped countDistinct, and the HLL sketch folds into
+    // the SAME pass — HLL register updates are idempotent max-folds,
+    // so the per-group sketch over distinct keys is bit-identical to
+    // the sketch over raw rows. 2 events scans + a join -> 1 scan.
     "q129_grouped_approx_distinct" -> ((s, d) => {
-      val ev = events(s, d)
-      val exact = ev.groupBy(col("event_type"))
-        .agg(countDistinct(col("user_id")).as("n_exact"))
-      val approx = ev.groupBy(col("event_type"))
-        .agg(approx_count_distinct(col("user_id"), 0.01).as("n_approx"))
-      exact.join(approx, Seq("event_type"))
+      events(s, d).select(col("event_type"), col("user_id"))
+        .where(col("user_id").isNotNull).distinct()
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_exact"),
+          approx_count_distinct(col("user_id"), 0.01).as("n_approx"))
         .select(col("event_type"), col("n_exact"),
           (abs(col("n_approx") - col("n_exact")).cast("double")
             / col("n_exact") <= 0.05).cast("long").as("within_5pct"))

@@ -695,13 +695,19 @@ object TextAnalytics {
       val src = words.groupBy(col("source"), col("word")).agg(count(lit(1)).as("sc"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       graft.pipeline.Chunker.registerForCleanup(src)
-      val corpus = src.groupBy(col("word")).agg(sum(col("sc")).as("c"))
-      val total = corpus.agg(sum(col("c")).as("total"))
-      val p = corpus.crossJoin(broadcast(total))
-        .select(col("word"), (col("c").cast("double") / col("total")).as("p"))
+      // Corpus count per word as a WINDOW over the word partition (the
+      // q179 one-exchange trick): before, a separate groupBy(word)
+      // aggregate was joined back by word — TWO word-keyed exchanges of
+      // the (source, word) table plus the SMJ sorts. A group's window
+      // sum IS its group total, so c (and p = c/total) are identical
+      // values; exact long sums are order-independent.
+      val total = src.agg(sum(col("sc")).as("total"))
       val srcTotal = src.groupBy(col("source")).agg(sum(col("sc")).as("stotal"))
-      src.join(srcTotal, Seq("source"))
-        .join(p, Seq("word"))
+      src.withColumn("c", sum(col("sc")).over(Window.partitionBy(col("word"))))
+        .join(broadcast(srcTotal), Seq("source"))
+        .crossJoin(broadcast(total))
+        .select(col("source"), col("stotal"),
+          col("sc"), (col("c").cast("double") / col("total")).as("p"))
         .select(col("source"), col("stotal"),
           round((col("sc").cast("double") / col("stotal")) *
             log((col("sc").cast("double") / col("stotal")) / col("p")), 6)
